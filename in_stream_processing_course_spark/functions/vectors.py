@@ -1,0 +1,46 @@
+"""Vector math over ``array<float>`` embedding columns (north-star X2)
+as native Column algebra: ``zip_with`` + ``aggregate`` stay JVM-side,
+so brute-force cosine scans run inside codegen with no Python transfer.
+
+All arithmetic is done in double after an explicit element cast, with a
+fixed left-to-right summation order — bit-identical to the DuckDB
+oracle computing the same fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dsum(arr: Column) -> Column:
+    """Sequential double-precision fold (deterministic order)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return _dsum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(_dsum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def sign_bucket_col(a: Column, n_bits: int = 8) -> Column:
+    """Coordinate-sign LSH bucket: bit i = sign(a[i]); deterministic,
+    engine-portable blocking key for the bucketed ANN variant. A
+    production variant would use seeded random hyperplanes; the bucket
+    join/rerank plumbing is identical.
+    """
+    bits = [
+        F.when(F.element_at(a, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")

@@ -1,0 +1,232 @@
+"""Bot-detection query family — the reference's entire analytical
+surface (ImplStructured.scala:118-146; ImplDStreams.scala:86-125)
+expressed as batch/stream-agnostic DataFrame builders over the driver
+``events`` table, each with an exact DuckDB oracle.
+
+Mapping (FIXTURES.md §1): user_id -> ip, ts -> time, event_type
+click/view -> counters, props {"k": N} -> category.
+
+Sliding-window oracle note: Spark's ``window(ts, 10 min, 40 s)``
+assigns an event at time t to the 15 epoch-aligned starts
+``floor(epoch(t)/40)*40 - {0, 40, ..., 560}`` (window/slide = 15,
+start aligned to the epoch). The DuckDB SQL reproduces exactly that
+with generate_series. Window boundaries are emitted as epoch BIGINTs
+and category sets as sorted comma-joined strings so value hashes are
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.classifier import with_verdict
+from ..operators.aggregations import (
+    ip_total_stats,
+    ip_window_stats,
+    two_level_window_stats,
+)
+from ..operators.projections import filter_bots, normalize_events
+from ..sources.batch import load_table
+
+WINDOW_SEC = 600  # ImplStructured.scala:12 (10 minutes)
+SLIDE_SEC = 40  # ImplStructured.scala:13
+
+# Shared oracle CTE: events -> LogRecord normalization.
+LOG_RECORDS_CTE = """
+log_records AS (
+  SELECT CAST(user_id AS VARCHAR) AS ip,
+         ts AS time,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS clicks,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS views,
+         json_extract_string(props, '$.k') AS category
+  FROM events
+)
+"""
+
+
+def log_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P4+P5 normalization pipeline as a query of its own."""
+    return normalize_events(load_table(spark, sf_dir, "events"))
+
+
+def _stats_projection(stats: DataFrame) -> DataFrame:
+    """Canonical output shape: epoch window_start, sorted joined cats."""
+    return stats.select(
+        "ip",
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        F.col("clicks"),
+        F.col("views"),
+        F.array_join(F.array_sort("categories"), ",").alias("categories"),
+        F.size("categories").cast("long").alias("categories_count"),
+    )
+
+
+def windowed_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the core aggregation: 10-min window / 40-s slide per ip."""
+    return _stats_projection(
+        ip_window_stats(log_records(spark, sf_dir), "10 minutes", "40 seconds")
+    )
+
+
+def windowed_stats_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 variant — tumbling 10-min windows (slide == width)."""
+    return _stats_projection(
+        ip_window_stats(log_records(spark, sf_dir), "10 minutes", None)
+    )
+
+
+def windowed_stats_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 at scale — two-level rollup; must equal windowed_stats_sliding."""
+    out = two_level_window_stats(
+        log_records(spark, sf_dir), WINDOW_SEC, SLIDE_SEC
+    )
+    return out.select(
+        "ip",
+        F.col("window_start"),
+        "clicks",
+        "views",
+        F.array_join(F.col("categories"), ",").alias("categories"),
+        F.size("categories").cast("long").alias("categories_count"),
+    )
+
+
+def classified_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 over A1 — per-(ip, window) verdict with reason precedence."""
+    stats = windowed_stats_sliding(spark, sf_dir)
+    return with_verdict(stats).select(
+        "ip",
+        "window_start",
+        "clicks",
+        "views",
+        "categories_count",
+        "is_bot",
+        "reason",
+    )
+
+
+def bot_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink-shaped output (Cassandra ``bots`` table analog,
+    cassandra/init.cql:5): one deduplicated (bot_ip, reason) per
+    flagged ip, whole-history classification (the DStream impl's
+    long-horizon semantics, ImplDStreams.scala:119-125). Reason ties
+    across windows resolve by classifier precedence implicitly because
+    classification happens on the *merged* history.
+    """
+    lr = log_records(spark, sf_dir)
+    totals = ip_total_stats(lr).withColumn(
+        "categories_count", F.size("categories").cast("long")
+    )
+    flagged = filter_bots(with_verdict(totals))
+    return flagged.select(F.col("ip").alias("bot_ip"), F.col("reason")).dropDuplicates(
+        ["bot_ip"]
+    )
+
+
+def classified_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-history per-ip stats + verdict (flagship ``entry()`` shape:
+    always non-empty, exercises scan->project->agg->classify)."""
+    lr = log_records(spark, sf_dir)
+    totals = ip_total_stats(lr)
+    out = totals.select(
+        "ip",
+        "clicks",
+        "views",
+        F.array_join(F.array_sort("categories"), ",").alias("categories"),
+        F.size("categories").cast("long").alias("categories_count"),
+    )
+    return with_verdict(out).select(
+        "ip", "clicks", "views", "categories", "categories_count", "is_bot", "reason"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SLIDING_EXPLODE = f"""
+exploded AS (
+  SELECT ip, clicks, views, category,
+         unnest(generate_series(
+           CAST(floor(epoch(time) / {SLIDE_SEC}) * {SLIDE_SEC} AS BIGINT) - {WINDOW_SEC - SLIDE_SEC},
+           CAST(floor(epoch(time) / {SLIDE_SEC}) * {SLIDE_SEC} AS BIGINT),
+           {SLIDE_SEC})) AS window_start
+  FROM log_records
+)
+"""
+
+_STATS_SELECT = """
+  SELECT ip,
+         window_start,
+         CAST(SUM(clicks) AS BIGINT) AS clicks,
+         CAST(SUM(views) AS BIGINT) AS views,
+         array_to_string(list_sort(list(DISTINCT category)), ',') AS categories,
+         CAST(COUNT(DISTINCT category) AS BIGINT) AS categories_count
+  FROM exploded
+  GROUP BY ip, window_start
+"""
+
+ORACLE_LOG_RECORDS = f"WITH {LOG_RECORDS_CTE} SELECT * FROM log_records"
+
+ORACLE_STATS_SLIDING = f"WITH {LOG_RECORDS_CTE}, {_SLIDING_EXPLODE} {_STATS_SELECT}"
+
+ORACLE_STATS_TUMBLING = f"""
+WITH {LOG_RECORDS_CTE},
+exploded AS (
+  SELECT ip, clicks, views, category,
+         CAST(floor(epoch(time) / {WINDOW_SEC}) * {WINDOW_SEC} AS BIGINT) AS window_start
+  FROM log_records
+)
+{_STATS_SELECT}
+"""
+
+_CLASSIFY = """
+  CASE WHEN clicks + views > 1000 THEN 'requests'
+       WHEN categories_count > 5 THEN 'categories'
+       WHEN clicks // greatest(views, 1) > 5 THEN 'clicks/views'
+       ELSE 'clear' END
+"""
+
+ORACLE_CLASSIFIED = f"""
+WITH {LOG_RECORDS_CTE}, {_SLIDING_EXPLODE},
+stats AS ({_STATS_SELECT})
+SELECT ip, window_start, clicks, views, categories_count,
+       (clicks + views > 1000 OR categories_count > 5
+        OR clicks // greatest(views, 1) > 5) AS is_bot,
+       {_CLASSIFY} AS reason
+FROM stats
+"""
+
+ORACLE_TOTALS_CLASSIFIED = f"""
+WITH {LOG_RECORDS_CTE},
+totals AS (
+  SELECT ip,
+         CAST(SUM(clicks) AS BIGINT) AS clicks,
+         CAST(SUM(views) AS BIGINT) AS views,
+         array_to_string(list_sort(list(DISTINCT category)), ',') AS categories,
+         CAST(COUNT(DISTINCT category) AS BIGINT) AS categories_count
+  FROM log_records
+  GROUP BY ip
+)
+SELECT ip, clicks, views, categories, categories_count,
+       (clicks + views > 1000 OR categories_count > 5
+        OR clicks // greatest(views, 1) > 5) AS is_bot,
+       {_CLASSIFY} AS reason
+FROM totals
+"""
+
+ORACLE_BOT_VERDICTS = f"""
+WITH {LOG_RECORDS_CTE},
+totals AS (
+  SELECT ip,
+         CAST(SUM(clicks) AS BIGINT) AS clicks,
+         CAST(SUM(views) AS BIGINT) AS views,
+         CAST(COUNT(DISTINCT category) AS BIGINT) AS categories_count
+  FROM log_records
+  GROUP BY ip
+)
+SELECT ip AS bot_ip, {_CLASSIFY} AS reason
+FROM totals
+WHERE clicks + views > 1000 OR categories_count > 5
+   OR clicks // greatest(views, 1) > 5
+"""
