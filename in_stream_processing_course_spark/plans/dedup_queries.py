@@ -1,0 +1,199 @@
+"""Dedup query family over ``documents`` (north-star X1/X2): exact,
+MinHash+LSH, SimHash banding, n-gram Jaccard. Oracles reproduce the
+md5-based hashing bit-for-bit in DuckDB (md5 is the one hash both
+engines share; murmur3/xxhash are not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..sources.batch import load_table
+
+# --- exact dedup (X1) --------------------------------------------------------
+
+
+def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup with deterministic representative (min doc_id)
+    + duplicate counts. At scale: hash-shuffle on md5(text), partial
+    agg map-side; never ships full text twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT_DOCS = """
+SELECT md5(text) AS text_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- MinHash signatures + LSH candidates (X2) --------------------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+_SHINGLE_K = 5
+
+_SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
+# word 5-shingles, distinct
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - {_SHINGLE_K - 1}, 1)),"
+    f" i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + {_SHINGLE_K - 1}), ' ')))"
+)
+# signature element i = min over shingles of md5(i || ':' || shingle)
+_SQL_SIG = (
+    f"list_transform(generate_series(0, {_NUM_HASHES - 1}),"
+    f" i -> list_aggregate(list_transform({_SQL_SHINGLES},"
+    f" s -> md5(concat(CAST(i AS VARCHAR), ':', s))), 'min'))"
+)
+
+
+def minhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH table — the shuffle key for
+    candidate generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_bands(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    ).orderBy("doc_id", "band_id")
+
+
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+ORACLE_MINHASH_BANDS = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents)
+SELECT doc_id,
+       CAST(b AS INT) AS band_id,
+       array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                  b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+ORDER BY doc_id, band_id
+"""
+
+
+def minhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (band-key equi-join, a < b, distinct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    ).orderBy("a", "b")
+
+
+ORACLE_MINHASH_CANDIDATES = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                    b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+ORDER BY a, b
+"""
+
+
+# --- n-gram Jaccard (X2, exact within blocks) --------------------------------
+
+_JK = 3
+_J_THRESHOLD = 0.2
+
+_SQL_SHINGLES3 = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - {_JK - 1}, 1)),"
+    f" i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + {_JK - 1}), ' ')))"
+)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.2 within source blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", _JK, _J_THRESHOLD, "source"
+    ).orderBy("a", "b")
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id, source, {_SQL_SHINGLES3} AS s FROM documents)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       round(len(list_intersect(l.s, r.s))
+             / greatest(len(list_distinct(l.s || r.s)), 1), 6) AS jaccard
+FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id
+WHERE round(len(list_intersect(l.s, r.s))
+            / greatest(len(list_distinct(l.s || r.s)), 1), 6) >= {_J_THRESHOLD}
+ORDER BY a, b
+"""
+
+
+# --- SimHash (X2) -------------------------------------------------------------
+
+_SIM_BITS = 32
+_BAND_BITS = 8
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5-nibble bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dd.simhash_col(F.col("text"), _SIM_BITS).alias("simhash")
+    )
+
+
+# bit j of md5-prefix hash of token t, LSB-first within each nibble
+_SQL_NIB = "(strpos('0123456789abcdef', h[n + 1]) - 1)"
+
+ORACLE_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform({_SQL_TOKENS}, t -> string_split(substr(md5(t), 1, {_SIM_BITS // 4}), '')) AS hs
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_SIM_BITS - 1}), j ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(hs, h -> CASE WHEN
+               CAST(floor({_SQL_NIB.replace('n + 1', 'CAST(floor(j / 4) AS INT) + 1')} / power(2, j % 4)) AS BIGINT) % 2 = 1
+             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+             (acc, x) -> acc + x)) AS v
+  FROM toks
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(0, {_SIM_BITS - 1}),
+           j -> CASE WHEN v[j + 1] > 0 THEN CAST(power(2, j) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END)),
+         (acc, x) -> acc + x) AS simhash
+FROM votes
+"""
+
+
+def simhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-collision candidates with exact Hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_dedup_candidates(
+        docs, "doc_id", "text", _SIM_BITS, _BAND_BITS
+    ).orderBy("a", "b")
+
+
+ORACLE_SIMHASH_CANDIDATES = f"""
+WITH sh AS ({ORACLE_SIMHASH.strip()}),
+bands AS (
+  SELECT doc_id, simhash, b AS band_id,
+         CAST(floor(simhash / power(2, b * {_BAND_BITS})) AS BIGINT) % {1 << _BAND_BITS} AS band_val
+  FROM sh, unnest(generate_series(0, {_SIM_BITS // _BAND_BITS - 1})) AS t(b)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+ORDER BY a, b
+"""

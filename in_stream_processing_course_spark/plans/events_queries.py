@@ -1,0 +1,138 @@
+"""Event-stream analytics beyond the bot query: sessionization
+(T2 session windows — SURVEY §2.6 notes session_window as the easy
+add the reference lacks), per-key sequence analytics (lag), time
+rollups, and deterministic exact dedup (X1).
+
+All builders are batch/stream agnostic: ``session_window``, windowed
+counts, and dropDuplicates run identically under ``readStream``; the
+oracles replicate the event-time semantics in plain SQL
+(gaps-and-islands for sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.projections import ensure_timestamp
+from ..sources.batch import load_table
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_SEC = 1800
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user: a session closes after 30 idle minutes
+    (Spark merges events whose [ts, ts+gap) windows overlap; window end
+    = last event + gap).
+    """
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", SESSION_GAP).alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end"),
+        "n_events",
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_SEC} SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(MAX(ts) + INTERVAL {SESSION_GAP_SEC} SECOND)) AS BIGINT)
+         AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM grouped GROUP BY user_id, sid
+"""
+
+
+def event_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time since previous event, microsecond precision
+    (lag OVER a per-key event-time order)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("delta_us"),
+    ).where(F.col("delta_us").isNotNull())
+
+
+ORACLE_LAG = """
+SELECT user_id, event_id, delta_us FROM (
+  SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+  FROM events
+) WHERE delta_us IS NOT NULL
+"""
+
+
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup by event type (P6 bucketing at hour grain)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# NOTE sum(value): doubles summed in different orders are not
+# bit-stable; value has 2dp at <=1000, a few thousand rows/hour sum is
+# exact in double well past 4dp, so round(.,4) is deterministic.
+ORACLE_HOURLY = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup with a DETERMINISTIC representative: groupBy the
+    identity columns and keep min(event_id) (dropDuplicates keeps an
+    arbitrary row — fine in pipelines, not hash-comparable).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type", "props").agg(
+        F.min("event_id").alias("event_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT user_id, event_type, props,
+       CAST(MIN(event_id) AS BIGINT) AS event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM events GROUP BY user_id, event_type, props
+"""

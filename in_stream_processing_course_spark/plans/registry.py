@@ -18,6 +18,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import bot_detection as bd
+from . import dedup_queries as dq
+from . import events_queries as ev
+from . import relational as rel
+from . import similarity_queries as sq
+from . import text_queries as tq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -44,3 +49,58 @@ register(
 register("bot_classified_windows", bd.classified_stats, bd.ORACLE_CLASSIFIED)
 register("bot_classified_totals", bd.classified_totals, bd.ORACLE_TOTALS_CLASSIFIED)
 register("bot_verdicts", bd.bot_verdicts, bd.ORACLE_BOT_VERDICTS)
+
+# --- relational surface: join family, sorts, OVER windows, set ops ----------
+register("tpch_q1_pricing_summary", rel.q1_pricing_summary, rel.ORACLE_Q1)
+register("tpch_q3_shipping_priority", rel.q3_shipping_priority, rel.ORACLE_Q3)
+register("tpch_q4_order_priority", rel.q4_order_priority, rel.ORACLE_Q4)
+register("tpch_q5_local_supplier_volume", rel.q5_local_supplier_volume, rel.ORACLE_Q5)
+register("tpch_q6_revenue_forecast", rel.q6_revenue_forecast, rel.ORACLE_Q6)
+register("tpch_q10_returned_items", rel.q10_returned_items, rel.ORACLE_Q10)
+register("tpch_q14_promo_revenue", rel.q14_promo_revenue, rel.ORACLE_Q14)
+register("tpch_q18_large_volume", rel.q18_large_volume, rel.ORACLE_Q18)
+register("join_semi_customers_with_orders", rel.customers_with_orders, rel.ORACLE_SEMI)
+register(
+    "join_anti_customers_without_orders",
+    rel.customers_without_orders,
+    rel.ORACLE_ANTI,
+)
+register("window_topk_parts_per_brand", rel.topk_parts_per_brand, rel.ORACLE_TOPK)
+register(
+    "window_running_revenue", rel.supplier_running_revenue, rel.ORACLE_RUNNING
+)
+register("set_ops_nations", rel.nation_set_ops, rel.ORACLE_SET_OPS)
+register("rollup_revenue", rel.revenue_rollup, rel.ORACLE_ROLLUP)
+register("pivot_orders_status", rel.orders_pivot_status, rel.ORACLE_PIVOT)
+
+# --- event-stream analytics (session windows, sequences, rollups, X1) -------
+register("sessionize_events", ev.sessionize_events, ev.ORACLE_SESSIONIZE)
+register("event_lag_deltas", ev.event_lag_deltas, ev.ORACLE_LAG)
+register("hourly_event_counts", ev.hourly_event_counts, ev.ORACLE_HOURLY)
+register("dedup_events_exact", ev.dedup_events_exact, ev.ORACLE_DEDUP_EXACT)
+
+# --- text analysis (X3) ------------------------------------------------------
+register("text_metrics", tq.text_metrics, tq.ORACLE_TEXT_METRICS)
+register("text_fingerprints", tq.document_fingerprints, tq.ORACLE_FINGERPRINTS)
+register("text_lang_quality_rollup", tq.lang_quality_rollup, tq.ORACLE_LANG_ROLLUP)
+
+# --- dedup family (X1/X2) ----------------------------------------------------
+register("dedup_documents_exact", dq.dedup_documents_exact, dq.ORACLE_DEDUP_EXACT_DOCS)
+register("dedup_minhash_bands", dq.minhash_band_table, dq.ORACLE_MINHASH_BANDS)
+register(
+    "dedup_minhash_candidates",
+    dq.minhash_near_dup_candidates,
+    dq.ORACLE_MINHASH_CANDIDATES,
+)
+register("dedup_ngram_jaccard", dq.ngram_jaccard_pairs, dq.ORACLE_NGRAM_JACCARD)
+register("dedup_simhash", dq.simhash_fingerprints, dq.ORACLE_SIMHASH)
+register(
+    "dedup_simhash_candidates",
+    dq.simhash_near_dup_candidates,
+    dq.ORACLE_SIMHASH_CANDIDATES,
+)
+
+# --- similarity search (X2) --------------------------------------------------
+register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
+register("knn_lsh_bucketed", sq.knn_lsh_bucketed, sq.ORACLE_KNN_LSH)
+register("embedding_label_centroids", sq.label_centroids, sq.ORACLE_CENTROIDS)

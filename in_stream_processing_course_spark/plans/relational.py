@@ -1,0 +1,595 @@
+"""Relational query surface (SURVEY §2.7 X5) over the TPC-H-ish driver
+tables: join family (inner/semi/anti/broadcast), sorts+limits, OVER
+window functions, set ops, rollup/pivot. The reference itself has no
+joins — this is the new design work the north star requires, written
+shuffle-aware:
+
+- dimension joins (region/nation/customer/supplier/part) are BROADCAST
+  (dims are tiny at any SF; the fact table never shuffles for them);
+- fact-fact joins (orders<->lineitem) shuffle on the join key once and
+  AQE picks/coalesces partitions;
+- top-k = groupBy/orderBy+limit — Spark plans TakeOrderedAndProject
+  (per-partition heap, no global sort);
+- all money arithmetic is exact DECIMAL end-to-end with explicit final
+  casts so sums are order-independent and hash-identical to DuckDB.
+
+Decimal sizing (verified against sf0.1 data): prices < 10^6 scale 2,
+disc/tax in [0, 0.10] scale 2, qty integer <= 50.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+
+# --- shared decimal casts ---------------------------------------------------
+
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+
+
+def _li_money(li: DataFrame) -> DataFrame:
+    """lineitem with exact-decimal money columns.
+
+    disc_price scale 4, charge scale 6 — products of exact decimals,
+    no rounding anywhere.
+    """
+    price = F.col("l_extendedprice").cast(_PRICE)
+    disc = F.col("l_discount").cast(_RATE)
+    tax = F.col("l_tax").cast(_RATE)
+    return (
+        li.withColumn("qty_dec", F.col("l_quantity").cast(_PRICE))
+        .withColumn("price_dec", price)
+        .withColumn("disc_price", price * (F.lit(1).cast(_RATE) - disc))
+        .withColumn(
+            "charge",
+            (price * (F.lit(1).cast(_RATE) - disc)) * (F.lit(1).cast(_RATE) + tax),
+        )
+    )
+
+
+_ORACLE_LI_MONEY = """
+li AS (
+  SELECT *,
+         CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS disc_price,
+         (CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS charge
+  FROM lineitem
+)
+"""
+
+
+def _avg6(sum_col: str, cnt_col: str) -> F.Column:
+    """avg = round(double(sum)/count, 6) — identical doubles both engines."""
+    return F.round(F.col(sum_col).cast("double") / F.col(cnt_col), 6)
+
+
+# --- Q1: pricing summary (full-scan agg; classic map-side combine) ---------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_dec").cast("decimal(38,2)").alias("sum_qty"),
+        F.sum("price_dec").cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum("disc_price").cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum("charge").cast("decimal(38,6)").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        _avg6("sum_qty", "count_order").alias("avg_qty"),
+        _avg6("sum_base_price", "count_order").alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+ORACLE_Q1 = f"""
+WITH {_ORACLE_LI_MONEY},
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(qty_dec) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(SUM(price_dec) AS DECIMAL(38,2)) AS sum_base_price,
+         CAST(SUM(disc_price) AS DECIMAL(38,4)) AS sum_disc_price,
+         CAST(SUM(charge) AS DECIMAL(38,6)) AS sum_charge,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+  FROM li WHERE l_shipdate <= DATE '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge,
+       round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+       round(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS avg_price,
+       count_order
+FROM agg ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping priority (broadcast dim filter + fact-fact join + top-k) --
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT l_orderkey,
+       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN li ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-03-15'
+  AND l_shipdate > DATE '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-ish: local supplier volume (6-way join, broadcast dims) -------------
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    # dims reduce to a broadcastable (custkey -> nation) map; the only
+    # big shuffle is orders<->lineitem on orderkey.
+    nat = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    cust_nat = cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    ord_cust = orders.join(
+        F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey")
+    )
+    li_s = li.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    joined = li_s.join(ord_cust, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("s_nationkey") == F.col("c_nationkey")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+ORACLE_Q5 = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT n_name, CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN li ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- Q6: revenue forecast (pure scan+filter+agg; pushdown showcase) ---------
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount").between(0.03, 0.05))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_PRICE) * F.col("l_discount").cast(_RATE)
+    )
+    return li.agg(
+        F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
+"""
+
+
+# --- Q10-ish: returned-item ranking (join + top-20) --------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).where(
+        F.col("l_returnflag") == "R"
+    )
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue
+FROM li
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q4-ish: order priority check (EXISTS -> left-semi join) -----------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- Q14-ish: promo revenue share (conditional agg over broadcast join) -----
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("PROMO"), F.col("disc_price")).otherwise(
+                F.lit(0).cast("decimal(12,4)")
+            )
+        )
+        .cast("decimal(38,4)")
+        .alias("promo_revenue"),
+        F.sum("disc_price").cast("decimal(38,4)").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_revenue").cast("double")
+            / F.col("total_revenue").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+ORACLE_Q14 = f"""
+WITH {_ORACLE_LI_MONEY},
+agg AS (
+  SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN disc_price
+                       ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
+         CAST(SUM(disc_price) AS DECIMAL(38,4)) AS total_revenue
+  FROM li JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       round(100.0 * CAST(promo_revenue AS DOUBLE)
+             / CAST(total_revenue AS DOUBLE), 6) AS promo_pct
+FROM agg
+"""
+
+
+# --- Q18-ish: large-volume customers (having + semi join back) ---------------
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_PRICE)).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    joined = big.join(
+        F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"),
+        F.col("total_qty").cast("decimal(38,2)").alias("total_qty"),
+    ).orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_orderdate,
+       CAST(total_qty AS DECIMAL(38,2)) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+"""
+
+
+# --- join family: semi / anti ------------------------------------------------
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --- OVER-clause window functions -------------------------------------------
+
+
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/row_number analytic: top-3 priciest parts per brand."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("p_retailprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+ORACLE_TOPK = """
+SELECT p_brand, p_partkey,
+       CAST(p_retailprice AS DECIMAL(12,2)) AS p_retailprice,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """running (cumulative) revenue per supplier in ship order —
+    exact decimal so the prefix sums are order-stable and portable."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.sum("disc_price").over(w).cast("decimal(38,4)").alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(SUM(disc_price) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))
+         AS running_revenue
+FROM li
+"""
+
+
+# --- set ops ------------------------------------------------------------------
+
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nations that have customers but no suppliers (EXCEPT), plus the
+    intersection — exercises union/intersect/except in one output."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    only_cust = cust.distinct().subtract(supp.distinct())  # EXCEPT (distinct)
+    both = cust.intersect(supp)
+    tagged = only_cust.withColumn("side", F.lit("customers_only")).unionByName(
+        both.withColumn("side", F.lit("both"))
+    )
+    return tagged.orderBy("side", "nationkey")
+
+
+ORACLE_SET_OPS = """
+WITH c AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer),
+     s AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS nationkey FROM supplier)
+SELECT nationkey, 'customers_only' AS side FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+UNION ALL
+SELECT nationkey, 'both' AS side FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+ORDER BY side, nationkey
+"""
+
+
+# --- rollup / pivot -----------------------------------------------------------
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus); grouping-null normalized to
+    'ALL' so the hash is engine-portable."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    agg = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("disc_price").cast("decimal(38,4)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "revenue",
+        "n_rows",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+ORACLE_ROLLUP = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM li
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot: order counts per priority x status (explicit value list)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_partial"),
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -1,0 +1,141 @@
+"""Similarity-search queries over ``embeddings`` (north-star X2):
+brute-force cosine top-k (exact baseline) and sign-LSH bucketed ANN
+(the scale path). Cosine is a fixed-order double fold on both sides,
+so values are bit-identical and 6-dp rounding is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, bucketed_topk
+from ..sources.batch import load_table
+
+_K = 5
+_N_PROBES = 8  # vec_id < 8 are the probe vectors
+_N_BITS = 8
+
+# fixed-order double fold: dot / (|a| * |b|)
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = f"sqrt({_SQL_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_SQL_DOT.format(a=b, b=b)})"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    return brute_force_topk(emb, probes, _K).orderBy("query_id", "rank")
+
+
+ORACLE_KNN_BRUTE = f"""
+WITH probes AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+                WHERE vec_id < {_N_PROBES}),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('p.q', 'e.embedding')} AS cosine
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+_SQL_BUCKET = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(generate_series(0, {nb} - 1),"
+    " i -> CASE WHEN {a}[i + 1] >= 0 THEN CAST(power(2, i) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc + x) AS INT)"
+)
+
+
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    return bucketed_topk(emb, probes, _K, n_bits=_N_BITS).orderBy(
+        "query_id", "rank"
+    )
+
+
+ORACLE_KNN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_SQL_BUCKET.format(a='embedding', nb=_N_BITS)} AS bucket
+  FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, embedding AS q, bucket FROM b
+           WHERE vec_id < {_N_PROBES}),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('p.q', 'e.embedding')} AS cosine
+  FROM probes p JOIN b e ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norms — array aggregation via posexplode +
+    re-collect (the distributed way to average vectors: explode to
+    (label, dim, value), aggregate per dim, no driver collect).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias(
+                "centroid_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# NOTE sum-of-doubles across rows is order-sensitive in general; with
+# 500 vectors per label and values in [-1,1] the 6-dp round is stable
+# (error ~1e-14). The driver gate confirms empirically.
+ORACLE_CENTROIDS = """
+WITH exploded AS (
+  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+per_dim AS (
+  SELECT label, dim, SUM(v) / COUNT(*) AS mean_v, COUNT(*) AS n
+  FROM exploded GROUP BY label, dim
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       round(sqrt(SUM(mean_v * mean_v)), 6) AS centroid_norm
+FROM per_dim GROUP BY label ORDER BY label
+"""

@@ -1,0 +1,147 @@
+"""Text-analysis queries over ``documents`` (north-star X3):
+language-ID, quality scoring, token counting (whitespace + BPE-ish),
+and rolling-hash fingerprinting. All Column algebra (JVM codegen);
+each oracle reproduces the arithmetic exactly in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..sources.batch import load_table
+
+
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + quality + language guess."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count_col(t).alias("n_tokens"),
+        tx.bpe_token_count_col(t).alias("n_bpe_tokens"),
+        F.round(tx.stopword_ratio_col(t), 6).alias("stopword_ratio"),
+        F.round(tx.punct_ratio_col(t), 6).alias("punct_ratio"),
+        tx.quality_score_col(t).alias("quality"),
+        tx.lang_id_col(t).alias("lang_guess"),
+    )
+
+
+def _sql_tokens(expr: str) -> str:
+    return rf"list_filter(string_split_regex(lower({expr}), '\s+'), x -> len(x) > 0)"
+
+
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    arr = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+    return (
+        f"len(list_filter({_sql_tokens('text')}, t -> list_contains({arr}, t)))"
+    )
+
+
+def _sql_lang_case() -> str:
+    scores = {
+        lang: _sql_marker_hits(tx.LANG_MARKERS[lang]) for lang in tx.LANG_ORDER
+    }
+    score_cols = ",\n         ".join(
+        f"{sql} AS s_{lang}" for lang, sql in scores.items()
+    )
+    all_scores = ", ".join(f"s_{lang}" for lang in tx.LANG_ORDER)
+    # winner = FIRST lang (in LANG_ORDER) reaching the max score —
+    # identical to the Spark fold (later langs replace only if strictly
+    # greater).
+    whens = "\n       ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in tx.LANG_ORDER[:-1]
+    )
+    return score_cols, all_scores, whens
+
+
+_SCORE_COLS, _ALL_SCORES, _LANG_WHENS = _sql_lang_case()
+
+_SQL_STOP_ARR = "[" + ",".join(f"'{s}'" for s in tx.STOPWORDS) + "]"
+
+ORACLE_TEXT_METRICS = rf"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {_SCORE_COLS},
+         CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT)
+           AS n_bpe_tokens,
+         len(list_filter({_sql_tokens('text')}, t -> list_contains({_SQL_STOP_ARR}, t)))
+           / greatest(len({_sql_tokens('text')}), 1) AS stop_ratio,
+         len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / greatest(len(text), 1) AS p_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(p_ratio, 6) AS punct_ratio,
+       round(least(len(text) / 500.0, 1.0) * 0.4
+             + least(stop_ratio * 4, 1.0) * 0.4
+             + (1.0 - least(p_ratio * 4, 1.0)) * 0.2, 6) AS quality,
+       CASE
+         WHEN m IS NULL THEN NULL
+         {_LANG_WHENS}
+         ELSE '{tx.LANG_ORDER[-1]}'
+       END AS lang_guess
+FROM (SELECT *, greatest({_ALL_SCORES}) AS m FROM scored)
+"""
+
+
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint of the first 256 chars —
+    the cheap pre-filter for exact/near dedup at scale (group on
+    fingerprint, verify within groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint_col(F.col("text")).alias("fingerprint"),
+        F.col("n_chars"),
+    )
+
+
+ORACLE_FINGERPRINTS = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substr(text, 1, 256), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+       n_chars
+FROM documents
+"""
+
+
+def lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation view: doc counts + mean quality per (lang,
+    source) — the filter table an LLM-data pipeline thresholds on."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score_col(F.col("text"))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum(q) / F.count(F.lit(1)), 6).alias("mean_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_LANG_ROLLUP = r"""
+WITH q AS (
+  SELECT lang, source, n_chars,
+         round(least(len(text) / 500.0, 1.0) * 0.4
+               + least(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+                                       t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                       / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1) * 4, 1.0) * 0.4
+               + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                              / greatest(len(text), 1) * 4, 1.0)) * 0.2, 6) AS quality
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(SUM(quality) / COUNT(*), 6) AS mean_quality
+FROM q GROUP BY lang, source ORDER BY lang, source
+"""
