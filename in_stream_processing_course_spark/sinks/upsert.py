@@ -1,0 +1,103 @@
+"""Keyed upsert sink with TTL / ifNotExists semantics (K1/K2).
+
+The reference writes verdicts to Cassandra with primary key ``bot_ip``,
+``ifNotExists=true`` (insert-only-when-absent) and a 10-minute row TTL
+(ImplDStreams.scala:71-78; Common.scala:9; cassandra/init.cql:5) and
+the structured path does per-row foreach INSERTs
+(ImplStructured.scala:22-36). Spark-first equivalent: a
+``foreachBatch`` MERGE into a keyed table —
+
+- upsert: new batch rows replace same-key rows (last-writer-wins), or
+  are discarded if the key exists and ``if_not_exists`` is set;
+- TTL: retention filter on a ``detected_at`` column applied on every
+  batch (row expiry without a TTL-capable store);
+- idempotence: re-delivered batches converge (MERGE by key), which is
+  what makes checkpoint recovery exactly-once end-to-end.
+
+On a real cluster this foreachBatch body would target Delta/Iceberg
+``MERGE INTO``; plain parquet overwrite keeps the container
+dependency-free while exercising identical semantics. The table is
+small by construction (one row per flagged key), so the batch-side
+join broadcasts it.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class KeyedUpsertSink:
+    """foreachBatch target maintaining a keyed parquet table."""
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        ttl_sec: int | None = None,
+        if_not_exists: bool = False,
+        now_fn: Callable[[], float] = time.time,
+    ) -> None:
+        self.path = path
+        self.key_cols = key_cols
+        self.ttl_sec = ttl_sec
+        self.if_not_exists = if_not_exists
+        self.now_fn = now_fn
+
+    # -- helpers ------------------------------------------------------------
+
+    def _read_current(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+    def _apply_ttl(self, df: DataFrame) -> DataFrame:
+        if self.ttl_sec is None:
+            return df
+        cutoff = self.now_fn() - self.ttl_sec
+        return df.where(F.col("detected_at") >= F.lit(cutoff))
+
+    # -- the foreachBatch body ------------------------------------------------
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        now = self.now_fn()
+        incoming = batch_df.dropDuplicates(self.key_cols).withColumn(
+            "detected_at", F.lit(float(now))
+        )
+        current = self._read_current(spark)
+        if current is not None:
+            current = self._apply_ttl(current)
+            if self.if_not_exists:
+                # keep existing rows; only genuinely new keys enter
+                incoming = incoming.join(
+                    current.select(*self.key_cols), self.key_cols, "left_anti"
+                )
+                merged = current.unionByName(incoming)
+            else:
+                # last-writer-wins upsert
+                kept = current.join(
+                    incoming.select(*self.key_cols), self.key_cols, "left_anti"
+                )
+                merged = kept.unionByName(incoming)
+        else:
+            merged = incoming
+        # materialize before overwriting the path we read from
+        rows = merged.collect()
+        out = spark.createDataFrame(rows, merged.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+
+    def read(self, spark: SparkSession, apply_ttl: bool = True) -> DataFrame:
+        df = self._read_current(spark)
+        if df is None:
+            return spark.createDataFrame([], "struct<>")
+        return self._apply_ttl(df) if apply_ttl else df
+
+
+def console_sink(df: DataFrame, **options):
+    """K5 — debug console sink (``botStream.print()`` analog)."""
+    return df.writeStream.format("console").options(**options)

@@ -1,0 +1,81 @@
+"""Streaming sources (SURVEY §2.1).
+
+S3 (the ~450-LoC custom Kafka Connect filesystem tailer,
+logs-to-kafka/LogsSourceConnector.java:16-67, LogsSourceTask.java,
+FileReader.java) collapses to Spark's built-in file streaming source:
+directory listing, new-file detection, per-file offsets, and
+exactly-once recovery are native (checkpointed file list);
+``maxFilesPerTrigger`` replaces the connector's 1000-ms poll loop.
+
+S1/S2 (Kafka) is config-only: same downstream transform, different
+``format``. Not started in tests (no broker in the container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import ACTION_SCHEMA, EVENT_SCHEMA
+
+
+def read_action_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S3 — stream of reference wire-format JSON log lines
+    ({time, categoryId, ip, action}; botgen.py:54) from a directory.
+    Malformed lines surface as all-null rows (dropped by
+    operators.projections.decode semantics downstream).
+    """
+    reader = spark.readStream.schema(ACTION_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(input_dir)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Driver `events`-shaped JSON stream (ts as ISO string or epoch)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(input_dir)
+
+
+def kafka_action_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "clickstream-log",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1 — Kafka source projected to (key, value) strings
+    (ImplStructured.scala:93-102). Requires the spark-sql-kafka
+    package on the cluster; config-only here.
+    """
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Built-in load-generator source (replaces continuous-botgen.sh
+    for throughput testing)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

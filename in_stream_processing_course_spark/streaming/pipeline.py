@@ -1,0 +1,107 @@
+"""End-to-end streaming bot-detection pipelines — the reference's two
+production entry points (SURVEY §3), Structured-Streaming-only.
+
+Entry point 1 analog (ImplStructured.scala:40-73):
+  file/kafka action stream -> decode -> watermark -> sliding-window agg
+  -> classify -> filter bots -> keyed upsert sink (update mode,
+  processing-time trigger, checkpointed).
+
+Entry point 2 analog (ImplDStreams.scala:21-42): same front end ->
+``keyed_history_verdicts`` (applyInPandasWithState) -> sink; gives the
+long-horizon per-key semantics with idle-key timeout.
+
+Both share one transform library with the batch plans — the
+stream/batch split is only read vs readStream (entry point 3
+property, ImplStructured.scala:145-146).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.classifier import with_verdict
+from ..operators.aggregations import ip_window_stats
+from ..operators.projections import action_counters, filter_bots
+from ..sinks.upsert import KeyedUpsertSink
+from ..streaming.state import keyed_history_verdicts
+
+WATERMARK = "2 minutes"  # ImplStructured.scala:11
+WINDOW = "10 minutes"  # ImplStructured.scala:12
+SLIDE = "40 seconds"  # ImplStructured.scala:13
+TRIGGER = "40 seconds"  # ImplStructured.scala:14
+
+
+def actions_to_log_records(actions: DataFrame) -> DataFrame:
+    """P2/P4/P5 on the wire schema (epoch-SECONDS time; fixes the
+    reference's ms/sec unit bug, SURVEY §1.4.1)."""
+    decoded = actions.where(
+        F.col("action").isNotNull()
+        & F.col("ip").isNotNull()
+        & (F.length("ip") > 0)
+    )
+    return action_counters(decoded).select(
+        "ip",
+        F.timestamp_seconds("time").alias("time"),
+        "clicks",
+        "views",
+        F.col("categoryId").alias("category"),
+    )
+
+
+def windowed_bot_stream(actions: DataFrame) -> DataFrame:
+    """Structured path: watermarked sliding-window stats + verdicts
+    (ImplStructured.scala:118-146 as native ops). Works on batch and
+    streaming inputs identically.
+    """
+    lr = actions_to_log_records(actions)
+    watermark = WATERMARK if lr.isStreaming else None
+    stats = ip_window_stats(lr, WINDOW, SLIDE, watermark=watermark)
+    stats = stats.withColumn(
+        "categories_count", F.size("categories").cast("long")
+    ).drop("categories")
+    return filter_bots(with_verdict(stats)).select(
+        F.col("ip").alias("bot_ip"),
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "reason",
+    )
+
+
+def stateful_bot_stream(actions: DataFrame) -> DataFrame:
+    """DStream-semantics path: trailing-history verdicts with idle
+    timeout (T3)."""
+    return keyed_history_verdicts(actions_to_log_records(actions))
+
+
+def start_bot_detection(
+    actions: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    mode: str = "structured",
+    ttl_sec: int | None = 600,
+    if_not_exists: bool = True,
+    trigger_seconds: str | None = None,
+):
+    """Wire a streaming action source to the keyed verdict sink
+    (K1/K2 semantics: key = bot_ip, ifNotExists, 10-min TTL;
+    cassandra/init.cql:5). Returns the StreamingQuery.
+    """
+    if mode == "structured":
+        verdicts = windowed_bot_stream(actions)
+        keys = ["bot_ip"]
+    else:
+        verdicts = filter_bots(stateful_bot_stream(actions)).select(
+            F.col("ip").alias("bot_ip"), "reason"
+        )
+        keys = ["bot_ip"]
+    sink = KeyedUpsertSink(
+        sink_path, keys, ttl_sec=ttl_sec, if_not_exists=if_not_exists
+    )
+    writer = (
+        verdicts.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=trigger_seconds)
+    return writer.start()

@@ -1,0 +1,185 @@
+"""Streaming integration tests: file-stream source (S3 analog),
+batch<->stream equivalence (§5.2.3), the stateful history operator
+across micro-batches (T3), dedup-within-watermark (T4), and the keyed
+upsert sink's TTL / ifNotExists semantics (K1/K2).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.sinks.upsert import KeyedUpsertSink
+from in_stream_processing_course_spark.sources import generator as gen
+from in_stream_processing_course_spark.sources.stream import read_action_stream
+from in_stream_processing_course_spark.streaming.pipeline import (
+    actions_to_log_records,
+    stateful_bot_stream,
+    windowed_bot_stream,
+)
+from in_stream_processing_course_spark.streaming.runner import (
+    run_stream_foreach_batch,
+    run_stream_to_memory,
+)
+
+
+def write_actions(tmp_path: pathlib.Path, name: str, actions) -> str:
+    gen.write_json_lines(actions, str(tmp_path / "in" / name))
+    return str(tmp_path / "in")
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    """Same transform, same data: file-stream (complete mode) ==
+    batch result. The reference's entry-point-3 design property."""
+    actions = gen.category_hopper("bot", 120, 8, interval=30) + gen.requests_burst(
+        "hum", 80, interval=30
+    )
+    in_dir = write_actions(tmp_path, "a.json", actions)
+
+    from in_stream_processing_course_spark.operators.aggregations import (
+        ip_window_stats,
+    )
+
+    def transform(df):
+        lr = actions_to_log_records(df)
+        stats = ip_window_stats(lr, "10 minutes", "40 seconds")
+        return stats.select(
+            "ip",
+            F.unix_timestamp("window.start").alias("ws"),
+            "clicks",
+            "views",
+            F.array_join(F.array_sort("categories"), ",").alias("cats"),
+        )
+
+    stream_out = run_stream_to_memory(
+        transform(read_action_stream(spark, in_dir)),
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    rows_stream = {tuple(r) for r in stream_out.collect()}
+
+    from in_stream_processing_course_spark.schemas import ACTION_SCHEMA
+
+    batch_df = spark.createDataFrame(
+        [(a.time, a.category_id, a.ip, a.action) for a in actions], ACTION_SCHEMA
+    )
+    rows_batch = {tuple(r) for r in transform(batch_df).collect()}
+    assert rows_stream == rows_batch and len(rows_batch) > 0
+
+
+def test_streaming_bot_detection_flags_bot(spark, tmp_path):
+    """End-to-end structured path on a stream: bot flagged, human not
+    (ImplStructured.scala pipeline shape)."""
+    actions = gen.category_hopper("bot", 120, 8, interval=30) + gen.category_hopper(
+        "hum", 120, 3, interval=30
+    )
+    in_dir = write_actions(tmp_path, "a.json", actions)
+    out = run_stream_to_memory(
+        windowed_bot_stream(read_action_stream(spark, in_dir)),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    verdicts = {(r["bot_ip"], r["reason"]) for r in out.collect()}
+    assert verdicts == {("bot", "categories")}
+
+
+def test_stateful_history_accumulates_across_batches(spark, tmp_path):
+    """T3: per-key history merges across micro-batches — the key is
+    clear after batch 1 alone and becomes a bot only because batch 2
+    raises the MERGED category count past the limit."""
+    # batch 1: 4 categories; batch 2: 4 different categories (8 total)
+    b1 = gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+    b2 = [
+        gen.Action(a.time + 60, f"cat{int(a.category_id[3:]) + 4}", a.ip, a.action)
+        for a in gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+    ]
+    in_dir = write_actions(tmp_path, "b1.json", b1)
+    write_actions(tmp_path, "b2.json", b2)
+
+    out = run_stream_to_memory(
+        stateful_bot_stream(
+            read_action_stream(spark, in_dir, max_files_per_trigger=1)
+        ),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = out.orderBy("categories_count").collect()
+    # one emission per micro-batch; merged history crosses the limit
+    counts = [r["categories_count"] for r in rows]
+    verdicts = [(r["is_bot"], r["reason"]) for r in rows]
+    assert counts == [4, 8]
+    assert verdicts == [(False, "clear"), (True, "categories")]
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """T4 — the structured impl's dropDuplicates quirk (SURVEY §1.4.5)
+    done right: watermark-bounded streaming dedup."""
+    a = gen.Action(100, "1000", "dup", "click")
+    actions = [a, a, a, gen.Action(101, "1000", "other", "view")]
+    in_dir = write_actions(tmp_path, "a.json", actions)
+    lr = actions_to_log_records(read_action_stream(spark, in_dir))
+    deduped = lr.withWatermark("time", "10 minutes").dropDuplicatesWithinWatermark(
+        ["ip", "time"]
+    )
+    out = run_stream_to_memory(
+        deduped, output_mode="append", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert sorted(r["ip"] for r in out.collect()) == ["dup", "other"]
+
+
+# --- keyed upsert sink semantics (K1/K2) ------------------------------------
+
+
+def _verdicts_df(spark, rows):
+    return spark.createDataFrame(rows, "bot_ip string, reason string")
+
+
+def test_upsert_sink_if_not_exists_and_ttl(spark, tmp_path):
+    clock = {"now": 1000.0}
+    sink = KeyedUpsertSink(
+        str(tmp_path / "bots"),
+        ["bot_ip"],
+        ttl_sec=600,
+        if_not_exists=True,
+        now_fn=lambda: clock["now"],
+    )
+    # batch 0: first verdict wins
+    sink(_verdicts_df(spark, [("1.2.3.4", "requests")]), 0)
+    # batch 1: same key, different reason -> ignored (ifNotExists)
+    clock["now"] = 1100.0
+    sink(_verdicts_df(spark, [("1.2.3.4", "categories"), ("5.6.7.8", "clicks/views")]), 1)
+    table = {
+        (r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()
+    }
+    assert table == {("1.2.3.4", "requests"), ("5.6.7.8", "clicks/views")}
+    # TTL expiry: advance past 600 s for the first key only
+    clock["now"] = 1650.0  # 1.2.3.4 written at t=1000 -> expired
+    sink(_verdicts_df(spark, [("9.9.9.9", "requests")]), 2)
+    table = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
+    assert table == {("5.6.7.8", "clicks/views"), ("9.9.9.9", "requests")}
+
+
+def test_upsert_sink_last_writer_wins(spark, tmp_path):
+    sink = KeyedUpsertSink(str(tmp_path / "bots2"), ["bot_ip"], if_not_exists=False)
+    sink(_verdicts_df(spark, [("k", "requests")]), 0)
+    sink(_verdicts_df(spark, [("k", "categories")]), 1)
+    table = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
+    assert table == {("k", "categories")}
+
+
+def test_streaming_sink_end_to_end(spark, tmp_path):
+    """Stream -> windowed verdicts -> foreachBatch upsert: the full
+    ImplStructured.run() shape with checkpointing."""
+    actions = gen.category_hopper("bot", 120, 8, interval=30)
+    in_dir = write_actions(tmp_path, "a.json", actions)
+    sink = KeyedUpsertSink(str(tmp_path / "bots3"), ["bot_ip"], if_not_exists=True)
+    verdicts = windowed_bot_stream(read_action_stream(spark, in_dir)).select(
+        "bot_ip", "reason"
+    )
+    run_stream_foreach_batch(
+        verdicts, sink, output_mode="update", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    table = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
+    assert table == {("bot", "categories")}
