@@ -44,19 +44,27 @@ def bpe_token_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
 
 
-def marker_hits_col(text: Column, markers: tuple[str, ...]) -> Column:
-    """How many tokens of ``text`` are in ``markers`` (exact token match)."""
-    toks = tokens_col(F.lower(text))
+def marker_hits_col(
+    text: Column, markers: tuple[str, ...], toks: Column | None = None
+) -> Column:
+    """How many tokens of ``text`` are in ``markers`` (exact token match).
+
+    Pass ``toks`` (a pre-projected lowercased token array column) to
+    avoid re-tokenizing — Catalyst cannot CSE the split across lambda
+    scopes, so inline tokenization is recomputed per consumer.
+    """
+    if toks is None:
+        toks = tokens_col(F.lower(text))
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
 
 
-def lang_id_col(text: Column) -> Column:
+def lang_id_col(text: Column, toks: Column | None = None) -> Column:
     """Argmax language over marker-hit scores, fixed tiebreak LANG_ORDER."""
     expr: Column | None = None
     best: Column | None = None
     for lang in LANG_ORDER:
-        score = marker_hits_col(text, LANG_MARKERS[lang])
+        score = marker_hits_col(text, LANG_MARKERS[lang], toks)
         if expr is None:
             expr, best = F.lit(lang), score
         else:
@@ -66,9 +74,10 @@ def lang_id_col(text: Column) -> Column:
     return expr
 
 
-def stopword_ratio_col(text: Column) -> Column:
+def stopword_ratio_col(text: Column, toks: Column | None = None) -> Column:
     """stopword tokens / all tokens, double division (guard empty)."""
-    toks = tokens_col(F.lower(text))
+    if toks is None:
+        toks = tokens_col(F.lower(text))
     arr = F.array(*[F.lit(s) for s in STOPWORDS])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
     return hits / F.greatest(F.size(toks), F.lit(1))
@@ -80,14 +89,14 @@ def punct_ratio_col(text: Column) -> Column:
     return punct / F.greatest(F.length(text), F.lit(1))
 
 
-def quality_score_col(text: Column) -> Column:
+def quality_score_col(text: Column, toks: Column | None = None) -> Column:
     """Composite quality heuristic in [0, ~1]: rewards length (capped),
     penalizes punctuation soup, rewards stopword presence (natural
     language signal). Deterministic integer-ratio arithmetic so the
     DuckDB oracle matches to full double precision.
     """
     length_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
-    stop_term = F.least(stopword_ratio_col(text) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio_col(text, toks) * 4, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio_col(text) * 4, F.lit(1.0))
     return F.round(
         length_term * 0.4 + stop_term * 0.4 + punct_term * 0.2, 6

@@ -34,21 +34,38 @@ def shingles_col(text: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_signature_col(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: element i = lexicographic min of
-    ``md5(i || shingle)`` over the shingle set. md5 is available and
-    bit-identical in every engine (unlike murmur3), so the oracle can
-    reproduce signatures exactly; min-of-hash over a random oracle is
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures, scale-shaped: explode shingles to rows, then
+    ONE hash-aggregate with ``num_hashes`` min() accumulators — each
+    ``md5(i || shingle)`` is computed exactly once, partial aggregation
+    runs map-side, and the only shuffle is the groupBy(id).
+
+    (A nested array-lambda formulation — transform over hash indices of
+    array_min over shingles — is semantically identical but Catalyst
+    cannot CSE across lambda scopes, so shingle tokenization and md5
+    get recomputed per hash index and per consumer: 60x slower at
+    sf0.1. Exploding is the 100 TB shape.)
+
+    Signature element i = lexicographic min of md5(i:shingle); md5 is
+    bit-identical across engines (unlike murmur3), so the DuckDB oracle
+    reproduces signatures exactly. Min-of-hash over a random oracle is
     the standard MinHash estimator regardless of hash output ordering.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
-            )
-        ),
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
     )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*mins)
 
 
 def minhash_bands(
@@ -65,22 +82,23 @@ def minhash_bands(
     collide in a band iff that slice matches exactly.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_col(shingles_col(F.col(text_col), shingle_k), num_hashes)
-    banded = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band_id"),
-                    F.array_join(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("band"),
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_id"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{i}")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.band_key")
-    return banded
 
 
 def minhash_candidates(
@@ -162,46 +180,49 @@ def _hex_nibble(c: Column) -> Column:
     return F.instr(F.lit(_HEX), c) - 1
 
 
-def simhash_col(text: Column, n_bits: int = 32) -> Column:
-    """SimHash over whitespace tokens. Per token, take the first
-    ``n_bits/4`` hex chars of md5(token) as the bit source; per bit,
-    sum +1/-1 votes across tokens; bit set iff vote > 0. Entirely
-    portable (md5 + per-nibble arithmetic), so the oracle reproduces it
-    bit-for-bit. Returns a bigint.
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash over whitespace tokens, scale-shaped like
+    :func:`minhash_signatures`: explode tokens, ONE hash-aggregate
+    with ``n_bits`` sum() vote accumulators, assemble the fingerprint
+    from the final votes. Per token, the first ``n_bits/4`` hex chars
+    of md5(token) are the bit source (LSB-first within each nibble);
+    bit set iff the +1/-1 vote sum is positive. md5+nibble arithmetic
+    is engine-portable, so the oracle reproduces it bit-for-bit.
+
+    Output: (id_col, simhash bigint).
     """
     n_nibbles = n_bits // 4
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0)
-    hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, n_nibbles))
-    # votes[i] (i in 0..n_bits-1) = sum over tokens of (bit_i ? 1 : -1)
-    bit_idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
-
-    def bit_vote(i: Column) -> Column:
-        nib = F.floor(i / 4).cast("int")
-        shift = (i % 4).cast("int")  # bit within nibble, LSB first
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(
-                (
-                    F.floor(
-                        _hex_nibble(F.substring(h, nib + 1, 1))
-                        / F.pow(F.lit(2.0), shift.cast("double"))
-                    ).cast("long")
-                    % 2
-                )
-                == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-
-    bits = F.transform(
-        bit_idx,
-        lambda i: F.when(bit_vote(i) > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("tok"),
+    ).select(
+        id_col,
+        # project the md5 prefix ONCE per token row — referencing it by
+        # name keeps the 32 vote expressions from inlining 32 md5 calls
+        F.substring(F.md5(F.col("tok")), 1, n_nibbles).alias("h"),
     )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    h = F.col("h")
+
+    def vote(i: int) -> Column:
+        nib = _hex_nibble(F.substring(h, i // 4 + 1, 1))
+        bit = F.floor(nib / F.lit(float(1 << (i % 4)))).cast("long") % 2
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}")
+
+    votes = toks.groupBy(id_col).agg(*[vote(i) for i in range(n_bits)])
+    fingerprint = None
+    for i in range(n_bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select(
+        F.col(id_col), fingerprint.cast("long").alias("simhash")
+    )
 
 
 def simhash_dedup_candidates(
@@ -217,7 +238,9 @@ def simhash_dedup_candidates(
     distance via xor bit count.
     """
     n_bands = n_bits // band_bits
-    sh = df.select(F.col(id_col), simhash_col(F.col(text_col), n_bits).alias("_sh"))
+    sh = simhash_table(df, id_col, text_col, n_bits).withColumnRenamed(
+        "simhash", "_sh"
+    )
     bands = sh.select(
         id_col,
         "_sh",

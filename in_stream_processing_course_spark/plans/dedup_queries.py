@@ -142,9 +142,7 @@ _BAND_BITS = 8
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", dd.simhash_col(F.col("text"), _SIM_BITS).alias("simhash")
-    )
+    return dd.simhash_table(docs, "doc_id", "text", _SIM_BITS)
 
 
 # bit j of md5-prefix hash of token t, LSB-first within each nibble

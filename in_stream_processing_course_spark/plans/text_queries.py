@@ -14,17 +14,27 @@ from ..sources.batch import load_table
 
 
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts + quality + language guess."""
+    """Per-document token counts + quality + language guess.
+
+    The lowercased token array is projected ONCE and referenced by the
+    ~8 consuming expressions — CollapseProject keeps a multiply-
+    referenced non-cheap alias materialized, so tokenization happens
+    once per row instead of once per metric.
+    """
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    toks = F.col("_toks")
+    staged = docs.select(
+        "doc_id", "text", tx.tokens_col(F.lower(t)).alias("_toks")
+    )
+    return staged.select(
         "doc_id",
-        tx.token_count_col(t).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         tx.bpe_token_count_col(t).alias("n_bpe_tokens"),
-        F.round(tx.stopword_ratio_col(t), 6).alias("stopword_ratio"),
+        F.round(tx.stopword_ratio_col(t, toks), 6).alias("stopword_ratio"),
         F.round(tx.punct_ratio_col(t), 6).alias("punct_ratio"),
-        tx.quality_score_col(t).alias("quality"),
-        tx.lang_id_col(t).alias("lang_guess"),
+        tx.quality_score_col(t, toks).alias("quality"),
+        tx.lang_id_col(t, toks).alias("lang_guess"),
     )
 
 
