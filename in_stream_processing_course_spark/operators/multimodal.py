@@ -1,0 +1,187 @@
+"""Multimodal column operators (north-star X4): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched pandas functions over ``mapInPandas``.
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes — is real and tested. The actual codec step is STUBBED: media
+libraries (PIL/torchaudio/av) are not in this container, so
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+the library import succeeds, and ``fake_decode_meta`` provides a
+deterministic stand-in (dimensions derived from payload bytes) used by
+tests and the fake-decode query.
+
+Scale notes: binary payloads ride Arrow record batches; keep
+``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads
+fits executor memory. Feature extraction is embarrassingly parallel —
+no shuffle anywhere in this module; downstream joins hash on media_id
+only (never on payload bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import MEDIA_SCHEMA  # noqa: F401  (public: table contract)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the driver ``documents``
+    table (no external fixtures): payload = utf-8 bytes of the text,
+    kind assigned round-robin. Exercises the binary-column contract
+    end-to-end with real driver data.
+    """
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
+def extract_media_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction (size + content hash) via
+    ``mapInPandas`` — the canonical shape for any per-payload Python
+    feature extractor. One output row per input row; batches stream
+    through the Python worker without materializing the partition.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, META_SCHEMA)
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception:
+        return None
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """REAL decode path (requires Pillow, absent in this container):
+    mapInPandas batches decode payload bytes into (width, height,
+    mean luma). Raises NotImplementedError at execution time when the
+    codec library is unavailable — the plan/schema/UDF contract is
+    identical to :func:`fake_decode_meta`, which tests use.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _try_import_pil()
+        if Image is None:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "use fake_decode_meta for the deterministic stand-in"
+            )
+        import io
+
+        import numpy as np
+
+        for pdf in it:
+            ims = [Image.open(io.BytesIO(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [im.width for im in ims],
+                    "height": [im.height for im in ims],
+                    "mean_luma": [
+                        float(np.asarray(im.convert("L")).mean()) for im in ims
+                    ],
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(batches, DECODED_SCHEMA)
+
+
+def fake_decode_meta(media: DataFrame) -> DataFrame:
+    """Deterministic stand-in decoder: derives (width, height,
+    mean_luma) from the payload's sha256 bytes. Same schema, same
+    mapInPandas batch shape, fully testable without codecs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = pdf["payload"].map(lambda b: hashlib.sha256(b).digest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": digests.map(lambda d: 16 * (1 + d[0] % 64)).astype(
+                        "int32"
+                    ),
+                    "height": digests.map(lambda d: 16 * (1 + d[1] % 64)).astype(
+                        "int32"
+                    ),
+                    "mean_luma": digests.map(lambda d: round(d[2] / 255.0, 6)),
+                }
+            )
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 32
+) -> DataFrame:
+    """Frame sampling for video payloads: slice ``n_frames`` evenly
+    spaced byte windows (stand-in for real keyframe extraction; the
+    explode-per-frame output shape is what a real sampler produces).
+    Native Column algebra — no Python needed for the slicing itself.
+    """
+    total = F.length("payload")
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    offsets = F.transform(
+        idx, lambda i: (i * F.greatest(total - frame_bytes, F.lit(1)))
+        / F.lit(max(n_frames - 1, 1))
+    )
+    frames = F.transform(
+        offsets,
+        lambda off: F.substring(
+            F.col("payload"), (off.cast("int") + 1), frame_bytes
+        ),
+    )
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.posexplode(frames).alias("frame_idx", "frame_bytes"),
+        )
+    )

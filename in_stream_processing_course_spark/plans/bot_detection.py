@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.classifier import with_verdict
 from ..operators.aggregations import (
     ip_total_stats,
+    ip_window_counts,
     ip_window_stats,
     two_level_window_stats,
 )
@@ -88,6 +89,26 @@ def windowed_stats_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         "views",
         F.array_join(F.col("categories"), ",").alias("categories"),
         F.size("categories").cast("long").alias("categories_count"),
+    )
+
+
+def windowed_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at 100 TB — HyperLogLog distinct-category counts
+    (``approx_count_distinct``, rsd 1%) instead of exact collect_set:
+    bounded sketch state per (ip, window) rather than a full string
+    set. No oracle (HLL estimates are engine-specific); the driver
+    records the rows-only check, and the exact variant
+    (bot_stats_sliding) is the correctness anchor.
+    """
+    out = ip_window_counts(
+        log_records(spark, sf_dir), "10 minutes", "40 seconds", approx=True
+    )
+    return out.select(
+        "ip",
+        F.unix_timestamp(F.col("window.start")).alias("window_start"),
+        "clicks",
+        "views",
+        "categories_count",
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import bot_detection as bd
 from . import dedup_queries as dq
 from . import events_queries as ev
+from . import multimodal_queries as mq
 from . import relational as rel
 from . import similarity_queries as sq
 from . import text_queries as tq
@@ -72,6 +73,17 @@ register(
 register("set_ops_nations", rel.nation_set_ops, rel.ORACLE_SET_OPS)
 register("rollup_revenue", rel.revenue_rollup, rel.ORACLE_ROLLUP)
 register("pivot_orders_status", rel.orders_pivot_status, rel.ORACLE_PIVOT)
+register("tpch_q12_priority_class", rel.q12_priority_class, rel.ORACLE_Q12)
+register("tpch_q19_disjunctive", rel.q19_disjunctive_revenue, rel.ORACLE_Q19)
+register(
+    "median_price_by_returnflag",
+    rel.median_price_by_returnflag,
+    rel.ORACLE_MEDIAN,
+)
+register(
+    "customer_order_histogram", rel.customer_order_histogram, rel.ORACLE_HISTOGRAM
+)
+register("cheapest_part_per_brand", rel.cheapest_part_per_brand, rel.ORACLE_CHEAPEST)
 
 # --- event-stream analytics (session windows, sequences, rollups, X1) -------
 register("sessionize_events", ev.sessionize_events, ev.ORACLE_SESSIONIZE)
@@ -104,3 +116,11 @@ register(
 register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
 register("knn_lsh_bucketed", sq.knn_lsh_bucketed, sq.ORACLE_KNN_LSH)
 register("embedding_label_centroids", sq.label_centroids, sq.ORACLE_CENTROIDS)
+
+# --- multimodal binary columns (X4) -----------------------------------------
+register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)
+register("media_fake_decode", mq.media_fake_decode)  # rows-only (stub codec)
+register("media_video_frames", mq.video_frame_samples, mq.ORACLE_VIDEO_FRAMES)
+
+# --- approx/sketch variants (A2 at scale; rows-only, HLL is engine-specific)
+register("bot_stats_approx_categories", bd.windowed_counts_approx)

@@ -593,3 +593,158 @@ SELECT o_orderpriority,
        CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# --- Q12-ish: shipping priority class breakdown (join + conditional agg) ----
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    joined = li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# --- Q19-ish: disjunctive multi-predicate join (OR-of-ANDs) ------------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity") >= 10))
+        | ((F.col("p_type").startswith("PROMO")) & (F.col("l_quantity") < 10))
+        | ((F.col("p_size") > 40) & (F.col("l_discount") >= 0.05))
+    )
+    return joined.where(cond).agg(
+        F.sum("disc_price").cast("decimal(38,4)").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q19 = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM li JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_type LIKE 'PROMO%' AND l_quantity < 10)
+   OR (p_size > 40 AND l_discount >= 0.05)
+"""
+
+
+# --- deterministic exact median (rank-based, no interpolation drift) --------
+
+
+def median_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median via row_number over a total order — engines
+    disagree on percentile interpolation arithmetic, but the element at
+    rank ceil(n/2) under a deterministic total order is portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select("l_returnflag", F.col("price").alias("median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MEDIAN = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, price AS median_price
+FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+ORDER BY l_returnflag
+"""
+
+
+# --- two-level aggregation: orders-per-customer histogram --------------------
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey)
+GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+# --- Q2-ish: rows achieving a per-group minimum (agg + join back) ------------
+
+
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == mins.b) & (part.p_retailprice == mins.min_price),
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("p_retailprice"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+ORACLE_CHEAPEST = """
+SELECT p.p_brand, p.p_partkey,
+       CAST(p.p_retailprice AS DECIMAL(12,2)) AS p_retailprice
+FROM part p
+JOIN (SELECT p_brand AS b, MIN(p_retailprice) AS mp FROM part GROUP BY p_brand) m
+  ON p.p_brand = m.b AND p.p_retailprice = m.mp
+ORDER BY p.p_brand, p.p_partkey
+"""

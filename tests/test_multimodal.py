@@ -1,0 +1,74 @@
+"""Multimodal binary-column plumbing (X4): schema contract, Arrow
+batch shapes, stubbed codec behavior, frame sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.operators.multimodal import (
+    decode_images,
+    documents_as_media,
+    extract_media_meta,
+    fake_decode_meta,
+    sample_frames,
+)
+from in_stream_processing_course_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return documents_as_media(load_table(spark, sf_dir, "documents"))
+
+
+def test_media_schema_contract(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "kind",
+        "payload",
+        "meta",
+    ]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_extract_meta_matches_python_hash(spark, media):
+    row = media.where(F.col("media_id") == 0).collect()[0]
+    meta = extract_media_meta(media).where(F.col("media_id") == 0).collect()[0]
+    assert meta["n_bytes"] == len(row["payload"])
+    assert meta["sha256"] == hashlib.sha256(row["payload"]).hexdigest()
+
+
+def test_fake_decode_deterministic(spark, media):
+    a = {(r["media_id"], r["width"], r["height"]) for r in fake_decode_meta(media).collect()}
+    b = {(r["media_id"], r["width"], r["height"]) for r in fake_decode_meta(media).collect()}
+    assert a == b and len(a) > 0
+    # dimensions are in the documented 16..1024 multiples-of-16 range
+    assert all(16 <= w <= 1024 and w % 16 == 0 for _, w, _h in a)
+
+
+def test_real_decode_raises_without_codec(spark, media):
+    """The real codec path fails loudly (NotImplementedError), not
+    silently, when the library is absent."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; stub-behavior test not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as exc_info:
+        decode_images(media).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(
+        exc_info.value
+    )
+
+
+def test_frame_sampling_shapes(spark, media):
+    frames = sample_frames(media, n_frames=4, frame_bytes=32)
+    counts = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)
+    lens = frames.select(F.length("frame_bytes").alias("n")).collect()
+    assert all(0 < r["n"] <= 32 for r in lens)
