@@ -144,6 +144,27 @@ def bot_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classified_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient variant of the whole-history stats: salted
+    two-phase aggregation (operators.skew) — identical output to
+    bot_classified_totals (same oracle), different shuffle shape.
+    """
+    from ..operators.skew import salted_ip_total_stats
+
+    lr = log_records(spark, sf_dir)
+    totals = salted_ip_total_stats(lr)
+    out = totals.select(
+        "ip",
+        "clicks",
+        "views",
+        F.array_join(F.array_sort("categories"), ",").alias("categories"),
+        F.size("categories").cast("long").alias("categories_count"),
+    )
+    return with_verdict(out).select(
+        "ip", "clicks", "views", "categories", "categories_count", "is_bot", "reason"
+    )
+
+
 def classified_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-history per-ip stats + verdict (flagship ``entry()`` shape:
     always non-empty, exercises scan->project->agg->classify)."""

@@ -49,6 +49,11 @@ register(
 )
 register("bot_classified_windows", bd.classified_stats, bd.ORACLE_CLASSIFIED)
 register("bot_classified_totals", bd.classified_totals, bd.ORACLE_TOTALS_CLASSIFIED)
+register(
+    "bot_classified_totals_salted",
+    bd.classified_totals_salted,
+    bd.ORACLE_TOTALS_CLASSIFIED,
+)
 register("bot_verdicts", bd.bot_verdicts, bd.ORACLE_BOT_VERDICTS)
 
 # --- relational surface: join family, sorts, OVER windows, set ops ----------
