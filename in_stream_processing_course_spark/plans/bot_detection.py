@@ -51,6 +51,27 @@ def log_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events(load_table(spark, sf_dir, "events"))
 
 
+def normalized_log_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P4+P5 as an oracle-checked query: the normalization itself
+    (JSON category decode, click/view counters, event time to epoch
+    microseconds)."""
+    lr = log_records(spark, sf_dir)
+    return lr.select(
+        "ip",
+        F.unix_micros(F.col("time")).alias("time_us"),
+        "clicks",
+        "views",
+        "category",
+    )
+
+
+ORACLE_NORMALIZED = f"""
+WITH {LOG_RECORDS_CTE}
+SELECT ip, epoch_us(time) AS time_us, clicks, views, category
+FROM log_records
+"""
+
+
 def _stats_projection(stats: DataFrame) -> DataFrame:
     """Canonical output shape: epoch window_start, sorted joined cats."""
     return stats.select(

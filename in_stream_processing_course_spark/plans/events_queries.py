@@ -136,3 +136,51 @@ SELECT user_id, event_type, props,
        CAST(COUNT(*) AS BIGINT) AS n_dupes
 FROM events GROUP BY user_id, event_type, props
 """
+
+
+def top_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most active users — groupBy + orderBy + limit plans as
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_USERS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 4) AS total_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 10
+"""
+
+
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day — the canonical distinct-count rollup
+    (exact; the HLL variant of the same shape is
+    bot_stats_approx_categories)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day_start")
+    )
+
+
+ORACLE_DAU = """
+SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY day_start
+"""

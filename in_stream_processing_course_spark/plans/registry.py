@@ -91,7 +91,10 @@ register(
 register("cheapest_part_per_brand", rel.cheapest_part_per_brand, rel.ORACLE_CHEAPEST)
 
 # --- event-stream analytics (session windows, sequences, rollups, X1) -------
+register("events_log_records", bd.normalized_log_records, bd.ORACLE_NORMALIZED)
 register("sessionize_events", ev.sessionize_events, ev.ORACLE_SESSIONIZE)
+register("top_users_by_events", ev.top_users_by_events, ev.ORACLE_TOP_USERS)
+register("daily_active_users", ev.daily_active_users, ev.ORACLE_DAU)
 register("event_lag_deltas", ev.event_lag_deltas, ev.ORACLE_LAG)
 register("hourly_event_counts", ev.hourly_event_counts, ev.ORACLE_HOURLY)
 register("dedup_events_exact", ev.dedup_events_exact, ev.ORACLE_DEDUP_EXACT)

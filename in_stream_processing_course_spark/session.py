@@ -16,6 +16,34 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 
+# Recommended submit-time configuration for a real multi-executor
+# deployment (e.g. 1000 executors against ~100 TB). Local test
+# sessions do not set these — they are cluster knobs, documented here
+# as part of the engine's scale contract:
+# - AQE owns shuffle parallelism at runtime; the static
+#   shuffle.partitions value is only the pre-AQE upper bound, so size
+#   it ~2-3x total cores.
+# - 128 MB scan partitions keep ~800k parquet tasks for 100 TB —
+#   large enough to amortize scheduling, small enough to retry cheaply.
+# - RocksDB state store: streaming aggregation/dedup/state at this
+#   scale cannot live on the executor heap.
+# - Kryo + zstd shrink shuffle bytes, usually the real bottleneck.
+CLUSTER_SCALE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "8000",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.io.compression.codec": "zstd",
+    "spark.shuffle.compress": "true",
+}
+
 
 def get_spark(
     app_name: str = "in-stream-processing-course-spark",

@@ -81,6 +81,7 @@ def start_bot_detection(
     ttl_sec: int | None = 600,
     if_not_exists: bool = True,
     trigger_seconds: str | None = None,
+    available_now: bool = False,
 ):
     """Wire a streaming action source to the keyed verdict sink
     (K1/K2 semantics: key = bot_ip, ifNotExists, 10-min TTL;
@@ -102,6 +103,8 @@ def start_bot_detection(
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
-    if trigger_seconds:
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
         writer = writer.trigger(processingTime=trigger_seconds)
     return writer.start()

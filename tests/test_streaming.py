@@ -183,3 +183,91 @@ def test_streaming_sink_end_to_end(spark, tmp_path):
     )
     table = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
     assert table == {("bot", "categories")}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T1 — append mode with a 2-minute watermark: a second micro-batch
+    carrying events far older than (max event time - watermark) cannot
+    re-open finalized windows; the late rows are dropped."""
+    from in_stream_processing_course_spark.operators.aggregations import (
+        ip_window_stats,
+    )
+
+    # batch 0: t=0..30; batch 1: t=4000.. advances the watermark to
+    # ~3910; batch 2: t=4100.. (spacer — Spark's LATE-DATA filter uses
+    # the watermark lagged one batch behind the EVICTION watermark, so
+    # the late batch must arrive two batches after the advance); batch
+    # 3: late events back at t=50, far below the 2-min lateness bound.
+    batches = [
+        gen.category_hopper("u1", 30, 2, base_time=0, interval=30),
+        gen.category_hopper("u1", 30, 2, base_time=4000, interval=30),
+        gen.category_hopper("u1", 30, 2, base_time=4100, interval=30),
+        gen.category_hopper("u1", 30, 2, base_time=50, interval=10),
+    ]
+    import time as _t
+
+    for i, b in enumerate(batches):
+        in_dir = write_actions(tmp_path, f"b{i}.json", b)
+        _t.sleep(1.1)  # file source orders batches by modification time
+
+    def transform(df):
+        lr = actions_to_log_records(df)
+        return ip_window_stats(
+            lr, "10 minutes", None, watermark="2 minutes"
+        ).select(
+            "ip",
+            F.unix_timestamp("window.start").alias("ws"),
+            (F.col("clicks") + F.col("views")).alias("n"),
+        )
+
+    out = run_stream_to_memory(
+        transform(read_action_stream(spark, in_dir, max_files_per_trigger=1)),
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = [(r["ws"], r["n"]) for r in out.collect()]
+    # window [0, 600) finalized with exactly the 30 on-time events and
+    # emitted exactly once; the late batch neither inflated it (no
+    # (0, 60)) nor re-opened it (no second (0, *) emission)
+    assert rows.count((0, 30)) == 1
+    assert all(n == 30 for ws, n in rows if ws == 0)
+
+
+def test_rate_source_smoke(spark):
+    """S5/load path — the built-in rate source feeds the same
+    windowed-aggregation transform (continuous-botgen.sh analog)."""
+    from in_stream_processing_course_spark.operators.aggregations import (
+        ip_window_stats,
+    )
+    from in_stream_processing_course_spark.sources.stream import rate_stream
+
+    src = rate_stream(spark, rows_per_second=500)
+    lr = src.select(
+        (F.col("value") % 10).cast("string").alias("ip"),
+        F.col("timestamp").alias("time"),
+        F.lit(1).cast("long").alias("clicks"),
+        F.lit(0).cast("long").alias("views"),
+        (F.col("value") % 7).cast("string").alias("category"),
+    )
+    agg = ip_window_stats(lr, "1 minute", None).select(
+        "ip", F.size("categories").alias("n_cats"), "clicks"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        rows = []
+        while _t.time() < deadline:
+            _t.sleep(2)
+            rows = spark.table("rate_smoke").collect()
+            if rows:
+                break
+    finally:
+        q.stop()
+    assert rows, "rate source produced no aggregated rows within 60s"
