@@ -103,6 +103,12 @@ register("dedup_events_exact", ev.dedup_events_exact, ev.ORACLE_DEDUP_EXACT)
 register("text_metrics", tq.text_metrics, tq.ORACLE_TEXT_METRICS)
 register("text_fingerprints", tq.document_fingerprints, tq.ORACLE_FINGERPRINTS)
 register("text_lang_quality_rollup", tq.lang_quality_rollup, tq.ORACLE_LANG_ROLLUP)
+register("text_term_frequencies", tq.term_frequencies, tq.ORACLE_TERM_FREQUENCIES)
+register(
+    "text_doc_length_histogram",
+    tq.doc_length_histogram,
+    tq.ORACLE_DOC_LENGTH_HISTOGRAM,
+)
 
 # --- dedup family (X1/X2) ----------------------------------------------------
 register("dedup_documents_exact", dq.dedup_documents_exact, dq.ORACLE_DEDUP_EXACT_DOCS)

@@ -155,3 +155,69 @@ SELECT lang, source,
        round(SUM(quality) / COUNT(*), 6) AS mean_quality
 FROM q GROUP BY lang, source ORDER BY lang, source
 """
+
+
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 terms by document frequency —
+    explode tokens -> two-level aggregate (term, doc) -> term. The
+    foundational stats table for tokenizer/vocab work; shuffles on the
+    term key with map-side partial aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("term"),
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("total_freq"),
+        )
+        .orderBy(F.col("total_freq").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+ORACLE_TERM_FREQUENCIES = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> len(x) > 0)) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS total_freq
+FROM per_doc GROUP BY term
+ORDER BY total_freq DESC, term ASC LIMIT 50
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution in 100-char buckets — the
+    filter-threshold picker for corpus curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+ORACLE_DOC_LENGTH_HISTOGRAM = """
+SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1 ORDER BY len_bucket
+"""

@@ -79,3 +79,29 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+def write_kafka_stream(
+    df,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    value_col: str = "value",
+):
+    """K6 — Kafka egress (the Connect producer side, Util.java:24-32,
+    as a writeStream). Config-only in this container (no broker);
+    returns the configured writer, caller calls ``.start()``.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) extending the reference's test
+strategy (SURVEY §5.2): classifier column/python parity on random
+inputs, and the monoid properties that make the salted/two-level/state
+merges sound.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from in_stream_processing_course_spark.streaming.state import (
+    classify_merged,
+    merge_history,
+    summarize,
+)
+
+counts = st.integers(min_value=0, max_value=2000)
+cats = st.integers(min_value=0, max_value=30)
+
+
+@given(clicks=counts, views=counts, n_cats=cats)
+@settings(max_examples=300, deadline=None)
+def test_classifier_reference_semantics(clicks, views, n_cats):
+    """Pure-python mirror obeys the reference rules exactly
+    (Common.scala:25-50): strict >, integer division, precedence."""
+    is_bot, reason = classify_merged(clicks, views, n_cats)
+    requests = clicks + views
+    ratio = clicks // max(views, 1)
+    expected_bot = requests > 1000 or n_cats > 5 or ratio > 5
+    assert is_bot == expected_bot
+    if requests > 1000:
+        assert reason == "requests"
+    elif n_cats > 5:
+        assert reason == "categories"
+    elif ratio > 5:
+        assert reason == "clicks/views"
+    else:
+        assert reason == "clear"
+
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=590),  # event time (one window)
+    st.integers(min_value=0, max_value=3),  # clicks
+    st.integers(min_value=0, max_value=3),  # views
+    st.sampled_from(["a", "b", "c", "d"]),
+)
+
+
+def _batch(rows):
+    return pd.DataFrame(
+        {
+            "time": pd.to_datetime([r[0] for r in rows], unit="s"),
+            "clicks": [r[1] for r in rows],
+            "views": [r[2] for r in rows],
+            "category": [r[3] for r in rows],
+        }
+    )
+
+
+@given(rows=st.lists(row, min_size=1, max_size=40), split=st.integers(0, 40))
+@settings(max_examples=150, deadline=None)
+def test_merge_history_is_batching_invariant(rows, split):
+    """Merging one batch == merging any two-way split of it (the
+    IpStat monoid property, Common.scala:52-61 — what makes map-side
+    combine, salting, and cross-batch state accumulation all sound).
+    All event times inside one horizon so no pruning interferes."""
+    split = min(split, len(rows))
+    one = merge_history(None, _batch(rows))
+    a = merge_history(None, _batch(rows[:split])) if split else None
+    two = merge_history(a, _batch(rows[split:])) if split < len(rows) else a
+    assert summarize(one) == summarize(two)
+    assert one == two
+
+
+@given(rows=st.lists(row, min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_merge_history_empty_identity(rows):
+    """Merging an empty batch is the identity (monoid empty())."""
+    state = merge_history(None, _batch(rows))
+    assert merge_history(state, _batch([])) == state
