@@ -271,3 +271,52 @@ def test_rate_source_smoke(spark):
     finally:
         q.stop()
     assert rows, "rate source produced no aggregated rows within 60s"
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks — a capability the
+    reference lacks entirely (its two streams never join, SURVEY §2.7)
+    but any Spark-first engine should expose: correlate each click
+    with views by the same ip within the preceding 60 s."""
+    clicks = [gen.Action(100 + i, "1000", "u1", "click") for i in range(3)]
+    views = [gen.Action(70 + i * 20, "1000", "u1", "view") for i in range(3)]
+    noise = [gen.Action(100, "1000", "u2", "view")]
+    in_c = str(tmp_path / "clicks")
+    in_v = str(tmp_path / "views")
+    gen.write_json_lines(clicks, in_c + "/c.json")
+    gen.write_json_lines(views + noise, in_v + "/v.json")
+
+    c = actions_to_log_records(read_action_stream(spark, in_c)).select(
+        F.col("ip").alias("c_ip"), F.col("time").alias("c_time")
+    ).withWatermark("c_time", "10 minutes")
+    v = actions_to_log_records(read_action_stream(spark, in_v)).select(
+        F.col("ip").alias("v_ip"), F.col("time").alias("v_time")
+    ).withWatermark("v_time", "10 minutes")
+    joined = c.join(
+        v,
+        (F.col("c_ip") == F.col("v_ip"))
+        & (F.col("v_time") >= F.col("c_time") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("v_time") <= F.col("c_time")),
+        "inner",
+    ).select("c_ip", F.unix_timestamp("c_time").alias("ct"), F.unix_timestamp("v_time").alias("vt"))
+    out = run_stream_to_memory(
+        joined, output_mode="append", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    pairs = {(r["ct"], r["vt"]) for r in out.collect()}
+    expected = {
+        (c.time, v.time)
+        for c in clicks
+        for v in views
+        if c.time - 60 <= v.time <= c.time
+    }
+    assert pairs == expected and len(expected) > 0
+
+
+def test_upsert_sink_empty_batch_is_noop(spark, tmp_path):
+    """Streaming queries deliver empty micro-batches routinely; the
+    sink must not corrupt or clear the table."""
+    sink = KeyedUpsertSink(str(tmp_path / "bots4"), ["bot_ip"], if_not_exists=True)
+    sink(_verdicts_df(spark, [("k1", "requests")]), 0)
+    sink(_verdicts_df(spark, []), 1)  # empty batch
+    table = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
+    assert table == {("k1", "requests")}
