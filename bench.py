@@ -47,9 +47,21 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=str(max(int(cpus), 8)),
     )
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM + parquet footers + codegen/agg paths on the tiny SF
+    # so per-query numbers measure the queries, not first-call JIT
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    warm_sf = "/root/testdata/sf0.001"
+    for warm_query in (
+        "bot_stats_sliding",
+        "dedup_minhash_candidates",
+        "dedup_simhash_candidates",
+    ):
+        try:
+            QUERIES[warm_query](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

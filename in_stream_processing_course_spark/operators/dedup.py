@@ -147,27 +147,49 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     blocking: str = "source",
 ) -> DataFrame:
-    """n-gram Jaccard near-dup within blocking groups: candidate pairs
-    from an equi-join on a cheap blocking key, then exact Jaccard on
-    word-shingle sets, keep pairs >= threshold.
+    """Exact n-gram Jaccard near-dup within blocking groups as a
+    SET-SIMILARITY JOIN: explode distinct shingles to rows, equi-join
+    on (block, shingle) to count intersections per pair, then
+    J = c / (|A| + |B| - c). Aggregate-shaped end to end — no per-pair
+    array intersects (which Catalyst would re-evaluate per consumer),
+    map-side combine everywhere, and pairs sharing zero shingles never
+    materialize (they cannot pass any threshold > 0). The 100 TB shape:
+    shuffle keys are (block, shingle) then (a, b); hot shingles are the
+    skew risk and AQE splits them.
     """
-    with_sh = df.select(
+    sizes = df.select(
+        F.col(id_col),
+        F.size(shingles_col(F.col(text_col), shingle_k)).alias("_n"),
+    )
+    exploded = df.select(
         F.col(id_col),
         F.col(blocking).alias("_block"),
-        shingles_col(F.col(text_col), shingle_k).alias("_sh"),
+        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_shingle"),
     )
-    l, r = with_sh.alias("l"), with_sh.alias("r")
-    return (
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (
         l.join(
             r,
             (F.col("l._block") == F.col("r._block"))
+            & (F.col("l._shingle") == F.col("r._shingle"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("a"),
-            F.col(f"r.{id_col}").alias("b"),
-            F.round(jaccard_col(F.col("l._sh"), F.col("r._sh")), 6).alias("jaccard"),
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
         )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    with_sizes = (
+        inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "a")
+                               .withColumnRenamed("_n", "_na")), "a")
+        .join(F.broadcast(sizes.withColumnRenamed(id_col, "b")
+                          .withColumnRenamed("_n", "_nb")), "b")
+    )
+    jac = F.round(
+        F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6
+    )
+    return (
+        with_sizes.select("a", "b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
