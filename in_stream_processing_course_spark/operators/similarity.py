@@ -89,3 +89,72 @@ def bucketed_topk(
         .drop("_q", "_v", "bucket")
     )
     return _ranked_topk(scored, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
+    k-means cells, search only the ``n_probe`` cells nearest each query
+    vector, rerank exactly within them.
+
+    The k-means fit (pyspark.ml, seeded -> deterministic) is the
+    offline index build; at 100 TB it trains on a sample and the
+    assignment pass is one scan. Candidate generation is an equi-join
+    on the cell id — the same no-cross-product discipline as the LSH
+    variants — scanning ~n_probe/n_lists of the corpus per query.
+    Recall depends on n_probe/n_lists; the exact baseline
+    (brute_force_topk) is the correctness anchor.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    with_vec = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell").fit(
+        with_vec
+    )
+    assigned = model.transform(with_vec).select(id_col, vec_col, "_cell")
+
+    # cell centroids as a small broadcastable table
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"_cell int, _centroid array<double>",
+    )
+
+    # nearest n_probe cells per probe vector (tiny cross: probes x lists)
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+    probe_cells = (
+        p.crossJoin(F.broadcast(centroids))
+        .withColumn("_d", cosine_col(F.col("_q"), F.col("_centroid")))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_d").desc(), F.col("_cell").asc()
+                )
+            ),
+        )
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "_q", "_cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "_cell")
+        .where(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine_col(F.col("_q"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)

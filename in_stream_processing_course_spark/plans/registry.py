@@ -130,6 +130,7 @@ register(
 register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
 register("knn_lsh_bucketed", sq.knn_lsh_bucketed, sq.ORACLE_KNN_LSH)
 register("embedding_label_centroids", sq.label_centroids, sq.ORACLE_CENTROIDS)
+register("knn_ivf", sq.knn_ivf)  # rows-only: k-means index, recall-tested
 
 # --- multimodal binary columns (X4) -----------------------------------------
 register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)

@@ -139,3 +139,16 @@ SELECT label,
        round(sqrt(SUM(mean_v * mean_v)), 6) AS centroid_norm
 FROM per_dim GROUP BY label ORDER BY label
 """
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted lists, n_probe=4 of 16 cells — scans
+    ~25% of the corpus per query). No SQL oracle — the k-means index is
+    not expressible in DuckDB; driver records the rows-only check, and
+    the recall-vs-brute-force bound is asserted in
+    tests/test_similarity.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    return ivf_topk(emb, probes, _K, n_probe=4).orderBy("query_id", "rank")
