@@ -115,7 +115,11 @@ def minhash_candidates(
     """
     banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
     left = banded.alias("l")
-    right = banded.alias("r")
+    # shuffle-hash beats the default broadcast plan here (the build side
+    # is not small relative to the probe side — it IS the probe side),
+    # and is also the only viable strategy at scale where neither side
+    # of a banded self-join broadcasts.
+    right = banded.hint("shuffle_hash").alias("r")
     pairs = (
         left.join(
             right,
@@ -281,7 +285,8 @@ def simhash_dedup_candidates(
             )
         ).alias("band"),
     ).select(id_col, "_sh", "band.band_id", "band.band_val")
-    l, r = bands.alias("l"), bands.alias("r")
+    # shuffle-hash over broadcast: see minhash_candidates
+    l, r = bands.alias("l"), bands.hint("shuffle_hash").alias("r")
     pairs = (
         l.join(
             r,
