@@ -1,1 +1,8 @@
-from . import aggregations, dedup, projections, similarity  # noqa: F401
+from . import (  # noqa: F401
+    aggregations,
+    dedup,
+    multimodal,
+    projections,
+    similarity,
+    skew,
+)

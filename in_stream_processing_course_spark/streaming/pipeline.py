@@ -108,3 +108,49 @@ def start_bot_detection(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=trigger_seconds)
     return writer.start()
+
+
+def start_raw_event_cache(
+    actions: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_seconds: str | None = None,
+    available_now: bool = False,
+):
+    """K3/K4 — the raw-event side cache (Ignite (ip,time)->record cache
+    with 1-min expiry, ImplStructured.scala:43-60, ignite/config.xml:
+    49-73) as Spark's native parquet streaming sink: append-only
+    exactly-once micro-batch files, keyed by (ip, time) columns.
+    Expiry is :func:`expire_raw_events` (retention compaction) — the
+    TTL analog for an immutable-file store. Returns the StreamingQuery.
+    """
+    lr = actions_to_log_records(actions).withColumn(
+        "ingested_at", F.current_timestamp()
+    )
+    writer = (
+        lr.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=trigger_seconds)
+    return writer.start()
+
+
+def expire_raw_events(spark, path: str, retention_sec: int = 60) -> int:
+    """Retention compaction for the raw-event cache: rewrite the table
+    keeping only events ingested within ``retention_sec`` (the Ignite
+    CreatedExpiryPolicy analog). Returns the retained row count.
+    On a cluster this is a Delta `DELETE WHERE` / vacuum; on plain
+    parquet it is an atomic overwrite of a snapshot read.
+    """
+    df = spark.read.parquet(path)
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {retention_sec} SECONDS")
+    kept = df.where(F.col("ingested_at") >= cutoff)
+    rows = kept.collect()
+    out = spark.createDataFrame(rows, kept.schema)
+    out.write.mode("overwrite").parquet(path)
+    return len(rows)

@@ -320,3 +320,31 @@ def test_upsert_sink_empty_batch_is_noop(spark, tmp_path):
     sink(_verdicts_df(spark, []), 1)  # empty batch
     table = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
     assert table == {("k1", "requests")}
+
+
+def test_raw_event_cache_and_retention(spark, tmp_path):
+    """K3/K4 — raw events stream into the parquet side cache; the
+    retention compaction expires aged rows (Ignite expiry analog)."""
+    from in_stream_processing_course_spark.streaming.pipeline import (
+        expire_raw_events,
+        start_raw_event_cache,
+    )
+
+    actions = gen.requests_burst("u1", 50, interval=30)
+    in_dir = write_actions(tmp_path, "a.json", actions)
+    q = start_raw_event_cache(
+        read_action_stream(spark, in_dir),
+        path=str(tmp_path / "raw"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    cached = spark.read.parquet(str(tmp_path / "raw"))
+    assert cached.count() == 50
+    assert set(cached.columns) == {
+        "ip", "time", "clicks", "views", "category", "ingested_at",
+    }
+    # rows were just ingested: a 1-hour retention keeps all ...
+    assert expire_raw_events(spark, str(tmp_path / "raw"), 3600) == 50
+    # ... and a zero-second retention expires everything
+    assert expire_raw_events(spark, str(tmp_path / "raw"), 0) == 0
