@@ -30,6 +30,28 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def sqdist_col(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (deterministic fold order)."""
+    return _dsum(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+    )
+
+
+def l2_normalize_col(a: Column) -> Column:
+    """a / ||a||₂ as array<double>; zero vectors pass through unscaled.
+
+    On the unit sphere Euclidean and cosine orderings coincide
+    (||u-v||² = 2 - 2·u·v), which is what lets a Euclidean k-means
+    index serve cosine queries without metric mismatch.
+    """
+    n = norm_col(a)
+    safe = F.when(n > 0, n).otherwise(F.lit(1.0))
+    return F.transform(a, lambda x: x.cast("double") / safe)
+
+
 def sign_bucket_col(a: Column, n_bits: int = 8) -> Column:
     """Coordinate-sign LSH bucket: bit i = sign(a[i]); deterministic,
     engine-portable blocking key for the bucketed ANN variant. A

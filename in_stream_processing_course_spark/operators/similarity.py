@@ -19,7 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_col, sign_bucket_col
+from ..functions.vectors import (
+    cosine_col,
+    l2_normalize_col,
+    sign_bucket_col,
+    sqdist_col,
+)
+
+# offline-index cache: one fitted k-means model per (caller-provided)
+# corpus key, so repeated queries reuse the index build instead of
+# refitting per invocation (the build is the expensive offline step;
+# the assignment pass stays a single scan either way).
+_IVF_INDEX_CACHE: dict[str, object] = {}
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -100,47 +111,70 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
     k-means cells, search only the ``n_probe`` cells nearest each query
     vector, rerank exactly within them.
 
+    Metric consistency: vectors are L2-normalized before BOTH the
+    k-means fit and the probe-cell selection, and probe cells are
+    picked by the same rule k-means assigns corpus points with
+    (Euclidean distance to centroid). On the unit sphere Euclidean
+    order == cosine order, so the Euclidean index serves the cosine
+    rerank without recall loss from metric mismatch.
+
     The k-means fit (pyspark.ml, seeded -> deterministic) is the
-    offline index build; at 100 TB it trains on a sample and the
-    assignment pass is one scan. Candidate generation is an equi-join
-    on the cell id — the same no-cross-product discipline as the LSH
-    variants — scanning ~n_probe/n_lists of the corpus per query.
-    Recall depends on n_probe/n_lists; the exact baseline
-    (brute_force_topk) is the correctness anchor.
+    offline index build; pass ``cache_key`` to reuse it across
+    invocations over the same corpus instead of refitting. At 100 TB it
+    trains on a sample and the assignment pass is one scan. Candidate
+    generation is an equi-join on the cell id — the same
+    no-cross-product discipline as the LSH variants — scanning
+    ~n_probe/n_lists of the corpus per query. Recall depends on
+    n_probe/n_lists; the exact baseline (brute_force_topk) is the
+    correctness anchor.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
     with_vec = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(l2_normalize_col(F.col(vec_col))).alias("_nv"),
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_v", predictionCol="_cell").fit(
-        with_vec
-    )
+    full_key = cache_key and f"{cache_key}:{n_lists}:{seed}"
+    model = _IVF_INDEX_CACHE.get(full_key) if full_key else None
+    if model is None:
+        model = KMeans(
+            k=n_lists, seed=seed, featuresCol="_nv", predictionCol="_cell"
+        ).fit(with_vec)
+        if full_key:
+            _IVF_INDEX_CACHE[full_key] = model
     assigned = model.transform(with_vec).select(id_col, vec_col, "_cell")
 
     # cell centroids as a small broadcastable table
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"_cell int, _centroid array<double>",
+        "_cell int, _centroid array<double>",
     )
 
-    # nearest n_probe cells per probe vector (tiny cross: probes x lists)
-    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+    # nearest n_probe cells per probe vector (tiny cross: probes x lists),
+    # by Euclidean distance over normalized vectors — the exact rule the
+    # index assigned corpus points with.
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        l2_normalize_col(F.col(vec_col)).alias("_nq"),
+    )
     probe_cells = (
         p.crossJoin(F.broadcast(centroids))
-        .withColumn("_d", cosine_col(F.col("_q"), F.col("_centroid")))
+        .withColumn("_d", sqdist_col(F.col("_nq"), F.col("_centroid")))
         .withColumn(
             "_r",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
-                    F.col("_d").desc(), F.col("_cell").asc()
+                    F.col("_d").asc(), F.col("_cell").asc()
                 )
             ),
         )

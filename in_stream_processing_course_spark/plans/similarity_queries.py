@@ -151,4 +151,6 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < _N_PROBES)
-    return ivf_topk(emb, probes, _K, n_probe=4).orderBy("query_id", "rank")
+    return ivf_topk(
+        emb, probes, _K, n_probe=4, cache_key=f"{sf_dir}/embeddings"
+    ).orderBy("query_id", "rank")

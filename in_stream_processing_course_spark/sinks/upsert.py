@@ -26,6 +26,7 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,10 +51,20 @@ class KeyedUpsertSink:
     # -- helpers ------------------------------------------------------------
 
     def _read_current(self, spark: SparkSession) -> DataFrame | None:
+        """Current table, or None only when the table doesn't exist yet.
+
+        Only the path-not-found AnalysisException maps to "empty table";
+        any other failure (corrupt footer, FS hiccup) must propagate so
+        the micro-batch fails and is retried from the checkpoint instead
+        of silently overwriting the table with just the incoming batch.
+        """
         try:
             return spark.read.parquet(self.path)
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            get_cond = getattr(exc, "getCondition", None) or exc.getErrorClass
+            if (get_cond() or "") == "PATH_NOT_FOUND":
+                return None
+            raise
 
     def _apply_ttl(self, df: DataFrame) -> DataFrame:
         if self.ttl_sec is None:

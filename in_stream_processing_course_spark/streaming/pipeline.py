@@ -144,13 +144,46 @@ def expire_raw_events(spark, path: str, retention_sec: int = 60) -> int:
     """Retention compaction for the raw-event cache: rewrite the table
     keeping only events ingested within ``retention_sec`` (the Ignite
     CreatedExpiryPolicy analog). Returns the retained row count.
-    On a cluster this is a Delta `DELETE WHERE` / vacuum; on plain
-    parquet it is an atomic overwrite of a snapshot read.
+
+    On a cluster this is a Delta/Iceberg ``DELETE WHERE`` + vacuum; on
+    plain parquet files can only be compacted by rewrite, which is
+    incompatible with a concurrently running FileStreamSink query on the
+    same directory. So this function:
+
+    - REFUSES to run while any active streaming query is writing to
+      ``path`` (best-effort detection via the active queries' sink
+      descriptions) — stop the cache query first;
+    - rewrites distributed (no driver collect — the cache is unbounded);
+    - stages the retained rows in a sibling temp directory and swaps it
+      in with two directory renames (the minimal non-atomic window on a
+      plain filesystem; a table format makes this a metadata-only
+      commit);
+    - drops the sink's ``_spark_metadata`` log: the compacted directory
+      is no longer the sink's exact file set, so keeping the log would
+      make metadata-aware reads resolve deleted files. After compaction
+      the directory reads via plain file listing; resume streaming into
+      it with a FRESH checkpoint + sink (or a new subdirectory), not the
+      old sink checkpoint.
     """
+    import shutil
+    import uuid
+
+    for q in spark.streams.active:
+        progress = q.lastProgress
+        desc = (progress or {}).get("sink", {}).get("description", "")
+        if path in desc:
+            raise RuntimeError(
+                f"expire_raw_events: streaming query {q.name or q.id} is "
+                f"actively writing to {path}; stop it before compacting"
+            )
     df = spark.read.parquet(path)
     cutoff = F.current_timestamp() - F.expr(f"INTERVAL {retention_sec} SECONDS")
     kept = df.where(F.col("ingested_at") >= cutoff)
-    rows = kept.collect()
-    out = spark.createDataFrame(rows, kept.schema)
-    out.write.mode("overwrite").parquet(path)
-    return len(rows)
+    tmp = f"{path}._compact_{uuid.uuid4().hex[:8]}"
+    kept.write.parquet(tmp)
+    retained = spark.read.parquet(tmp).count()
+    old = f"{path}._expired_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return retained

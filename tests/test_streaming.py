@@ -346,5 +346,35 @@ def test_raw_event_cache_and_retention(spark, tmp_path):
     }
     # rows were just ingested: a 1-hour retention keeps all ...
     assert expire_raw_events(spark, str(tmp_path / "raw"), 3600) == 50
+    # compaction rewrites the sink as a plain parquet dir (no stale
+    # _spark_metadata listing deleted files) and never loses live rows
+    assert not (tmp_path / "raw" / "_spark_metadata").exists()
+    assert spark.read.parquet(str(tmp_path / "raw")).count() == 50
     # ... and a zero-second retention expires everything
     assert expire_raw_events(spark, str(tmp_path / "raw"), 0) == 0
+
+
+def test_expire_refuses_while_stream_active(spark, tmp_path):
+    """Compacting under a live FileStreamSink would corrupt its
+    _spark_metadata log; expire_raw_events must refuse instead."""
+    import pytest
+
+    from in_stream_processing_course_spark.streaming.pipeline import (
+        expire_raw_events,
+        start_raw_event_cache,
+    )
+
+    actions = gen.requests_burst("u2", 10, interval=30)
+    in_dir = write_actions(tmp_path, "b.json", actions)
+    q = start_raw_event_cache(
+        read_action_stream(spark, in_dir),
+        path=str(tmp_path / "raw2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        trigger_seconds="1 seconds",
+    )
+    try:
+        q.processAllAvailable()
+        with pytest.raises(RuntimeError, match="actively writing"):
+            expire_raw_events(spark, str(tmp_path / "raw2"), 3600)
+    finally:
+        q.stop()
