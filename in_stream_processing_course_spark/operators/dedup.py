@@ -183,11 +183,15 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # plain equi-joins on the id columns: `sizes` is one row per document,
+    # i.e. unbounded at scale — forcing broadcast here would OOM on 100 TB.
+    # AQE still picks a broadcast strategy at runtime whenever the side is
+    # actually small, so small-SF runs lose nothing.
     with_sizes = (
-        inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "a")
-                               .withColumnRenamed("_n", "_na")), "a")
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "b")
-                          .withColumnRenamed("_n", "_nb")), "b")
+        inter.join(sizes.withColumnRenamed(id_col, "a")
+                   .withColumnRenamed("_n", "_na"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b")
+              .withColumnRenamed("_n", "_nb"), "b")
     )
     jac = F.round(
         F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6
@@ -195,6 +199,49 @@ def ngram_jaccard_pairs(
     return (
         with_sizes.select("a", "b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocking: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """X2 — embedding-cosine near-dup: exact cosine over all pairs
+    *within blocking groups* (shard / source / label key), the
+    within-block exact tier of embedding dedup. Candidate generation is
+    an equi-join on the block key — the same no-cross-product
+    discipline as the hash-based variants; for corpora without a
+    natural block key, :func:`in_stream_processing_course_spark.operators.similarity.bucketed_topk`'s
+    sign-LSH bucketing supplies one. Cosine is a fixed-order double
+    fold rounded to 6 dp, so the threshold filter is deterministic and
+    engine-portable.
+
+    At 100 TB: shuffles once on the block key; per-block pair counts
+    are the skew risk (quadratic in block size), so blocks should be
+    bounded (shard ids, LSH buckets) — AQE splits stragglers.
+    """
+    from ..functions.vectors import cosine_col
+
+    b = df.select(
+        F.col(id_col), F.col(blocking).alias("_block"), F.col(vec_col).alias("_v")
+    )
+    # shuffle-hash over broadcast: see minhash_candidates
+    l, r = b.alias("l"), b.hint("shuffle_hash").alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._block") == F.col("r._block"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.round(cosine_col(F.col("l._v"), F.col("r._v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )
 
 

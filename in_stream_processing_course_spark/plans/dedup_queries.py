@@ -133,6 +133,45 @@ ORDER BY a, b
 """
 
 
+# --- embedding-cosine near-dup (X2) ------------------------------------------
+
+_COS_THRESHOLD = 0.3
+
+
+def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine >= 0.3 within label blocks over ``embeddings`` —
+    the embedding-space member of the dedup family (near-dup detection
+    on vector similarity rather than token overlap)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", "label", _COS_THRESHOLD
+    ).orderBy("a", "b")
+
+
+# fixed-order double fold cosine (same shape as similarity_queries)
+_SQL_DOT_ED = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _sql_cos_ed(a: str, b: str) -> str:
+    dot = _SQL_DOT_ED.format(a=a, b=b)
+    na = f"sqrt({_SQL_DOT_ED.format(a=a, b=a)})"
+    nb = f"sqrt({_SQL_DOT_ED.format(a=b, b=b)})"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+ORACLE_EMBEDDING_COSINE = f"""
+SELECT l.vec_id AS a, r.vec_id AS b,
+       {_sql_cos_ed('l.embedding', 'r.embedding')} AS cosine
+FROM embeddings l JOIN embeddings r
+  ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE {_sql_cos_ed('l.embedding', 'r.embedding')} >= {_COS_THRESHOLD}
+ORDER BY a, b
+"""
+
+
 # --- SimHash (X2) -------------------------------------------------------------
 
 _SIM_BITS = 32

@@ -5,8 +5,11 @@ Conventions (driver contract):
 - every computed column is aliased identically in Spark and SQL;
 - timestamps/window bounds emitted as epoch BIGINT;
 - arrays emitted as sorted comma-joined strings;
-- money aggregates emitted as DECIMAL with explicit final casts on
-  both sides (order-independent exact sums -> stable value hashes);
+- money aggregates computed in exact DECIMAL (order-independent sums)
+  but the FINAL output column cast to DOUBLE on both sides — the
+  driver's canonicalization strips decimal trailing zeros on one side
+  only, so emitted decimals hash-mismatch; exact-decimal -> double is
+  bit-identical in both engines;
 - queries without an oracle entry (approx sketches, stateful
   streaming) get the driver's rows-only check.
 """
@@ -89,6 +92,21 @@ register(
     "customer_order_histogram", rel.customer_order_histogram, rel.ORACLE_HISTOGRAM
 )
 register("cheapest_part_per_brand", rel.cheapest_part_per_brand, rel.ORACLE_CHEAPEST)
+register("tpch_q7_volume_shipping", rel.q7_volume_shipping, rel.ORACLE_Q7)
+register("tpch_q8_market_share", rel.q8_market_share, rel.ORACLE_Q8)
+register("tpch_q15_top_supplier", rel.q15_top_supplier, rel.ORACLE_Q15)
+register(
+    "tpch_q17_small_quantity_revenue",
+    rel.q17_small_quantity_revenue,
+    rel.ORACLE_Q17,
+)
+register("tpch_q22_inactive_customers", rel.q22_inactive_customers, rel.ORACLE_Q22)
+register("cube_revenue", rel.revenue_cube, rel.ORACLE_CUBE)
+register(
+    "window_supplier_revenue_quartiles",
+    rel.supplier_revenue_quartiles,
+    rel.ORACLE_QUARTILES,
+)
 
 # --- event-stream analytics (session windows, sequences, rollups, X1) -------
 register("events_log_records", bd.normalized_log_records, bd.ORACLE_NORMALIZED)
@@ -120,6 +138,11 @@ register(
 )
 register("dedup_ngram_jaccard", dq.ngram_jaccard_pairs, dq.ORACLE_NGRAM_JACCARD)
 register("dedup_simhash", dq.simhash_fingerprints, dq.ORACLE_SIMHASH)
+register(
+    "dedup_embedding_cosine",
+    dq.embedding_cosine_near_dups,
+    dq.ORACLE_EMBEDDING_COSINE,
+)
 register(
     "dedup_simhash_candidates",
     dq.simhash_near_dup_candidates,

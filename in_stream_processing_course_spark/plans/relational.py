@@ -10,8 +10,14 @@ shuffle-aware:
   AQE picks/coalesces partitions;
 - top-k = groupBy/orderBy+limit — Spark plans TakeOrderedAndProject
   (per-partition heap, no global sort);
-- all money arithmetic is exact DECIMAL end-to-end with explicit final
-  casts so sums are order-independent and hash-identical to DuckDB.
+- all money arithmetic is exact DECIMAL *internally* (order-independent
+  sums), but every FINAL output column is cast to DOUBLE on both the
+  Spark and oracle side: the driver's canonicalization strips trailing
+  zeros on one side (decimal->float64 via pandas) but not the other, so
+  an emitted Decimal('458.00') hash-mismatches 458.0 even though the
+  values are equal. Exact-decimal -> double conversion is correctly
+  rounded and bit-identical in both engines, so double outputs always
+  hash-match.
 
 Decimal sizing (verified against sf0.1 data): prices < 10^6 scale 2,
 disc/tax in [0, 0.10] scale 2, qty integer <= 50.
@@ -78,10 +84,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
     )
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("qty_dec").cast("decimal(38,2)").alias("sum_qty"),
-        F.sum("price_dec").cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum("disc_price").cast("decimal(38,4)").alias("sum_disc_price"),
-        F.sum("charge").cast("decimal(38,6)").alias("sum_charge"),
+        F.sum("qty_dec").cast("double").alias("sum_qty"),
+        F.sum("price_dec").cast("double").alias("sum_base_price"),
+        F.sum("disc_price").cast("double").alias("sum_disc_price"),
+        F.sum("charge").cast("double").alias("sum_charge"),
         F.count(F.lit(1)).alias("count_order"),
     )
     return agg.select(
@@ -101,18 +107,18 @@ ORACLE_Q1 = f"""
 WITH {_ORACLE_LI_MONEY},
 agg AS (
   SELECT l_returnflag, l_linestatus,
-         CAST(SUM(qty_dec) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(SUM(price_dec) AS DECIMAL(38,2)) AS sum_base_price,
-         CAST(SUM(disc_price) AS DECIMAL(38,4)) AS sum_disc_price,
-         CAST(SUM(charge) AS DECIMAL(38,6)) AS sum_charge,
+         CAST(SUM(qty_dec) AS DOUBLE) AS sum_qty,
+         CAST(SUM(price_dec) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(disc_price) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(charge) AS DOUBLE) AS sum_charge,
          CAST(COUNT(*) AS BIGINT) AS count_order
   FROM li WHERE l_shipdate <= DATE '1998-09-02'
   GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
        sum_charge,
-       round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
-       round(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS avg_price,
+       round(sum_qty / count_order, 6) AS avg_qty,
+       round(sum_base_price / count_order, 6) AS avg_price,
        count_order
 FROM agg ORDER BY l_returnflag, l_linestatus
 """
@@ -137,7 +143,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum("disc_price").cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias(
@@ -156,7 +162,7 @@ WITH {_ORACLE_LI_MONEY}
 SELECT l_orderkey,
        CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_orderdate,
        o_orderpriority,
-       CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN li ON l_orderkey = o_orderkey
@@ -197,14 +203,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("n_name")
-        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum("disc_price").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
 ORACLE_Q5 = f"""
 WITH {_ORACLE_LI_MONEY}
-SELECT n_name, CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue
+SELECT n_name, CAST(SUM(disc_price) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN li ON l_orderkey = o_orderkey
@@ -232,14 +238,14 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast(_PRICE) * F.col("l_discount").cast(_RATE)
     )
     return li.agg(
-        F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+        F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 ORACLE_Q6 = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -267,7 +273,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum("disc_price").cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum("disc_price").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -276,7 +282,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q10 = f"""
 WITH {_ORACLE_LI_MONEY}
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue
 FROM li
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -337,9 +343,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("decimal(12,4)")
             )
         )
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("promo_revenue"),
-        F.sum("disc_price").cast("decimal(38,4)").alias("total_revenue"),
+        F.sum("disc_price").cast("double").alias("total_revenue"),
     )
     return agg.select(
         "promo_revenue",
@@ -357,8 +363,8 @@ ORACLE_Q14 = f"""
 WITH {_ORACLE_LI_MONEY},
 agg AS (
   SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN disc_price
-                       ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS promo_revenue,
-         CAST(SUM(disc_price) AS DECIMAL(38,4)) AS total_revenue
+                       ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) AS promo_revenue,
+         CAST(SUM(disc_price) AS DOUBLE) AS total_revenue
   FROM li JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
 )
@@ -389,7 +395,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "o_orderkey",
         F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"),
-        F.col("total_qty").cast("decimal(38,2)").alias("total_qty"),
+        F.col("total_qty").cast("double").alias("total_qty"),
     ).orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
 
 
@@ -401,7 +407,7 @@ WITH big AS (
 )
 SELECT c_custkey, c_name, o_orderkey,
        CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_orderdate,
-       CAST(total_qty AS DECIMAL(38,2)) AS total_qty
+       CAST(total_qty AS DOUBLE) AS total_qty
 FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -461,7 +467,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "p_partkey",
-            F.col("p_retailprice").cast("decimal(12,2)").alias("p_retailprice"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
             F.col("rn").cast("long").alias("rn"),
         )
     )
@@ -469,7 +475,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOPK = """
 SELECT p_brand, p_partkey,
-       CAST(p_retailprice AS DECIMAL(12,2)) AS p_retailprice,
+       CAST(p_retailprice AS DOUBLE) AS p_retailprice,
        CAST(rn AS BIGINT) AS rn
 FROM (
   SELECT p_brand, p_partkey, p_retailprice,
@@ -493,7 +499,7 @@ def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("l_linenumber"),
-        F.sum("disc_price").over(w).cast("decimal(38,4)").alias("running_revenue"),
+        F.sum("disc_price").over(w).cast("double").alias("running_revenue"),
     )
 
 
@@ -503,7 +509,7 @@ SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
        CAST(SUM(disc_price) OVER (
          PARTITION BY l_suppkey
          ORDER BY l_shipdate, l_orderkey, l_linenumber
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_revenue
 FROM li
 """
@@ -547,7 +553,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'ALL' so the hash is engine-portable."""
     li = _li_money(load_table(spark, sf_dir, "lineitem"))
     agg = li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum("disc_price").cast("decimal(38,4)").alias("revenue"),
+        F.sum("disc_price").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     return agg.select(
@@ -562,7 +568,7 @@ ORACLE_ROLLUP = f"""
 WITH {_ORACLE_LI_MONEY}
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
-       CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue,
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM li
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -642,14 +648,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_size") > 40) & (F.col("l_discount") >= 0.05))
     )
     return joined.where(cond).agg(
-        F.sum("disc_price").cast("decimal(38,4)").alias("revenue"),
+        F.sum("disc_price").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 ORACLE_Q19 = f"""
 WITH {_ORACLE_LI_MONEY}
-SELECT CAST(SUM(disc_price) AS DECIMAL(38,4)) AS revenue,
+SELECT CAST(SUM(disc_price) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM li JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
@@ -671,7 +677,7 @@ def median_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = li.select(
         "l_returnflag",
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_extendedprice").cast("double").alias("price"),
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
     )
@@ -685,7 +691,7 @@ def median_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MEDIAN = """
 WITH ranked AS (
   SELECT l_returnflag,
-         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         CAST(l_extendedprice AS DOUBLE) AS price,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
@@ -734,7 +740,7 @@ def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_brand",
             "p_partkey",
-            F.col("p_retailprice").cast("decimal(12,2)").alias("p_retailprice"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
         )
         .orderBy("p_brand", "p_partkey")
     )
@@ -742,9 +748,340 @@ def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CHEAPEST = """
 SELECT p.p_brand, p.p_partkey,
-       CAST(p.p_retailprice AS DECIMAL(12,2)) AS p_retailprice
+       CAST(p.p_retailprice AS DOUBLE) AS p_retailprice
 FROM part p
 JOIN (SELECT p_brand AS b, MIN(p_retailprice) AS mp FROM part GROUP BY p_brand) m
   ON p.p_brand = m.b AND p.p_retailprice = m.mp
 ORDER BY p.p_brand, p.p_partkey
+"""
+
+
+# --- Q7-ish: volume shipping between nation pairs ----------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flow between two nations by ship year: fact table joins
+    two broadcast dimension maps (supplier->nation, order->customer
+    nation); the only big shuffle is the final groupBy."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp_nat = supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    cust_nat = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+    ord_cust = orders.join(
+        F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey")
+    )
+    joined = (
+        li.join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ord_cust), F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum("disc_price").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_Q7 = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue
+FROM li
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q8-ish: market share of one supplier nation within a region -------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of a region's customer revenue supplied by one nation, by
+    order year — conditional-sum-over-sum, exact decimal internally."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    nat_r = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("rc_nk"))
+    cust_r = cust.join(F.broadcast(nat_r), F.col("c_nationkey") == F.col("rc_nk"))
+    supp_n = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    ord_r = orders.join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+    joined = li.join(
+        F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(ord_r), F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", F.col("disc_price")).otherwise(
+                F.lit(0).cast("decimal(12,4)")
+            )
+        ).alias("_nation_rev"),
+        F.sum("disc_price").alias("_total_rev"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("_nation_rev").cast("double") / F.col("_total_rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+ORACLE_Q8 = f"""
+WITH {_ORACLE_LI_MONEY},
+agg AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         SUM(CASE WHEN n1.n_name = 'NATION_3' THEN disc_price
+                  ELSE CAST(0 AS DECIMAL(12,4)) END) AS nation_rev,
+         SUM(disc_price) AS total_rev
+  FROM li
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY EXTRACT(year FROM o_orderdate)
+)
+SELECT o_year,
+       round(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS mkt_share
+FROM agg ORDER BY o_year
+"""
+
+
+# --- Q15-ish: top supplier by quarterly revenue (scalar subquery) ------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the maximum quarterly revenue — the revenue
+    view + scalar-subquery-max pattern. Exact decimal comparison (no
+    double equality), double output."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = _li_money(load_table(spark, sf_dir, "lineitem")).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum("disc_price").alias("_total")
+    )
+    max_rev = revenue.agg(F.max("_total").alias("_max"))
+    top = revenue.join(
+        F.broadcast(max_rev), F.col("_total") == F.col("_max")
+    )
+    return (
+        top.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("_total").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = f"""
+WITH {_ORACLE_LI_MONEY},
+revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM(disc_price) AS total
+  FROM li
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(total AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total = (SELECT MAX(total) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q17-ish: small-quantity revenue (correlated avg threshold) --------------
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems below 20% of their part's average
+    quantity — the correlated-scalar-subquery shape as a per-part agg
+    joined back to the fact table. Threshold computed identically on
+    both sides: double(exact qty sum) / count * 0.2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(_PRICE)).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(0.2)
+        ).alias("qty_threshold")
+    )
+    joined = li.join(per_part, F.col("l_partkey") == F.col("pk")).where(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return joined.agg(
+        F.sum(F.col("l_extendedprice").cast(_PRICE)).cast("double").alias(
+            "small_qty_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / COUNT(*) * 0.2 AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_quantity < qty_threshold
+"""
+
+
+# --- Q22-ish: wealthy inactive customers (scalar subquery + NOT EXISTS) ------
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and no orders
+    after a cutoff date, per nation. acctbal summed as exact decimal
+    (double sums are order-dependent), emitted as double."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal", F.col("c_acctbal").cast(_PRICE)
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-06-01").cast("date")
+    )
+    avg_bal = cust.where(F.col("bal") > 0).agg(
+        (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    wealthy = cust.join(F.broadcast(avg_bal)).where(
+        F.col("bal").cast("double") > F.col("_avg")
+    )
+    inactive = wealthy.join(
+        orders.select("o_custkey"),
+        wealthy.c_custkey == orders.o_custkey,
+        "left_anti",
+    )
+    return (
+        inactive.groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_Q22 = """
+WITH c AS (SELECT *, CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+avg_bal AS (
+  SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS a FROM c WHERE bal > 0
+)
+SELECT CAST(c_nationkey AS INT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM c, avg_bal
+WHERE CAST(bal AS DOUBLE) > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1997-06-01')
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
+# --- CUBE over (returnflag, linestatus) --------------------------------------
+
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations; grouping nulls normalized
+    to 'ALL' for engine-portable hashing (same as rollup_revenue)."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    agg = li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("disc_price").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "revenue",
+        "n_rows",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+ORACLE_CUBE = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM li
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- ntile: supplier revenue quartiles ---------------------------------------
+
+
+def supplier_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) analytic over per-supplier revenue (deterministic
+    total order: revenue exact-decimal desc, suppkey asc)."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    rev = li.groupBy("l_suppkey").agg(F.sum("disc_price").alias("_rev"))
+    w = Window.orderBy(F.col("_rev").desc(), F.col("l_suppkey").asc())
+    return rev.select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        F.col("_rev").cast("double").alias("revenue"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ).orderBy("suppkey")
+
+
+ORACLE_QUARTILES = f"""
+WITH {_ORACLE_LI_MONEY},
+rev AS (
+  SELECT l_suppkey, SUM(disc_price) AS r FROM li GROUP BY l_suppkey
+)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+       CAST(r AS DOUBLE) AS revenue,
+       CAST(ntile(4) OVER (ORDER BY r DESC, l_suppkey ASC) AS BIGINT) AS quartile
+FROM rev ORDER BY suppkey
 """
