@@ -257,7 +257,7 @@ def simhash_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_bits: int = 32,
+    n_bits: int = 48,
 ) -> DataFrame:
     """SimHash over whitespace tokens, scale-shaped like
     :func:`minhash_signatures`: explode tokens, ONE hash-aggregate
@@ -277,14 +277,18 @@ def simhash_table(
         ).alias("tok"),
     ).select(
         id_col,
-        # project the md5 prefix ONCE per token row — referencing it by
-        # name keeps the 32 vote expressions from inlining 32 md5 calls
-        F.substring(F.md5(F.col("tok")), 1, n_nibbles).alias("h"),
+        # project the nibble VALUES once per token row (md5 once, one
+        # substring+instr per nibble); the n_bits vote expressions then
+        # only index this array instead of re-running n_bits
+        # substring+instr scans per row
+        F.transform(
+            F.split(F.substring(F.md5(F.col("tok")), 1, n_nibbles), "(?!$)"),
+            _hex_nibble,
+        ).alias("nibs"),
     )
-    h = F.col("h")
 
     def vote(i: int) -> Column:
-        nib = _hex_nibble(F.substring(h, i // 4 + 1, 1))
+        nib = F.element_at(F.col("nibs"), i // 4 + 1)
         bit = F.floor(nib / F.lit(float(1 << (i % 4)))).cast("long") % 2
         return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}")
 
@@ -302,8 +306,8 @@ def simhash_dedup_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_bits: int = 32,
-    band_bits: int = 8,
+    n_bits: int = 48,
+    band_bits: int = 12,
 ) -> DataFrame:
     """SimHash near-dup candidates: split the fingerprint into
     ``n_bits/band_bits`` bands; docs agreeing on any band are

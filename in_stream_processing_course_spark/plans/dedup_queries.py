@@ -174,12 +174,12 @@ ORDER BY a, b
 
 # --- SimHash (X2) -------------------------------------------------------------
 
-_SIM_BITS = 32
-_BAND_BITS = 8
+_SIM_BITS = 48
+_BAND_BITS = 12
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (md5-nibble bit votes)."""
+    """48-bit SimHash per document (md5-nibble bit votes)."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_table(docs, "doc_id", "text", _SIM_BITS)
 

@@ -104,9 +104,13 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE sum(value): doubles summed in different orders are not
-# bit-stable; value has 2dp at <=1000, a few thousand rows/hour sum is
-# exact in double well past 4dp, so round(.,4) is deterministic.
+# NOTE sum(value) is order-robust despite double non-associativity:
+# value is a 2-dp quantity, so every exact group sum lies on the 0.01
+# grid — an even multiple of 0.00005, never on a round-to-4dp boundary
+# (odd multiples). Float error ~1e-11 << 5e-5 boundary distance, so
+# round(sum, 4) gives the same result for ANY summation order /
+# partitioning in both engines. (Full-precision double means elsewhere
+# use sorted folds instead — see text/similarity queries.)
 ORACLE_HOURLY = """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
        event_type,

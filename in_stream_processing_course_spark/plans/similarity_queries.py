@@ -106,37 +106,54 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
+    # fold per-dim values in SORTED order: bit-identical sums on any
+    # partitioning (plain double sums are order-dependent; the oracle
+    # folds the same sorted list). Scale note: at 100 TB use plain
+    # sum/avg — the sorted fold is the oracle-determinism shape.
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.col("v").cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     per_dim = exploded.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("mean_v"),
+        (sorted_sum / F.count(F.lit(1))).alias("mean_v"),
         F.count(F.lit(1)).alias("n"),
+    )
+    # level 2: fold the per-dim squares in dim order (dims are unique
+    # per label, so sorting (dim, mean_v) structs gives one fixed order)
+    sq_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+        F.lit(0.0),
+        lambda a, x: a + x["mean_v"] * x["mean_v"],
     )
     return (
         per_dim.groupBy("label")
         .agg(
             F.max("n").alias("n_vectors"),
-            F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias(
-                "centroid_norm"
-            ),
+            F.round(F.sqrt(sq_sum), 6).alias("centroid_norm"),
         )
         .orderBy("label")
     )
 
 
-# NOTE sum-of-doubles across rows is order-sensitive in general; with
-# 500 vectors per label and values in [-1,1] the 6-dp round is stable
-# (error ~1e-14). The driver gate confirms empirically.
 ORACLE_CENTROIDS = """
 WITH exploded AS (
   SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 ),
 per_dim AS (
-  SELECT label, dim, SUM(v) / COUNT(*) AS mean_v, COUNT(*) AS n
+  SELECT label, dim,
+         list_reduce(list_prepend(0.0, list_sort(list(v))),
+                     (acc, x) -> acc + x) / COUNT(*) AS mean_v,
+         COUNT(*) AS n
   FROM exploded GROUP BY label, dim
 )
 SELECT label,
        CAST(MAX(n) AS BIGINT) AS n_vectors,
-       round(sqrt(SUM(mean_v * mean_v)), 6) AS centroid_norm
+       round(sqrt(list_reduce(list_prepend(0.0,
+               list_transform(list_sort(list(struct_pack(d := dim, m := mean_v))),
+                              s -> s.m * s.m)),
+             (acc, x) -> acc + x)), 6) AS centroid_norm
 FROM per_dim GROUP BY label ORDER BY label
 """
 

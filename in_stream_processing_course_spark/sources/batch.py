@@ -6,17 +6,42 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import TABLE_NAMES
 
+# Fact/work tables whose downstream map-side work (window fan-out,
+# shingle hashing, money arithmetic) is heavy enough to need full core
+# utilization. Dimension tables (region/nation/customer/part/supplier)
+# stay as-scanned: they are broadcast-joined or trivially small, and an
+# extra exchange would only add a stage.
+_FAN_OUT_TABLES = {"events", "lineitem", "orders", "documents", "embeddings"}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/prunes columns
-    into this scan automatically when the downstream plan allows.
+    into this scan automatically when the downstream plan allows
+    (predicate pushdown and pruning traverse the repartition below).
 
     Spark 4 rejects parquet TIMESTAMP(NANOS) columns (the driver's
     ``events.ts``); read them as long nanos and convert downstream
     (:func:`..operators.projections.ensure_timestamp`).
+
+    Fan-out: the driver's test tables are single-file, single-row-group
+    parquet, so the scan yields ONE input partition and every map-side
+    operator upstream of the first shuffle runs on one core. When a
+    fact table's scan has fewer splits than the cluster's parallelism,
+    round-robin repartition to full width (measured 2.5-7x on the
+    window-fanout and shingle-hash queries at sf0.1 on local[32]). At
+    real scale the scan has more splits than cores and this is a no-op
+    — the condition, not a config, keeps it from ever shuffling a
+    100 TB input.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fan_out and name in _FAN_OUT_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
