@@ -102,6 +102,69 @@ ORDER BY a, b
 """
 
 
+# --- MinHash candidates -> exact verify (the full near-dup pipeline) ---------
+
+_VERIFY_THRESHOLD = 0.5
+
+
+def minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete two-stage near-dup pipeline: LSH band collisions
+    propose candidates (cheap, no cross product), exact shingle Jaccard
+    verifies them (expensive, but only on candidates). This is the
+    production dedup shape at 100 TB — the exact per-pair array work
+    runs on |candidates| rows, not |docs|^2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    sh_a = docs.select(
+        F.col("doc_id").alias("a"),
+        dd.shingles_col(F.col("text"), _SHINGLE_K).alias("_sa"),
+    )
+    sh_b = docs.select(
+        F.col("doc_id").alias("b"),
+        dd.shingles_col(F.col("text"), _SHINGLE_K).alias("_sb"),
+    )
+    return (
+        cands.join(sh_a, "a")
+        .join(sh_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(dd.jaccard_col(F.col("_sa"), F.col("_sb")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _VERIFY_THRESHOLD)
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_MINHASH_VERIFIED = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                    b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+SELECT a, b,
+       round(len(list_intersect(sa.s, sb.s))
+             / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = a
+JOIN sh sb ON sb.doc_id = b
+WHERE round(len(list_intersect(sa.s, sb.s))
+            / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) >= {_VERIFY_THRESHOLD}
+ORDER BY a, b
+"""
+
+
 # --- n-gram Jaccard (X2, exact within blocks) --------------------------------
 
 _JK = 3

@@ -137,6 +137,11 @@ register(
     dq.ORACLE_MINHASH_CANDIDATES,
 )
 register("dedup_ngram_jaccard", dq.ngram_jaccard_pairs, dq.ORACLE_NGRAM_JACCARD)
+register(
+    "dedup_minhash_verified",
+    dq.minhash_verified_near_dups,
+    dq.ORACLE_MINHASH_VERIFIED,
+)
 register("dedup_simhash", dq.simhash_fingerprints, dq.ORACLE_SIMHASH)
 register(
     "dedup_embedding_cosine",

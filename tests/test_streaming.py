@@ -69,6 +69,55 @@ def test_stream_batch_equivalence(spark, tmp_path):
     assert rows_stream == rows_batch and len(rows_batch) > 0
 
 
+def test_session_window_stream_batch_equivalence(spark, tmp_path):
+    """T2 session windows under streaming: gap-based session_window agg
+    on a file stream (complete mode) matches the batch run of the same
+    transform — sessions are the one window type whose bounds depend on
+    the DATA, so this pins the merge behavior across micro-batches."""
+    actions = (
+        gen.requests_burst("u1", 5, interval=10)       # one tight session
+        + gen.requests_burst("u1", 5, base_time=4000, interval=10)
+        + gen.requests_burst("u2", 3, interval=400)    # gaps split sessions
+    )
+    in_dir = write_actions(tmp_path, "s.json", actions)
+
+    def transform(df):
+        lr = actions_to_log_records(df)
+        return (
+            lr.groupBy("ip", F.session_window("time", "5 minutes").alias("w"))
+            .agg(
+                F.sum("clicks").alias("clicks"),
+                F.sum("views").alias("views"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "ip",
+                F.unix_timestamp("w.start").alias("ws"),
+                F.unix_timestamp("w.end").alias("we"),
+                "clicks",
+                "views",
+                "n_events",
+            )
+        )
+
+    stream_out = run_stream_to_memory(
+        transform(read_action_stream(spark, in_dir)),
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt_sw"),
+    )
+    rows_stream = {tuple(r) for r in stream_out.collect()}
+
+    from in_stream_processing_course_spark.schemas import ACTION_SCHEMA
+
+    batch_df = spark.createDataFrame(
+        [(a.time, a.category_id, a.ip, a.action) for a in actions], ACTION_SCHEMA
+    )
+    rows_batch = {tuple(r) for r in transform(batch_df).collect()}
+    assert rows_stream == rows_batch and len(rows_batch) >= 3
+    # u1's two bursts are >5 min apart: they must be separate sessions
+    assert sum(1 for r in rows_batch if r[0] == "u1") == 2
+
+
 def test_streaming_bot_detection_flags_bot(spark, tmp_path):
     """End-to-end structured path on a stream: bot flagged, human not
     (ImplStructured.scala pipeline shape)."""
