@@ -188,3 +188,57 @@ SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1 ORDER BY day_start
 """
+
+
+def view_to_click_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence analytics: per user, how many views convert to a click
+    within 6 hours (lead OVER the per-key event-time order — the
+    pattern-match building block; the window matches the test data's
+    per-user event cadence). conv_rate = conversions / views, exact
+    integer division to double, deterministic in both engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    views = seq.where(F.col("event_type") == "view")
+    converted = F.when(
+        (F.col("next_type") == "click")
+        & (F.col("next_us") - F.col("us") <= 21_600_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        views.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(converted).alias("n_conversions"),
+        )
+        .withColumn(
+            "conv_rate",
+            F.round(F.col("n_conversions") / F.col("n_views"), 6),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FUNNEL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN next_type = 'click' AND next_us - us <= 21600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions,
+       round(SUM(CASE WHEN next_type = 'click' AND next_us - us <= 21600000000
+                      THEN 1 ELSE 0 END) / COUNT(*), 6) AS conv_rate
+FROM seq WHERE event_type = 'view'
+GROUP BY user_id ORDER BY user_id
+"""

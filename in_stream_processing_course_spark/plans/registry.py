@@ -116,6 +116,7 @@ register("daily_active_users", ev.daily_active_users, ev.ORACLE_DAU)
 register("event_lag_deltas", ev.event_lag_deltas, ev.ORACLE_LAG)
 register("hourly_event_counts", ev.hourly_event_counts, ev.ORACLE_HOURLY)
 register("dedup_events_exact", ev.dedup_events_exact, ev.ORACLE_DEDUP_EXACT)
+register("view_to_click_funnel", ev.view_to_click_funnel, ev.ORACLE_FUNNEL)
 
 # --- text analysis (X3) ------------------------------------------------------
 register("text_metrics", tq.text_metrics, tq.ORACLE_TEXT_METRICS)
