@@ -103,6 +103,11 @@ register(
 register("tpch_q22_inactive_customers", rel.q22_inactive_customers, rel.ORACLE_Q22)
 register("cube_revenue", rel.revenue_cube, rel.ORACLE_CUBE)
 register(
+    "tpch_q11_balance_concentration",
+    rel.q11_balance_concentration,
+    rel.ORACLE_Q11,
+)
+register(
     "window_supplier_revenue_quartiles",
     rel.supplier_revenue_quartiles,
     rel.ORACLE_QUARTILES,
@@ -123,6 +128,7 @@ register("text_metrics", tq.text_metrics, tq.ORACLE_TEXT_METRICS)
 register("text_fingerprints", tq.document_fingerprints, tq.ORACLE_FINGERPRINTS)
 register("text_lang_quality_rollup", tq.lang_quality_rollup, tq.ORACLE_LANG_ROLLUP)
 register("text_term_frequencies", tq.term_frequencies, tq.ORACLE_TERM_FREQUENCIES)
+register("text_curation_pipeline", tq.curation_pipeline, tq.ORACLE_CURATION)
 register(
     "text_doc_length_histogram",
     tq.doc_length_histogram,

@@ -1089,3 +1089,57 @@ SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
        CAST(ntile(4) OVER (ORDER BY r DESC, l_suppkey ASC) AS BIGINT) AS quartile
 FROM rev ORDER BY suppkey
 """
+
+
+# --- Q11-ish: balance concentration by nation (HAVING vs scalar subquery) ----
+
+
+def q11_balance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations holding more than 5% of global supplier account balance
+    — per-group sum filtered against a global scalar aggregate, exact
+    decimal internally."""
+    supp = load_table(spark, sf_dir, "supplier").withColumn(
+        "bal", F.col("s_acctbal").cast(_PRICE)
+    )
+    per_nation = supp.groupBy(F.col("s_nationkey").cast("int").alias("nationkey")).agg(
+        F.sum("bal").alias("_nation_bal"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    total = supp.agg(F.sum("bal").alias("_total_bal"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .where(
+            F.col("_nation_bal").cast("double")
+            > F.col("_total_bal").cast("double") * 0.05
+        )
+        .select(
+            "nationkey",
+            F.col("_nation_bal").cast("double").alias("nation_balance"),
+            "n_suppliers",
+            F.round(
+                F.col("_nation_bal").cast("double")
+                / F.col("_total_bal").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_Q11 = """
+WITH s AS (SELECT *, CAST(s_acctbal AS DECIMAL(12,2)) AS bal FROM supplier),
+per_nation AS (
+  SELECT CAST(s_nationkey AS INT) AS nationkey,
+         SUM(bal) AS nation_bal,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM s GROUP BY s_nationkey
+),
+total AS (SELECT SUM(bal) AS total_bal FROM s)
+SELECT nationkey,
+       CAST(nation_bal AS DOUBLE) AS nation_balance,
+       n_suppliers,
+       round(CAST(nation_bal AS DOUBLE) / CAST(total_bal AS DOUBLE), 6) AS share
+FROM per_nation, total
+WHERE CAST(nation_bal AS DOUBLE) > CAST(total_bal AS DOUBLE) * 0.05
+ORDER BY nationkey
+"""

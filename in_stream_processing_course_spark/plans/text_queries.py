@@ -230,3 +230,63 @@ SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY 1 ORDER BY len_bucket
 """
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow an LLM-data pipeline runs end to end:
+    quality-filter -> exact-dedup (md5, min-doc_id representative) ->
+    per-(lang, source) survivor stats. One declarative plan: the filter
+    pushes into the scan, the dedup is one hash-shuffle, the rollup
+    reuses the dedup's output partitioning where possible."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score_col(F.col("text"))
+    passed = docs.withColumn("_q", q).where(F.col("_q") >= 0.5)
+    # representative = the min-doc_id row's metadata (min_by is
+    # deterministic because doc_id is unique; first() would be
+    # partition-order-dependent, and duplicate texts in this corpus DO
+    # carry different lang/source)
+    deduped = (
+        passed.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
+    )
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_CURATION = r"""
+WITH q AS (
+  SELECT *,
+         round(least(len(text) / 500.0, 1.0) * 0.4
+               + least(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+                                       t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                       / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1) * 4, 1.0) * 0.4
+               + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                              / greatest(len(text), 1) * 4, 1.0)) * 0.2, 6) AS _q
+  FROM documents
+),
+deduped AS (
+  SELECT md5(text) AS _h,
+         MIN(doc_id) AS doc_id,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(source, doc_id) AS source,
+         arg_min(n_chars, doc_id) AS n_chars
+  FROM q WHERE _q >= 0.5 GROUP BY md5(text)
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM deduped GROUP BY lang, source ORDER BY lang, source
+"""

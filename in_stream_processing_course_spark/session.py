@@ -75,6 +75,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill files outside /tmp: host tmp reapers have been
+        # observed deleting blockmgr dirs mid-query (shuffle fetch then
+        # fails with missing .index files)
+        .config("spark.local.dir", os.path.expanduser("~/.spark-local"))
+        # local-mode driver hosts all executor threads; the 1g default
+        # heap has crashed (GCLocker allocation stall) under local[16+]
+        .config("spark.driver.memory", "8g")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pyspark.sql.types as T
 import pytest
+from pyspark.sql import functions as F
 
 from in_stream_processing_course_spark.plans import relational as rel
 from in_stream_processing_course_spark.plans.registry import ORACLES, QUERIES
@@ -84,3 +85,38 @@ def test_no_decimal_output_columns(spark):
             if isinstance(field.dataType, T.DecimalType):
                 offenders.append((name, field.name))
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing pays the fact-fact shuffle once at write time: the
+    orders<->lineitem equi-join on co-bucketed tables must plan as a
+    bucket-local sort-merge join with NO exchange on either side."""
+    from in_stream_processing_course_spark.operators.bucketing import (
+        bucketed_order_lineitem_join,
+        bucketize_order_lineitem,
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bucketize_order_lineitem(spark, SF, str(tmp_path / "bucketed"))
+        # forbid broadcast so the co-location (not a broadcast) must
+        # eliminate the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_order_lineitem_join(spark)
+        plan = _physical(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # cross-check the result against the plain (shuffling) join
+        n_plain = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == n_plain > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
