@@ -1,0 +1,236 @@
+"""Training-data pipeline operators beyond the per-table families:
+temporal as-of join, near-dup cluster resolution (connected
+components), deterministic stratified sampling, and TF-IDF term
+scoring. The reference has none of these (SURVEY §2.7 — no joins at
+all); they are north-star design work, written shuffle-aware.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators.asof import asof_join_backward
+from ..operators.graph import connected_components
+from ..operators.projections import ensure_timestamp
+from ..sources.batch import load_table
+from ..functions import text as tx
+
+# --- as-of join: each click joined to the user's most recent view -----------
+
+
+def asof_click_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the same user's latest view at-or-before the
+    click (null when none) — the feature-attachment join ("state as of
+    event time") every event pipeline needs. One shuffle + one sort
+    via the union-tag-window encoding (operators/asof.py); the oracle
+    uses an independent row_number-over-range-join formulation, so the
+    hash check proves the scalable rewrite equivalent."""
+    ev = ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = asof_join_backward(
+        clicks,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=("view_event_id", "view_ts"),
+        order_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        "view_event_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("wait_us"),
+    )
+
+
+ORACLE_ASOF = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+vs AS (SELECT * FROM events WHERE event_type = 'view'),
+best AS (
+  SELECT event_id, vid, vts FROM (
+    SELECT c.event_id, v.event_id AS vid, v.ts AS vts,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM clicks c JOIN vs v ON v.user_id = c.user_id AND v.ts <= c.ts
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_us,
+       b.vid AS view_event_id,
+       epoch_us(b.vts) AS view_us,
+       epoch_us(c.ts) - epoch_us(b.vts) AS wait_us
+FROM clicks c LEFT JOIN best b ON b.event_id = c.event_id
+"""
+
+
+# --- near-dup cluster resolution (connected components over candidates) -----
+
+_NUM_HASHES = 16
+_BANDS = 4
+_SHINGLE_K = 5
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs -> transitive dup CLUSTERS via
+    min-label-propagation connected components (operators/graph.py):
+    cluster id = min doc_id in the component, i.e. the row to keep.
+    The step that turns pair tables into an actual dedup decision. The
+    oracle computes the same closure with a recursive CTE — a
+    completely different algorithm, same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    comp = connected_components(cands, "a", "b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# reuse the exact minhash-candidate SQL from dedup_queries (imported at
+# registration time to avoid a copy drifting out of sync)
+
+
+def oracle_dedup_clusters(candidates_sql_body: str) -> str:
+    """Wrap the shared candidate-pair CTE body in a recursive closure."""
+    return f"""
+WITH RECURSIVE cands AS ({candidates_sql_body}),
+edges AS (
+  SELECT a AS u, b AS v FROM cands
+  UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+# per-stratum keep rates as md5-prefix thresholds (out of 0x10000):
+# the sampling decision is a pure function of (event_id), so the sample
+# is reproducible on any engine/cluster/partitioning — no RNG state, no
+# seed plumbing, and it pushes down as an ordinary filter.
+_STRATA_THRESHOLDS = {
+    "click": "4000",  # 25%
+    "view": "1000",  # ~6.25%
+    "purchase": "8000",  # 50%
+    "signup": "2000",  # 12.5%
+    "error": "1000",  # ~6.25%
+}
+
+
+def sample_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type deterministic sample: keep a row iff the first 4
+    hex chars of md5(event_id) fall under the stratum's threshold.
+    Rebalances a skewed event mix into a training blend; md5-hash
+    gating is the idiomatic content-addressed sampler at 100 TB
+    (reproducible, mergeable across runs, no sampleBy seed drift)."""
+    ev = load_table(spark, sf_dir, "events")
+    prefix = F.substring(
+        F.md5(F.col("event_id").cast("string").cast("binary")), 1, 4
+    )
+    # literal map lookup; an unknown event_type yields null -> dropped,
+    # same as the oracle's ELSE-less CASE
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _STRATA_THRESHOLDS.items() for x in kv]
+    )
+    threshold = mapping[F.col("event_type")]
+    return (
+        ev.withColumn("_prefix", prefix)
+        .where(F.col("_prefix") < threshold)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("_prefix").alias("hash_prefix"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_SQL_THRESHOLD_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{etype}' THEN '{thr}'"
+    for etype, thr in _STRATA_THRESHOLDS.items()
+) + " END"
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT event_id, user_id, event_type,
+       substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS hash_prefix
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < {_SQL_THRESHOLD_CASE}
+ORDER BY event_id
+"""
+
+
+# --- TF-IDF (linear-idf variant) ---------------------------------------------
+
+_TF_MIN = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salient terms per document: tf * (N / df) for terms with tf >=
+    3. Linear inverse document frequency instead of log(N/df): exact
+    integer tf*N divided by integer df is one correctly-rounded IEEE
+    division, bit-identical across engines, whereas ln() may differ by
+    an ulp between libm implementations (JVM vs DuckDB) and flip a
+    rounding. Two shuffles: (doc,term) partial-agg then term; N joins
+    in as a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        tf.where(F.col("tf") >= _TF_MIN)
+        .join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                (F.col("tf") * F.col("_n")).cast("double") / F.col("df"), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+ORACLE_TFIDF = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> len(x) > 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tf.term, tf, df,
+       round(CAST(tf * n_docs AS DOUBLE) / df, 6) AS tfidf
+FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+WHERE tf >= {_TF_MIN}
+ORDER BY doc_id, tf.term
+"""

@@ -24,6 +24,7 @@ from . import bot_detection as bd
 from . import dedup_queries as dq
 from . import events_queries as ev
 from . import multimodal_queries as mq
+from . import pipeline_queries as pq
 from . import relational as rel
 from . import similarity_queries as sq
 from . import text_queries as tq
@@ -112,6 +113,13 @@ register(
     rel.supplier_revenue_quartiles,
     rel.ORACLE_QUARTILES,
 )
+register("tpch_q9_product_profit", rel.q9_product_profit, rel.ORACLE_Q9)
+register(
+    "tpch_q13_customer_distribution",
+    rel.q13_customer_distribution,
+    rel.ORACLE_Q13,
+)
+register("tpch_q21_waiting_suppliers", rel.q21_waiting_suppliers, rel.ORACLE_Q21)
 
 # --- event-stream analytics (session windows, sequences, rollups, X1) -------
 register("events_log_records", bd.normalized_log_records, bd.ORACLE_NORMALIZED)
@@ -171,6 +179,24 @@ register("knn_ivf", sq.knn_ivf)  # rows-only: k-means index, recall-tested
 register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)
 register("media_fake_decode", mq.media_fake_decode)  # rows-only (stub codec)
 register("media_video_frames", mq.video_frame_samples, mq.ORACLE_VIDEO_FRAMES)
+
+# --- training-pipeline composites (as-of join, clustering, sampling, tf-idf)
+register("asof_click_last_view", pq.asof_click_last_view, pq.ORACLE_ASOF)
+register(
+    "dedup_clusters",
+    pq.dedup_clusters,
+    pq.oracle_dedup_clusters(
+        # strip the trailing ORDER BY of the shared candidates SQL so it
+        # can sit inside a CTE
+        dq.ORACLE_MINHASH_CANDIDATES.strip().rsplit("ORDER BY", 1)[0]
+    ),
+)
+register(
+    "sample_events_stratified",
+    pq.sample_events_stratified,
+    pq.ORACLE_SAMPLE_STRATIFIED,
+)
+register("text_tfidf", pq.text_tfidf, pq.ORACLE_TFIDF)
 
 # --- approx/sketch variants (A2 at scale; rows-only, HLL is engine-specific)
 register("bot_stats_approx_categories", bd.windowed_counts_approx)

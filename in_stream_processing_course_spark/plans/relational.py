@@ -1032,6 +1032,177 @@ ORDER BY nationkey
 """
 
 
+# --- Q9-ish: product-type profit by nation and year --------------------------
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on 'gear' parts by supplier nation and order year. The
+    driver testdata has no partsupp table, so supply cost is modeled as
+    half the part's retail price — the query keeps Q9's shape: a fact
+    table joining two dimension maps plus orders, conditional-filtered
+    through the part dim, exact-decimal profit arithmetic, grouped on
+    (nation, year). supplier/part scale linearly so their joins are
+    written plain (AQE promotes at small SF); only nation broadcasts.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    supp_nat = supp.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("s_nk"), "n_name")
+        ),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    cost = (
+        F.col("p_retailprice").cast(_PRICE) * F.lit(0.5).cast("decimal(2,1)")
+    ) * F.col("qty_dec")
+    joined = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("profit", F.col("disc_price") - cost)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum("profit").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_Q9 = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(disc_price
+                - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1))
+                  * qty_dec) AS DOUBLE) AS sum_profit
+FROM li
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q13: customer order-count distribution (left outer join + histogram) ----
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer histogram INCLUDING zero-order customers —
+    the left-outer-join + count(non-null) shape Q13 exercises (the
+    plain histogram query drops customers with no surviving orders).
+    Non-urgent orders only, so the zero bucket is populated."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders.select("o_custkey", "o_orderkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- Q21-ish: suppliers who alone delayed multi-supplier orders ---------------
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose line was the ONLY late one on a multi-supplier
+    finished order ("late" = shipped >365 days after the order date;
+    the testdata has no commit/receipt dates). Q21's double
+    EXISTS/NOT-EXISTS self-join is expressed as ONE per-order aggregate
+    (distinct suppliers, distinct late suppliers) joined back to the
+    late lines — one shuffle on orderkey instead of two self-joins,
+    the formulation that survives at 100 TB. The oracle keeps the
+    textbook EXISTS/NOT EXISTS form, so the hash check proves the
+    rewrite equivalent."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 365),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        lo.where(F.col("late"))
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q21 = """
+WITH waiting AS (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lineitem l1
+  JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  WHERE CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 365
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND CAST(l3.l_shipdate AS DATE)
+                          > CAST(o_orderdate AS DATE) + 365)
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 # --- CUBE over (returnflag, linestatus) --------------------------------------
 
 

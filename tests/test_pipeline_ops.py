@@ -1,0 +1,122 @@
+"""Unit tests for the training-pipeline operators: as-of join
+(operators/asof.py) and connected components (operators/graph.py) —
+edge-case semantics the sf-level oracle diff can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# --- as-of join ---------------------------------------------------------------
+
+
+def test_asof_backward_basic_and_no_prior(spark):
+    from in_stream_processing_course_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = _df(
+        spark,
+        [(1, "u", 100), (2, "u", 250), (3, "v", 50)],
+        "eid long, k string, ts long",
+    )
+    right = _df(
+        spark,
+        [(10, "u", 90, "a"), (11, "u", 200, "b"), (12, "w", 10, "z")],
+        "eid long, k string, ts long, payload string",
+    ).withColumn("vid", F.col("eid"))
+    out = asof_join_backward(
+        left,
+        right,
+        key="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=("vid", "payload"),
+        order_col="eid",
+    )
+    got = {r["eid"]: (r["vid"], r["payload"]) for r in out.collect()}
+    assert got[1] == (10, "a")  # latest right at ts<=100 is ts=90
+    assert got[2] == (11, "b")  # ts<=250 -> ts=200
+    assert got[3] == (None, None)  # key 'v' has no right rows at all
+
+
+def test_asof_equal_ts_right_visible(spark):
+    from in_stream_processing_course_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = _df(spark, [(1, "u", 100)], "eid long, k string, ts long")
+    right = _df(
+        spark,
+        [(10, "u", 100, "same-ts"), (9, "u", 40, "older")],
+        "eid long, k string, ts long, payload string",
+    )
+    out = asof_join_backward(
+        left,
+        right,
+        key="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=("payload",),
+        order_col="eid",
+    ).collect()
+    # a right row AT the left timestamp is visible (at-or-before)
+    assert out[0]["payload"] == "same-ts"
+
+
+def test_asof_ties_pick_greatest_order_col(spark):
+    from in_stream_processing_course_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = _df(spark, [(100, "u", 50)], "eid long, k string, ts long")
+    right = _df(
+        spark,
+        [(1, "u", 20, "first"), (2, "u", 20, "second")],
+        "eid long, k string, ts long, payload string",
+    )
+    out = asof_join_backward(
+        left,
+        right,
+        key="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_vals=("payload",),
+        order_col="eid",
+    ).collect()
+    # equal right timestamps: the greatest order_col wins (total order)
+    assert out[0]["payload"] == "second"
+
+
+# --- connected components -----------------------------------------------------
+
+
+def _components(spark, pairs):
+    from in_stream_processing_course_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = _df(spark, pairs, "a long, b long")
+    out = connected_components(edges, "a", "b")
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_two_components(spark):
+    got = _components(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_chain_needs_propagation(spark):
+    # a long path exercises multi-round label propagation (diameter 5)
+    got = _components(spark, [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0)])
+    assert set(got.values()) == {0}
+
+
+def test_cc_cycle_and_self_loop(spark):
+    got = _components(spark, [(1, 2), (2, 3), (3, 1), (7, 7)])
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == 7
