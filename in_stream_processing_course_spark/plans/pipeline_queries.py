@@ -218,6 +218,186 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- document chunking (context-window splitting with overlap) ---------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping 64-token chunks (stride
+    48) — the pretraining-corpus windowing step. Pure generate-explode-
+    slice column algebra: tokenize once (projected alias, so Catalyst
+    keeps one copy), derive the chunk count, explode a chunk-index
+    sequence, slice per index. Row fan-out is bounded by doc length /
+    stride; no UDF, no driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_t")
+    )
+    n = F.size("_t")
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(_CHUNK_OVERLAP)) / F.lit(_CHUNK_STRIDE))
+    )
+    exploded = staged.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.slice(
+        F.col("_t"), F.col("chunk_id") * _CHUNK_STRIDE + 1, _CHUNK_TOKENS
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
+
+ORACLE_CHUNKS = f"""
+WITH staged AS (
+  SELECT doc_id, {_SQL_TOKS} AS t,
+         greatest(1, CAST(ceil((len({_SQL_TOKS}) - {_CHUNK_OVERLAP})
+                               / {_CHUNK_STRIDE}.0) AS BIGINT)) AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(t, ci * {_CHUNK_STRIDE} + 1,
+                           ci * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(t, ci * {_CHUNK_STRIDE} + 1,
+                                  ci * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM staged, unnest(generate_series(0, n_chunks - 1)) AS u(ci)
+ORDER BY doc_id, chunk_id
+"""
+
+
+# --- embedding int8 quantization ---------------------------------------------
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max int8 quantization of the embedding column —
+    the storage/serving compression step for vector indexes (4x
+    smaller than float32). Min/max are projected ONCE as aliased
+    columns (Catalyst cannot CSE across the transform lambda scope);
+    all arithmetic is IEEE double, bit-identical across engines, and
+    the code array is emitted as a comma-joined string (driver array
+    convention). Constant vectors (scale 0) map to code -128."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("_v"),
+    ).select(
+        "vec_id",
+        "label",
+        "_v",
+        F.array_min("_v").alias("_mn"),
+        F.array_max("_v").alias("_mx"),
+    )
+    scale = F.col("_mx") - F.col("_mn")
+    codes = F.transform(
+        F.col("_v"),
+        lambda x: (
+            F.floor(
+                F.when(scale > 0, (x - F.col("_mn")) / scale * 255).otherwise(0.0)
+            )
+            - 128
+        ).cast("string"),
+    )
+    return staged.select(
+        "vec_id",
+        "label",
+        F.round("_mn", 6).alias("vmin"),
+        F.round("_mx", 6).alias("vmax"),
+        F.array_join(codes, ",").alias("codes"),
+    ).orderBy("vec_id")
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+m AS (
+  SELECT *, list_aggregate(vv, 'min') AS mn, list_aggregate(vv, 'max') AS mx
+  FROM v
+)
+SELECT vec_id, label,
+       round(mn, 6) AS vmin,
+       round(mx, 6) AS vmax,
+       array_to_string(list_transform(vv, x ->
+         CAST(CAST(floor(CASE WHEN mx - mn > 0
+                              THEN (x - mn) / (mx - mn) * 255
+                              ELSE 0.0 END) AS BIGINT) - 128 AS VARCHAR)), ',')
+         AS codes
+FROM m ORDER BY vec_id
+"""
+
+
+# --- exact rank-based percentiles per group ----------------------------------
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per event type via the element at
+    rank ceil(p*n) under a deterministic total order — engines
+    disagree on percentile interpolation arithmetic, but rank
+    selection is portable (the same trick as the median query,
+    generalized to a percentile profile in ONE window pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def at(p: float) -> F.Column:
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("value"))
+        )
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            at(0.5).alias("p50"),
+            at(0.9).alias("p90"),
+            at(0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PERCENTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN value END) AS p99
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 ORACLE_TFIDF = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),

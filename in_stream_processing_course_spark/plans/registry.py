@@ -197,6 +197,17 @@ register(
     pq.ORACLE_SAMPLE_STRATIFIED,
 )
 register("text_tfidf", pq.text_tfidf, pq.ORACLE_TFIDF)
+register("text_chunks", pq.text_chunks, pq.ORACLE_CHUNKS)
+register(
+    "embedding_quantize_int8",
+    pq.embedding_quantize_int8,
+    pq.ORACLE_QUANTIZE,
+)
+register(
+    "event_value_percentiles",
+    pq.event_value_percentiles,
+    pq.ORACLE_PERCENTILES,
+)
 
 # --- approx/sketch variants (A2 at scale; rows-only, HLL is engine-specific)
 register("bot_stats_approx_categories", bd.windowed_counts_approx)

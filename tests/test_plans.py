@@ -87,6 +87,38 @@ def test_no_decimal_output_columns(spark):
     assert not offenders, offenders
 
 
+def test_asof_join_single_shuffle(spark):
+    """The as-of join's whole point is ONE hash shuffle (the union-
+    tag-window encoding) — a refactor that reintroduces a range join
+    or a second exchange breaks the 100 TB story."""
+    from in_stream_processing_course_spark.plans import pipeline_queries as pq
+
+    plan = _physical(pq.asof_click_last_view(spark, SF))
+    assert plan.count("hashpartitioning(") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_rewrite_is_equi_join_only(spark):
+    """The double-NOT-EXISTS rewrite must plan as equi-joins (per-order
+    aggregate joined back), never a nested-loop self-join."""
+    plan = _physical(rel.q21_waiting_suppliers(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_prunes_columns(spark):
+    """The md5-gate filter itself can't push into parquet, but column
+    pruning must: the 6-column events scan reads only the 3 consumed."""
+    from in_stream_processing_course_spark.plans import pipeline_queries as pq
+
+    plan = _physical(pq.sample_events_stratified(spark, SF))
+    read_schema = next(
+        l for l in plan.splitlines() if l.strip().startswith("ReadSchema:")
+    )
+    assert "props" not in read_schema and "value" not in read_schema
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing pays the fact-fact shuffle once at write time: the
     orders<->lineitem equi-join on co-bucketed tables must plan as a
