@@ -381,6 +381,27 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch variant of the percentile profile: ``approx_percentile``
+    (KLL-style mergeable summary) — at 100 TB the exact rank pass
+    costs a full per-group sort, while the sketch is one map-side
+    mergeable accumulator. No oracle (sketch internals are
+    engine-specific); the driver records the rows-only check, and the
+    exact query above bounds the answer."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pct.getItem(0).alias("p50"),
+            pct.getItem(1).alias("p90"),
+            pct.getItem(2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLE_PERCENTILES = """
 WITH ranked AS (
   SELECT event_type, value,

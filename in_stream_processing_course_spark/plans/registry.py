@@ -113,6 +113,12 @@ register(
     rel.supplier_revenue_quartiles,
     rel.ORACLE_QUARTILES,
 )
+register(
+    "grouping_sets_revenue", rel.grouping_sets_revenue, rel.ORACLE_GROUPING_SETS
+)
+register(
+    "window_rank_family", rel.part_price_rank_family, rel.ORACLE_RANK_FAMILY
+)
 register("tpch_q9_product_profit", rel.q9_product_profit, rel.ORACLE_Q9)
 register(
     "tpch_q13_customer_distribution",
@@ -209,5 +215,7 @@ register(
     pq.ORACLE_PERCENTILES,
 )
 
-# --- approx/sketch variants (A2 at scale; rows-only, HLL is engine-specific)
+# --- approx/sketch variants (A2 at scale; rows-only, sketches are
+# engine-specific)
 register("bot_stats_approx_categories", bd.windowed_counts_approx)
+register("event_value_percentiles_approx", pq.event_value_percentiles_approx)

@@ -1262,6 +1262,78 @@ FROM rev ORDER BY suppkey
 """
 
 
+# --- GROUPING SETS (arbitrary combos; rollup/cube cover the regular cases) ---
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-returnflag, per-linestatus, and
+    grand total in one pass (neither rollup nor cube produces exactly
+    this set). Exercises the engine's SQL surface: the plan is the
+    same Expand + two-phase aggregate Catalyst builds for rollup."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    li.createOrReplaceTempView("_li_grouping_sets")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM _li_grouping_sets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM li
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- rank-function family (rank/dense_rank/percent_rank/cume_dist) -----------
+
+
+def part_price_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four ranking analytics over per-brand price order, computed
+    in ONE window pass. Ordering is by price alone (NOT a total
+    order): duplicate prices exercise the tie semantics that separate
+    rank from dense_rank — the outputs stay deterministic because rank
+    values depend only on the ordering values, not row order.
+    percent_rank/cume_dist are double ratios of ranks, IEEE-identical
+    across engines."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+ORACLE_RANK_FAMILY = """
+SELECT p_brand, p_partkey,
+       CAST(p_retailprice AS DOUBLE) AS price,
+       CAST(rank() OVER w AS BIGINT) AS price_rank,
+       CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank,
+       round(percent_rank() OVER w, 6) AS price_percent_rank,
+       round(cume_dist() OVER w, 6) AS price_cume_dist
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+ORDER BY p_brand, p_partkey
+"""
+
+
 # --- Q11-ish: balance concentration by nation (HAVING vs scalar subquery) ----
 
 
