@@ -126,6 +126,13 @@ register(
     rel.ORACLE_Q13,
 )
 register("tpch_q21_waiting_suppliers", rel.q21_waiting_suppliers, rel.ORACLE_Q21)
+register("tpch_q2_min_cost_supplier", rel.q2_min_cost_supplier, rel.ORACLE_Q2)
+register(
+    "tpch_q16_supplier_part_counts",
+    rel.q16_supplier_part_counts,
+    rel.ORACLE_Q16,
+)
+register("tpch_q20_excess_shippers", rel.q20_excess_shippers, rel.ORACLE_Q20)
 
 # --- event-stream analytics (session windows, sequences, rollups, X1) -------
 register("events_log_records", bd.normalized_log_records, bd.ORACLE_NORMALIZED)

@@ -1262,6 +1262,195 @@ FROM rev ORDER BY suppkey
 """
 
 
+# --- Q2-ish: min-cost supplier per part (correlated min over a join) --------
+#
+# The driver testdata has no partsupp table; the distinct
+# (l_partkey, l_suppkey) pairs of lineitem serve as the part-supplier
+# bridge and s_acctbal proxies ps_supplycost. The shape is intact:
+# region-filtered supplier dimension, per-part correlated minimum,
+# join-back on the min, TPC-H output order.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & F.col("p_name").contains("bolt")
+    )
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    nat_r = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp_r = supp.join(F.broadcast(nat_r), F.col("s_nationkey") == F.col("n_nationkey"))
+    cand = part.join(bridge, F.col("p_partkey") == F.col("l_partkey")).join(
+        supp_r, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    return (
+        cand.join(
+            mins,
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("s_acctbal") == F.col("_min_bal")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, supplier, ps, nation, region
+WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+  AND p_size = 15 AND p_name LIKE '%bolt%'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                   FROM supplier s2, ps ps2, nation n2, region r2
+                   WHERE ps2.l_partkey = p_partkey
+                     AND s2.s_suppkey = ps2.l_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey
+                     AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- Q16-ish: supplier counts per part attribute (NOT IN exclusion) ----------
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers able to supply each (brand, type, size)
+    combo, excluding a supplier blacklist — Q16 over the lineitem
+    bridge (no partsupp in the testdata). The NOT IN subquery becomes
+    a left-anti join; the count is an exact distinct over the bridge."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excluded = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_name").contains("33")
+    )
+    kept = bridge.join(
+        excluded.select("s_suppkey"),
+        bridge.l_suppkey == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        kept.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+ORACLE_Q16 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%33%')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- Q20-ish: suppliers with excess share of a part's shipments --------------
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in one nation that shipped more than half of some
+    'gear' part's 1996 volume — Q20's nested-aggregate + semi-join
+    chain with shipped quantity standing in for partsupp availqty.
+    The part total is derived from the per-(part,supplier) partials
+    (one extra tiny aggregation instead of a second fact scan), and
+    the share comparison stays in exact decimal (2*ps > total), no
+    doubles anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    gear = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("gear")
+    )
+    li_gear = li.join(
+        gear.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    qty_ps = li_gear.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(_PRICE)).alias("ps_qty")
+    )
+    qty_p = qty_ps.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("ps_qty").alias("p_qty")
+    )
+    excess = qty_ps.join(qty_p, F.col("l_partkey") == F.col("_pk")).where(
+        F.col("ps_qty") * 2 > F.col("p_qty")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_9"
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            excess.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q20 = """
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS ps_qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%gear%')
+      GROUP BY l_suppkey, l_partkey) ps
+    WHERE ps_qty * 2 > (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = ps.l_partkey
+                          AND l2.l_shipdate >= DATE '1996-01-01'
+                          AND l2.l_shipdate < DATE '1997-01-01'))
+ORDER BY s_suppkey
+"""
+
+
 # --- GROUPING SETS (arbitrary combos; rollup/cube cover the regular cases) ---
 
 
