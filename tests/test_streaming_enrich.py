@@ -115,3 +115,53 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     assert by_id[5][3] is None and by_id[5][5] is None
     # cross-batch: view in batch 2 enriches click in batch 3
     assert by_id[7][3] == 6 and by_id[7][5] == 10_000_000
+
+
+def test_stream_asof_checkpoint_restart(spark, tmp_path):
+    """T6/T8 for the enrichment operator: stop after the first file,
+    restart on the same checkpoint with a second file present — the
+    second run must process ONLY the new file (no re-emission of run-1
+    clicks) and carry run-1 state into it (the view seen before the
+    stop still enriches the new click)."""
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_foreach_batch,
+    )
+
+    ordered = sorted(_EVENTS, key=lambda e: (e[3], e[0]))
+    in_dir = _write_chunks(tmp_path, [ordered[:6]])  # through view id 6
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def stream():
+        return (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir)
+            .withColumn("ts", F.timestamp_seconds("time"))
+        )
+
+    def sink(df, _batch_id):
+        seen.extend(tuple(r) for r in df.collect())
+
+    run_stream_foreach_batch(
+        stream_asof_last_view(stream()), sink, "update", checkpoint_dir=ckpt
+    )
+    first_run = list(seen)
+    assert {r[0] for r in first_run} == {2, 4, 5}
+
+    # add the final click (user 2, t=40) and restart on the checkpoint
+    with open(tmp_path / "in" / "late.json", "w") as f:
+        eid, uid, etype, t = ordered[6]
+        f.write(
+            json.dumps(
+                {"event_id": eid, "user_id": uid, "event_type": etype, "time": t}
+            )
+            + "\n"
+        )
+    run_stream_foreach_batch(
+        stream_asof_last_view(stream()), sink, "update", checkpoint_dir=ckpt
+    )
+    second_run = seen[len(first_run):]
+    # only the new click was processed, enriched by pre-restart state
+    assert [r[0] for r in second_run] == [7]
+    assert second_run[0][3] == 6 and second_run[0][5] == 10_000_000
