@@ -61,11 +61,13 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
     )
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return shingled.groupBy(id_col).agg(*mins)
+    # one SQL string for all accumulators (same py4j-latency lesson as
+    # simhash_table: per-Column composition costs ~1 ms/call on the
+    # driver, dominating small-stage wall time)
+    mins = ", ".join(
+        f"min(md5(concat('{i}:', shingle)))" for i in range(num_hashes)
+    )
+    return shingled.groupBy(id_col).agg(F.expr(f"array({mins}) AS sig"))
 
 
 def minhash_bands(
@@ -83,21 +85,18 @@ def minhash_bands(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("int").alias("band_id"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"h{i}")
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
-            ).alias("band_key"),
+    band_structs = ", ".join(
+        "struct(CAST({b} AS INT) AS band_id, concat_ws('|', {cols}) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"sig[{i}]"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
         )
         for b in range(bands)
-    ]
+    )
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+        F.col(id_col), F.expr(f"explode(array({band_structs})) AS band")
     ).select(id_col, "band.band_id", "band.band_key")
 
 
