@@ -120,3 +120,63 @@ def test_cc_cycle_and_self_loop(spark):
     got = _components(spark, [(1, 2), (2, 3), (3, 1), (7, 7)])
     assert got[1] == got[2] == got[3] == 1
     assert got[7] == 7
+
+
+def test_asof_randomized_matches_pandas_merge_asof(spark):
+    """Seeded randomized equivalence against pandas merge_asof
+    (backward, exact matches allowed) — an independent reference
+    implementation, with heavy timestamp collisions across 20 keys.
+    Right frame pre-sorted by (ts, id) so merge_asof's
+    last-equal-row tie rule coincides with our greatest-order_col
+    rule."""
+    import random
+
+    import pandas as pd
+
+    from in_stream_processing_course_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    rng = random.Random(42)
+    n_keys, ts_range = 20, 30  # few distinct ts values -> many ties
+    left_rows = [
+        (i, rng.randrange(n_keys), rng.randrange(ts_range))
+        for i in range(300)
+    ]
+    right_rows = [
+        (1000 + i, rng.randrange(n_keys), rng.randrange(ts_range))
+        for i in range(300)
+    ]
+    left = _df(spark, left_rows, "eid long, k long, ts long")
+    right = _df(
+        spark, right_rows, "eid long, k long, ts long"
+    ).withColumn("rid", F.col("eid"))
+    got = {
+        r["eid"]: r["rid"]
+        for r in asof_join_backward(
+            left,
+            right,
+            key="k",
+            left_ts="ts",
+            right_ts="ts",
+            right_vals=("rid",),
+            order_col="eid",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["eid", "k", "ts"]).sort_values(
+        ["ts", "eid"], kind="mergesort"
+    )
+    rp = (
+        pd.DataFrame(right_rows, columns=["rid", "k", "ts"])
+        .sort_values(["ts", "rid"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", allow_exact_matches=True
+    )
+    expected = {
+        int(r.eid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == expected
