@@ -242,3 +242,58 @@ SELECT user_id,
 FROM seq WHERE event_type = 'view'
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def sessionize_events_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap (Spark's dynamic
+    ``session_window``): purchase/error events close sessions after 5
+    idle minutes, everything else after 30 — the gap is a Column, not
+    a constant. Spark merges events whose [ts, ts+gap) intervals
+    overlap; the oracle reproduces exactly that with the running-max
+    interval-union rule (a new session starts when ts >= the max end
+    of all previous intervals), which is NOT plain lag-based
+    gaps-and-islands.
+    """
+    ev = _events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type").isin("purchase", "error"), F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", gap).alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end"),
+        "n_events",
+    )
+
+
+ORACLE_SESSIONIZE_DYNAMIC = """
+WITH iv AS (
+  SELECT user_id, ts, epoch_us(ts) AS s_us,
+         epoch_us(ts) + CASE WHEN event_type IN ('purchase', 'error')
+                             THEN 300000000 ELSE 1800000000 END AS e_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us >= MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   OR MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM iv
+),
+grouped AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(MIN(s_us) / 1000000) AS BIGINT) AS session_start,
+       CAST(floor(MAX(e_us) / 1000000) AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM grouped GROUP BY user_id, sid
+"""

@@ -137,6 +137,11 @@ register("tpch_q20_excess_shippers", rel.q20_excess_shippers, rel.ORACLE_Q20)
 # --- event-stream analytics (session windows, sequences, rollups, X1) -------
 register("events_log_records", bd.normalized_log_records, bd.ORACLE_NORMALIZED)
 register("sessionize_events", ev.sessionize_events, ev.ORACLE_SESSIONIZE)
+register(
+    "sessionize_events_dynamic_gap",
+    ev.sessionize_events_dynamic_gap,
+    ev.ORACLE_SESSIONIZE_DYNAMIC,
+)
 register("top_users_by_events", ev.top_users_by_events, ev.ORACLE_TOP_USERS)
 register("daily_active_users", ev.daily_active_users, ev.ORACLE_DAU)
 register("event_lag_deltas", ev.event_lag_deltas, ev.ORACLE_LAG)
