@@ -119,6 +119,33 @@ def test_stratified_sample_prunes_columns(spark):
     assert "props" not in read_schema and "value" not in read_schema
 
 
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned fact layout: an equality filter on the
+    partition column must resolve to PartitionFilters (directory
+    pruning at plan time) and read strictly fewer files than the full
+    table scan."""
+    from in_stream_processing_course_spark.sinks.partitioned import (
+        read_events_on,
+        write_events_partitioned,
+    )
+
+    out = str(tmp_path / "events_by_day")
+    write_events_partitioned(spark, SF, out)
+    full = spark.read.parquet(out)
+    n_days = full.select("event_date").distinct().count()
+    assert n_days > 1  # sf0.001 spans a month of synthetic events
+
+    day = str(full.agg(F.min("event_date")).collect()[0][0])
+    one_day = read_events_on(spark, out, day)
+    plan = _physical(one_day)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf and "isnotnull" in pf
+    # pruning happened: the one-day scan reads fewer partitions
+    assert 0 < one_day.count() < full.count()
+    # and rows survive with correct filtering semantics
+    assert one_day.where(F.col("event_date") != day).count() == 0
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing pays the fact-fact shuffle once at write time: the
     orders<->lineitem equi-join on co-bucketed tables must plan as a
