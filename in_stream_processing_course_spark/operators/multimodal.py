@@ -158,6 +158,63 @@ def fake_decode_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """REAL resize path (requires Pillow, absent in this container):
+    decode, thumbnail to ``max_side``, re-encode. Same
+    raise-at-execution contract as :func:`decode_images`; the
+    plan/schema shape is shared with :func:`fake_resize_dims`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _try_import_pil()
+        if Image is None:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "use fake_resize_dims for the deterministic stand-in"
+            )
+        import io
+
+        for pdf in it:
+            rows = {"media_id": [], "width": [], "height": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                im = Image.open(io.BytesIO(b))
+                im.thumbnail((max_side, max_side))
+                rows["media_id"].append(mid)
+                rows["width"].append(im.width)
+                rows["height"].append(im.height)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return media.where(F.col("kind") == "image").mapInPandas(batches, schema)
+
+
+def fake_resize_dims(decoded: DataFrame, max_side: int = 224) -> DataFrame:
+    """Aspect-preserving resize arithmetic over (fake-)decoded
+    dimensions — the thumbnail contract (scale so the longer side is
+    ``max_side``, never upscale) as native Column algebra; IEEE double
+    scale then floor, so the result is engine-portable."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest("width", "height").cast("double"),
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(
+            F.lit(1), F.floor(F.col("width") * scale).cast("int")
+        ).alias("resized_width"),
+        F.greatest(
+            F.lit(1), F.floor(F.col("height") * scale).cast("int")
+        ).alias("resized_height"),
+    )
+
+
 def sample_frames(
     media: DataFrame, n_frames: int = 4, frame_bytes: int = 32
 ) -> DataFrame:

@@ -14,6 +14,7 @@ from ..operators.multimodal import (
     documents_as_media,
     extract_media_meta,
     fake_decode_meta,
+    fake_resize_dims,
     sample_frames,
 )
 from ..sources.batch import load_table
@@ -40,10 +41,51 @@ FROM documents
 
 def media_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stand-in decode (schema/batch shape of the real
-    codec path). No SQL oracle — sha256-derived dimensions are not
-    expressible without the same byte-level digest access; driver
-    records the rows-only check."""
+    codec path). The sha256-derived dimensions ARE oracle-checkable:
+    DuckDB's sha256() yields the same hex digest, and digest byte i is
+    recovered by parsing two hex nibbles (no strtol needed)."""
     return fake_decode_meta(_media(spark, sf_dir))
+
+
+def _sql_digest_byte(i: int) -> str:
+    """Byte ``i`` (0-based) of sha256(text)'s hex digest as 0..255."""
+    nib1 = f"(strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1)"
+    nib2 = f"(strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1)"
+    return f"(16 * {nib1} + {nib2})"
+
+
+ORACLE_FAKE_DECODE = f"""
+WITH d AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents)
+SELECT media_id,
+       CAST(16 * (1 + {_sql_digest_byte(0)} % 64) AS INT) AS width,
+       CAST(16 * (1 + {_sql_digest_byte(1)} % 64) AS INT) AS height,
+       round({_sql_digest_byte(2)} / 255.0, 6) AS mean_luma
+FROM d
+"""
+
+
+def media_fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize over the fake-decoded dimensions —
+    the thumbnail contract (longer side -> 224, never upscale) as
+    Column algebra on top of the mapInPandas decode."""
+    return fake_resize_dims(fake_decode_meta(_media(spark, sf_dir)))
+
+
+ORACLE_FAKE_RESIZE = f"""
+WITH d AS (SELECT doc_id AS media_id, sha256(text) AS h FROM documents),
+dims AS (
+  SELECT media_id,
+         CAST(16 * (1 + {_sql_digest_byte(0)} % 64) AS INT) AS width,
+         CAST(16 * (1 + {_sql_digest_byte(1)} % 64) AS INT) AS height
+  FROM d
+)
+SELECT media_id, width, height,
+       CAST(greatest(1, floor(width * least(1.0, 224.0 / greatest(width, height))))
+            AS INT) AS resized_width,
+       CAST(greatest(1, floor(height * least(1.0, 224.0 / greatest(width, height))))
+            AS INT) AS resized_height
+FROM dims
+"""
 
 
 def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -195,7 +195,8 @@ register("knn_ivf", sq.knn_ivf)  # rows-only: k-means index, recall-tested
 
 # --- multimodal binary columns (X4) -----------------------------------------
 register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)
-register("media_fake_decode", mq.media_fake_decode)  # rows-only (stub codec)
+register("media_fake_decode", mq.media_fake_decode, mq.ORACLE_FAKE_DECODE)
+register("media_fake_resize", mq.media_fake_resize, mq.ORACLE_FAKE_RESIZE)
 register("media_video_frames", mq.video_frame_samples, mq.ORACLE_VIDEO_FRAMES)
 
 # --- training-pipeline composites (as-of join, clustering, sampling, tf-idf)
