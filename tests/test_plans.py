@@ -146,6 +146,29 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert one_day.where(F.col("event_date") != day).count() == 0
 
 
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining the partitioned fact to a filtered dim on the partition
+    column must inject a dynamicpruning expression into the scan's
+    PartitionFilters — at scale this is what turns a dim filter into
+    directory-level skipping without a literal date predicate."""
+    from in_stream_processing_course_spark.sinks.partitioned import (
+        write_events_partitioned,
+    )
+
+    out = str(tmp_path / "events_dpp")
+    write_events_partitioned(spark, SF, out)
+    fact = spark.read.parquet(out)
+    two_days = fact.select("event_date").distinct().limit(2).withColumn(
+        "tag", F.lit("keep")
+    )
+    dim = spark.createDataFrame(two_days.collect())
+    joined = fact.join(F.broadcast(dim.where(F.col("tag") == "keep")), "event_date")
+    plan = _physical(joined)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "dynamicpruning" in pf
+    assert joined.count() > 0
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketing pays the fact-fact shuffle once at write time: the
     orders<->lineitem equi-join on co-bucketed tables must plan as a
