@@ -297,3 +297,63 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM grouped GROUP BY user_id, sid
 """
+
+
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation + weekday rollup: build the full
+    day dimension spanning the order history with sequence/explode
+    (the batch analog of a range source — no external calendar table),
+    left-join orders onto it, and roll up by weekday. Weekday is
+    normalized to Monday=0 on both engines (Spark dayofweek is
+    1=Sunday, DuckDB dayofweek is 0=Sunday)."""
+    from .relational import _PRICE  # shared decimal sizing
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_totalprice").cast(_PRICE).alias("price"),
+    )
+    bounds = orders.agg(
+        F.min("od").alias("lo"), F.max("od").alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    per_day = days.join(orders, days.day == orders.od, "left").groupBy("day").agg(
+        F.count("od").alias("n_orders"),
+        F.sum("price").alias("rev"),
+    )
+    weekday = ((F.dayofweek("day") + 5) % 7).cast("int")
+    return (
+        per_day.groupBy(weekday.alias("weekday_mon0"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("weekday_mon0")
+    )
+
+
+ORACLE_ORDERS_BY_WEEKDAY = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS od,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+),
+b AS (SELECT MIN(od) AS lo, MAX(od) AS hi FROM o),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+),
+per_day AS (
+  SELECT day, CAST(COUNT(od) AS BIGINT) AS n_orders, SUM(price) AS rev
+  FROM days LEFT JOIN o ON day = od GROUP BY day
+)
+SELECT CAST((dayofweek(day) + 6) % 7 AS INT) AS weekday_mon0,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM per_day GROUP BY 1 ORDER BY weekday_mon0
+"""

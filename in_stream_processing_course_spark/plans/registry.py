@@ -144,6 +144,7 @@ register(
 )
 register("top_users_by_events", ev.top_users_by_events, ev.ORACLE_TOP_USERS)
 register("daily_active_users", ev.daily_active_users, ev.ORACLE_DAU)
+register("orders_by_weekday", ev.orders_by_weekday, ev.ORACLE_ORDERS_BY_WEEKDAY)
 register("event_lag_deltas", ev.event_lag_deltas, ev.ORACLE_LAG)
 register("hourly_event_counts", ev.hourly_event_counts, ev.ORACLE_HOURLY)
 register("dedup_events_exact", ev.dedup_events_exact, ev.ORACLE_DEDUP_EXACT)
