@@ -20,6 +20,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_source: Column,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the fact side is salted with a
+    deterministic hash (``salt_source`` — hash of high-cardinality
+    fact columns, never ``rand()``), the dim side is replicated
+    ``n_salts`` times with every salt value, and the join key becomes
+    (key, salt) — a hot fact key now spreads across ``n_salts``
+    reducers instead of pinning one. Cost: dim shuffle volume grows
+    ``n_salts``x, so this is for moderate dims against skewed facts
+    (for small dims just broadcast; AQE's skew-join split handles the
+    sort-merge case when statistics expose the skew — salting is the
+    explicit fallback when they don't, e.g. under a storage-partitioned
+    or pre-shuffled layout AQE won't re-plan).
+
+    Result is row-identical to the plain equi-join.
+    """
+    f = fact.withColumn("_fsalt", F.pmod(salt_source, F.lit(n_salts)))
+    d = dim.withColumn(
+        "_dsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = f.join(
+        d,
+        (F.col(fact_key) == F.col(dim_key)) & (F.col("_fsalt") == F.col("_dsalt")),
+    )
+    return joined.drop("_fsalt", "_dsalt")
+
+
 def salted_ip_total_stats(
     log_records: DataFrame,
     key: str = "ip",

@@ -117,6 +117,11 @@ register(
     "grouping_sets_revenue", rel.grouping_sets_revenue, rel.ORACLE_GROUPING_SETS
 )
 register(
+    "join_salted_priority_revenue",
+    rel.salted_priority_revenue,
+    rel.ORACLE_SALTED_JOIN,
+)
+register(
     "window_rank_family", rel.part_price_rank_family, rel.ORACLE_RANK_FAMILY
 )
 register("tpch_q9_product_profit", rel.q9_product_profit, rel.ORACLE_Q9)

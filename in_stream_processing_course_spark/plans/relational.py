@@ -1451,6 +1451,49 @@ ORDER BY s_suppkey
 """
 
 
+# --- salted fact-dim join (skew-safe; oracle proves it equals the plain join)
+
+
+def salted_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through a SALTED orders<->lineitem
+    join (operators/skew.py::salted_join): the fact side fans hot
+    orderkeys across 8 salt buckets, the dim side is replicated 8x.
+    The oracle is the plain unsalted join, so the hash check proves
+    the rewrite row-identical."""
+    from ..operators.skew import salted_join
+
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_suppkey", "disc_price"),
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        salt_source=F.hash("l_linenumber", "l_suppkey"),
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum("disc_price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SALTED_JOIN = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT o_orderpriority,
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM li JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --- GROUPING SETS (arbitrary combos; rollup/cube cover the regular cases) ---
 
 
