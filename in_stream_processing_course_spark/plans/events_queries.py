@@ -357,3 +357,38 @@ SELECT CAST((dayofweek(day) + 6) % 7 AS INT) AS weekday_mon0,
        CAST(SUM(rev) AS DOUBLE) AS revenue
 FROM per_day GROUP BY 1 ORDER BY weekday_mon0
 """
+
+
+def range_join_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/range_join.py): assign
+    every event back to its user's session interval and count — the
+    result must equal sessionize_events exactly, and the oracle IS the
+    sessionize oracle, so the hash check proves the bucketized
+    range-join rewrite correct. The plan is a pure equi-join on
+    (user, bucket); the naive ts-range join would be a per-key nested
+    loop."""
+    from ..operators.range_join import point_in_interval_join
+
+    ev = _events(spark, sf_dir)
+    sessions = sessionize_events(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_seconds("session_start").alias("s_ts"),
+        F.timestamp_seconds("session_end").alias("e_ts"),
+    )
+    assigned = point_in_interval_join(
+        ev.select("user_id", "ts"),
+        sessions,
+        key="user_id",
+        point_ts="ts",
+        start_ts="s_ts",
+        end_ts="e_ts",
+        bucket_sec=1800,
+    )
+    return (
+        assigned.groupBy(
+            "user_id",
+            F.unix_timestamp("s_ts").alias("session_start"),
+            F.unix_timestamp("e_ts").alias("session_end"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

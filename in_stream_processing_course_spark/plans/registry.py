@@ -147,6 +147,13 @@ register(
     ev.sessionize_events_dynamic_gap,
     ev.ORACLE_SESSIONIZE_DYNAMIC,
 )
+# range-join closure: same oracle as sessionize_events — the hash
+# check proves the bucketized range join reconstructs sessions exactly
+register(
+    "range_join_session_events",
+    ev.range_join_session_events,
+    ev.ORACLE_SESSIONIZE,
+)
 register("top_users_by_events", ev.top_users_by_events, ev.ORACLE_TOP_USERS)
 register("daily_active_users", ev.daily_active_users, ev.ORACLE_DAU)
 register("orders_by_weekday", ev.orders_by_weekday, ev.ORACLE_ORDERS_BY_WEEKDAY)

@@ -122,6 +122,45 @@ def test_cc_cycle_and_self_loop(spark):
     assert got[7] == 7
 
 
+# --- bucketized range join ----------------------------------------------------
+
+
+def test_range_join_boundaries_and_buckets(spark):
+    """start inclusive, end exclusive, multi-bucket intervals, key
+    isolation — with a bucket width much smaller than the intervals so
+    the explode path is exercised."""
+    from in_stream_processing_course_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    points = _df(
+        spark,
+        [
+            (1, "u", 100),
+            (2, "u", 1000),  # inside, several buckets after start
+            (3, "u", 5000),  # == end -> excluded
+            (4, "u", 4999),  # end-1 -> included
+            (5, "v", 1000),  # other key, no interval
+            (6, "u", 50),  # before start
+        ],
+        "pid long, k string, t long",
+    ).select("pid", "k", F.timestamp_seconds("t").alias("pt"))
+    intervals = _df(
+        spark, [("u", 100, 5000)], "k string, s long, e long"
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("s_ts"),
+        F.timestamp_seconds("e").alias("e_ts"),
+    )
+    got = {
+        r["pid"]
+        for r in point_in_interval_join(
+            points, intervals, "k", "pt", "s_ts", "e_ts", bucket_sec=60
+        ).collect()
+    }
+    assert got == {1, 2, 4}
+
+
 def test_asof_randomized_matches_pandas_merge_asof(spark):
     """Seeded randomized equivalence against pandas merge_asof
     (backward, exact matches allowed) — an independent reference

@@ -146,6 +146,18 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     assert one_day.where(F.col("event_date") != day).count() == 0
 
 
+def test_range_join_is_equi_join(spark):
+    """The bucketized range join must plan WITHOUT a nested-loop /
+    cartesian join — that's its whole reason to exist."""
+    from in_stream_processing_course_spark.plans.events_queries import (
+        range_join_session_events,
+    )
+
+    plan = _physical(range_join_session_events(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dynamic_partition_pruning_fires(spark, tmp_path):
     """Joining the partitioned fact to a filtered dim on the partition
     column must inject a dynamicpruning expression into the scan's
