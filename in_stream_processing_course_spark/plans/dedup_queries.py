@@ -6,7 +6,7 @@ engines share; murmur3/xxhash are not portable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -296,4 +296,98 @@ SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
 FROM bands l JOIN bands r
   ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
 ORDER BY a, b
+"""
+
+
+# --- end-to-end curation v2: quality -> exact dedup -> cluster dedup ---------
+
+_SQL_QUALITY = r"""
+round(least(len(text) / 500.0, 1.0) * 0.4
+      + least(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+                              t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+              / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1) * 4, 1.0) * 0.4
+      + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     / greatest(len(text), 1) * 4, 1.0)) * 0.2, 6)
+"""
+
+
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pipeline an LLM-data team runs, as one
+    declarative flow: quality-filter -> exact dedup (min-doc_id
+    representative per md5) -> MinHash-LSH candidate pairs on the
+    survivors -> connected-components cluster resolution -> keep only
+    cluster representatives -> per-(lang, source) corpus stats. The
+    oracle rebuilds every stage in SQL (recursive CTE for the
+    closure), so the whole composition is hash-verified end to end.
+    """
+    from ..functions.text import quality_score_col
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    passed = docs.where(quality_score_col(F.col("text")) >= 0.5)
+    w = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    survivors = passed.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
+    cands = dd.minhash_candidates(
+        survivors, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    comp = connected_components(cands, "a", "b")
+    dominated = comp.where(F.col("component") != F.col("node")).select(
+        F.col("node").alias("_dom")
+    )
+    kept = survivors.join(
+        dominated, survivors.doc_id == F.col("_dom"), "left_anti"
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_CURATION_END_TO_END = f"""
+WITH RECURSIVE q AS (
+  SELECT * FROM documents WHERE {_SQL_QUALITY} >= 0.5
+),
+ex AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM ex),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                    b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT a AS u, b AS v FROM cands UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+kept AS (
+  SELECT * FROM ex
+  WHERE doc_id NOT IN (SELECT node FROM comp WHERE c <> node)
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM kept GROUP BY lang, source ORDER BY lang, source
 """

@@ -199,6 +199,11 @@ register(
     dq.simhash_near_dup_candidates,
     dq.ORACLE_SIMHASH_CANDIDATES,
 )
+register(
+    "curation_end_to_end",
+    dq.curation_end_to_end,
+    dq.ORACLE_CURATION_END_TO_END,
+)
 
 # --- similarity search (X2) --------------------------------------------------
 register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
