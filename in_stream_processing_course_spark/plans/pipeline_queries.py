@@ -435,3 +435,114 @@ FROM tf JOIN dfreq ON tf.term = dfreq.term, n
 WHERE tf >= {_TF_MIN}
 ORDER BY doc_id, tf.term
 """
+
+
+# --- k-per-group deterministic downsampling ----------------------------------
+
+
+def sample_k_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most k=5 events per user, chosen by md5 order — the
+    per-group quota downsampler (cap contribution of heavy users in a
+    training mix). Content-addressed like the stratified sampler:
+    reproducible on any engine/partitioning, and the md5 sort key is
+    uncorrelated with time or type, so the quota is an unbiased draw.
+    One window pass; at scale this is the standard rank-filter."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string").cast("binary"))
+    w = Window.partitionBy("user_id").orderBy(h.alias("h"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "event_id", "user_id", "event_type", F.col("rn").cast("long").alias("rn")
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_SAMPLE_K_PER_USER = """
+SELECT event_id, user_id, event_type, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+ORDER BY event_id
+"""
+
+
+# --- sequence packing (concatenate-then-cut into fixed token budgets) --------
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 16
+
+
+def pack_chunks_into_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the 64-token document chunks into fixed 512-token training
+    sequences, the concatenate-then-cut way packed pretraining loaders
+    do it: within a shard, chunks are laid out in (doc_id, chunk_id)
+    order and a chunk's bin is floor(start_offset / budget). Sharding
+    by pmod(doc_id, 16) keeps the running offset per shard — each
+    shard packs independently and in parallel (a single global
+    ordering would serialize the cumsum at scale). One window pass
+    over integer cumsums, engine-exact."""
+    from pyspark.sql import Window
+
+    chunks = text_chunks(spark, sf_dir)
+    shard = F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = chunks.withColumn("shard", shard).withColumn(
+        "start_offset",
+        (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")).cast("long"),
+    )
+    binned = staged.withColumn(
+        "seq_id", F.floor(F.col("start_offset") / _PACK_BUDGET).cast("long")
+    )
+    return (
+        binned.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+ORACLE_PACK_CHUNKS = f"""
+WITH staged AS (
+  SELECT doc_id, {_SQL_TOKS} AS t,
+         greatest(1, CAST(ceil((len({_SQL_TOKS}) - {_CHUNK_OVERLAP})
+                               / {_CHUNK_STRIDE}.0) AS BIGINT)) AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+         CAST(len(list_slice(t, ci * {_CHUNK_STRIDE} + 1,
+                             ci * {_CHUNK_STRIDE} + {_CHUNK_TOKENS})) AS BIGINT)
+           AS n_chunk_tokens
+  FROM staged, unnest(generate_series(0, n_chunks - 1)) AS u(ci)
+),
+offs AS (
+  SELECT CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard, doc_id, chunk_id,
+         n_chunk_tokens,
+         SUM(n_chunk_tokens) OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                   ORDER BY doc_id, chunk_id
+                                   ROWS UNBOUNDED PRECEDING)
+           - n_chunk_tokens AS start_offset
+  FROM chunks
+)
+SELECT shard,
+       CAST(floor(start_offset / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM offs GROUP BY shard, seq_id ORDER BY shard, seq_id
+"""

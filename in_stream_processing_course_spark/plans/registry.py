@@ -236,6 +236,14 @@ register(
 register("text_tfidf", pq.text_tfidf, pq.ORACLE_TFIDF)
 register("text_chunks", pq.text_chunks, pq.ORACLE_CHUNKS)
 register(
+    "sample_k_per_user", pq.sample_k_per_user, pq.ORACLE_SAMPLE_K_PER_USER
+)
+register(
+    "pack_chunks_into_sequences",
+    pq.pack_chunks_into_sequences,
+    pq.ORACLE_PACK_CHUNKS,
+)
+register(
     "embedding_quantize_int8",
     pq.embedding_quantize_int8,
     pq.ORACLE_QUANTIZE,
