@@ -391,3 +391,102 @@ SELECT lang, source,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
 FROM kept GROUP BY lang, source ORDER BY lang, source
 """
+
+
+# --- benchmark decontamination (cross-set n-gram overlap) --------------------
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing any
+    word 5-gram with a benchmark set (proxied here by doc_id < 10 —
+    in production the eval suites). Distinct from near-dup detection:
+    it's a CROSS-SET shingle semi-join, not a self-join. The benchmark
+    shingle set is statically bounded (eval suites don't scale with
+    the corpus), so it broadcasts legitimately; the corpus side
+    streams through one hash join, no shuffle of the corpus text."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dd.shingles_col(F.col("text"), 5)).alias("sh")
+    )
+    bench_sh = (
+        sh.where(F.col("doc_id") < 10).select("sh").distinct()
+    )
+    corpus_sh = sh.where(F.col("doc_id") >= 10)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+    corpus = docs.where(F.col("doc_id") >= 10).select("doc_id")
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+            (F.coalesce("n_overlaps", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+  FROM sh JOIN bench USING (s)
+  WHERE doc_id >= 10 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_overlaps, 0) AS n_overlaps,
+       coalesce(n_overlaps, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id >= 10
+ORDER BY d.doc_id
+"""
+
+
+# --- intra-document repetition ratio (Gopher-style quality rule) -------------
+
+
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of duplicated word 3-grams WITHIN each document — the
+    repetition quality rule (heavily repeated boilerplate scores near
+    1). Needs the raw (non-distinct) shingle list, so it's computed
+    inline: one projection, no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    staged = docs.select("doc_id", toks.alias("_t"))
+    n = F.size("_t")
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    raw = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("_t"), i, 3), " ")
+    )
+    staged2 = staged.select("doc_id", raw.alias("_g"))
+    return staged2.select(
+        "doc_id",
+        F.size("_g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("_g")).cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_g")) / F.size("_g"), 6
+        ).alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+ORACLE_REPETITION = rf"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - 2, 1)),
+                        i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + 2), ' ')) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 6) AS repetition_ratio
+FROM g ORDER BY doc_id
+"""

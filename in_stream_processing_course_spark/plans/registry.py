@@ -204,6 +204,16 @@ register(
     dq.curation_end_to_end,
     dq.ORACLE_CURATION_END_TO_END,
 )
+register(
+    "decontaminate_documents",
+    dq.decontaminate_documents,
+    dq.ORACLE_DECONTAMINATE,
+)
+register(
+    "text_repetition_scores",
+    dq.text_repetition_scores,
+    dq.ORACLE_REPETITION,
+)
 
 # --- similarity search (X2) --------------------------------------------------
 register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
