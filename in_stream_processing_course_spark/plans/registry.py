@@ -122,6 +122,9 @@ register(
     rel.ORACLE_SALTED_JOIN,
 )
 register(
+    "stats_quantity_price", rel.stats_quantity_price, rel.ORACLE_STATS_MOMENTS
+)
+register(
     "window_rank_family", rel.part_price_rank_family, rel.ORACLE_RANK_FAMILY
 )
 register("tpch_q9_product_profit", rel.q9_product_profit, rel.ORACLE_Q9)

@@ -1451,6 +1451,79 @@ ORDER BY s_suppkey
 """
 
 
+# --- statistical aggregates via exact-decimal moments ------------------------
+
+
+def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean/stddev/correlation of (quantity, price) per returnflag —
+    computed from EXACT DECIMAL raw moments (n, Σx, Σy, Σx², Σy², Σxy)
+    rather than the built-in stddev/corr aggregates: double-based
+    streaming moments are summation-order-dependent (different
+    partitionings give different low bits), while decimal sums are
+    exact and order-free, and the closed-form combination of exact
+    moments in doubles is one fixed IEEE expression — bit-identical on
+    any cluster layout and in the oracle. The moments are also the
+    map-side-combinable form (each is an algebraic sum), so this IS
+    the scale shape, not just the portable one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_PRICE)
+    y = F.col("l_extendedprice").cast(_PRICE)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * (n - 1))
+    var_y = (n * syy - sy * sy) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(sy / n, 6).alias("mean_price"),
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(corr, 6).alias("qty_price_corr"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_STATS_MOMENTS = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(sx / n, 6) AS mean_qty,
+       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty,
+       round(sy / n, 6) AS mean_price,
+       round(sqrt((n * syy - sy * sy) / (n * (n - 1))), 6) AS stddev_price,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS qty_price_corr
+FROM m ORDER BY l_returnflag
+"""
+
+
 # --- salted fact-dim join (skew-safe; oracle proves it equals the plain join)
 
 
