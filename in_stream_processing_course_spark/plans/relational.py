@@ -605,6 +605,40 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- unpivot (melt): wide -> long, the inverse of pivot ----------------------
+
+
+def orders_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the priority-x-status count matrix back to long form with
+    DataFrame.unpivot (ids=priority, values=the three status count
+    columns) — the wide->long reshape that completes the pivot pair.
+    Round-trips through orders_pivot_status, so correctness covers
+    both directions."""
+    wide = orders_pivot_status(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_open", "n_finished", "n_partial"],
+        variableColumnName="status_bucket",
+        valueColumnName="n_orders",
+    )
+    return long.orderBy("o_orderpriority", "status_bucket")
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status_bucket, n_orders
+FROM wide
+UNPIVOT (n_orders FOR status_bucket IN (n_open, n_finished, n_partial))
+ORDER BY o_orderpriority, status_bucket
+"""
+
+
 # --- Q12-ish: shipping priority class breakdown (join + conditional agg) ----
 
 
