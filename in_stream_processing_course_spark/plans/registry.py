@@ -28,6 +28,7 @@ from . import pipeline_queries as pq
 from . import relational as rel
 from . import similarity_queries as sq
 from . import text_queries as tq
+from . import timeseries_queries as ts
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -266,6 +267,27 @@ register(
     "event_value_percentiles",
     pq.event_value_percentiles,
     pq.ORACLE_PERCENTILES,
+)
+
+# --- time-series / product analytics over events (semi-structured
+# extraction, gap fill, cohorts, anomaly flags, interval sweep-line)
+register("events_props_json", ts.events_props_json, ts.ORACLE_PROPS_JSON)
+register(
+    "events_hourly_gapfill", ts.events_hourly_gapfill, ts.ORACLE_HOURLY_GAPFILL
+)
+register(
+    "user_retention_cohorts", ts.user_retention_cohorts, ts.ORACLE_RETENTION
+)
+register("events_value_outliers", ts.events_value_outliers, ts.ORACLE_OUTLIERS)
+register(
+    "sessions_concurrency_daily",
+    ts.sessions_concurrency_daily,
+    ts.ORACLE_CONCURRENCY,
+)
+register(
+    "embedding_norm_histogram",
+    sq.embedding_norm_histogram,
+    sq.ORACLE_NORM_HISTOGRAM,
 )
 
 # --- approx/sketch variants (A2 at scale; rows-only, sketches are

@@ -171,3 +171,43 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, probes, _K, n_probe=4, cache_key=f"{sf_dir}/embeddings"
     ).orderBy("query_id", "rank")
+
+
+def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label histogram of L2 norms (bin width 0.05): the standard
+    sanity profile before cosine workloads — unnormalized vectors in a
+    supposedly-normalized corpus show up as off-center bins.
+
+    The norm is an ORDERED left fold over the array (F.aggregate ==
+    DuckDB list_reduce with a prepended init), so the double sum is
+    bit-identical on both engines under any row partitioning — the
+    array carries its own element order, unlike a row sum. One
+    projection + one tiny groupBy; no UDF, no explode.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", F.floor(norm * 20).alias("norm_bin"))
+        .groupBy("label", "norm_bin")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label", "norm_bin")
+    )
+
+
+ORACLE_NORM_HISTOGRAM = """
+SELECT label,
+       CAST(floor(sqrt(list_reduce(
+             list_prepend(0.0, list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (acc, x) -> acc + x)) * 20) AS BIGINT) AS norm_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM embeddings
+GROUP BY 1, 2
+ORDER BY label, norm_bin
+"""

@@ -1,0 +1,321 @@
+"""Time-series / product-analytics operators over the events stream:
+semi-structured JSON extraction, date-spine gap filling, retention
+cohorts, moment-based anomaly flags, and an interval sweep-line for
+concurrent-session load.
+
+The reference has no analytics beyond the bot query (SURVEY §2.7:
+"none of joins/sorts/..."), but its clickstream domain is exactly
+where these shapes live; each is expressed as native Column algebra
+(no UDFs) so Catalyst prunes the events scan down to the consumed
+columns and pushes the whole map side into WholeStageCodegen.
+
+Portability rules (driver oracle contract, see registry docstring):
+epoch BIGINT timestamps, exact-decimal internal sums cast to DOUBLE
+at the edge, integer division via DIV, and identical double operation
+order on both engines so comparisons/filters see identical bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.projections import ensure_timestamp
+from ..sources.batch import load_table
+from .events_queries import ORACLE_SESSIONIZE, sessionize_events
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+
+
+# --- semi-structured: JSON property extraction -----------------------------
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed field from the free-form ``props`` JSON column
+    and aggregate it per event type.
+
+    ``get_json_object`` is a native Catalyst expression (JVM Jackson
+    path evaluation, no Python): the engine's answer to schemaless
+    payload columns — the same decode-then-aggregate shape as the
+    reference's JSON wire decode (SURVEY §2.3 P2, ImplStructured
+    .scala:104-116) but over an embedded column instead of the Kafka
+    value. Malformed / missing keys become NULL and fall out of the
+    aggregates, mirroring the reference's silent-drop semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")  # no ts needed: prune to 2 cols
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- date-spine gap fill ---------------------------------------------------
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly counts per event type: a generated hour spine
+    (``sequence`` + explode) cross-joined with the observed type
+    dimension, left-joined to the real rollup.
+
+    The spine side is tiny and bounded (hours-in-range x event types)
+    so both joins broadcast; the only shuffle is the rollup's own
+    groupBy. Gap filling is the canonical prerequisite for windowed
+    models over sparse series — a missing hour must be an explicit 0,
+    not an absent row.
+    """
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = (
+        ev.groupBy(hour.alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine_hours = (
+        ev.agg(
+            F.min(hour).alias("lo"),
+            F.max(hour).alias("hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(counts, ["h", "event_type"], "left")
+        .select(
+            F.unix_timestamp("h").alias("hour_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+ORACLE_HOURLY_GAPFILL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(hours.h)) AS BIGINT) AS hour_start,
+       types.event_type,
+       CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+FROM hours
+CROSS JOIN types
+LEFT JOIN counts
+  ON counts.h = hours.h AND counts.event_type = types.event_type
+ORDER BY hour_start, types.event_type
+"""
+
+
+# --- retention cohorts -----------------------------------------------------
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week, with
+    distinct actives counted per whole weeks elapsed since first touch.
+
+    All time math is integer arithmetic on epoch days (``DIV``), so
+    the result is engine- and timezone-independent: cohort weeks are
+    epoch-anchored 7-day blocks, not locale week-starts. Two shuffles
+    (first-touch agg, cohort agg); the first-touch side re-joins on
+    user_id so at scale it co-partitions with the event side instead
+    of broadcasting an unbounded user dimension.
+    """
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        days.join(first, "user_id")
+        .select(
+            "user_id",
+            F.expr("(first_day DIV 7) * 7 * 86400").alias("cohort_start"),
+            F.expr("(day - first_day) DIV 7").alias("week_offset"),
+        )
+        .groupBy("cohort_start", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_start", "week_offset")
+    )
+
+
+ORACLE_RETENTION = """
+WITH days AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id
+)
+SELECT (first.first_day // 7) * 7 * 86400 AS cohort_start,
+       (days.day - first.first_day) // 7 AS week_offset,
+       CAST(COUNT(DISTINCT days.user_id) AS BIGINT) AS n_users
+FROM days JOIN first ON days.user_id = first.user_id
+GROUP BY 1, 2
+ORDER BY cohort_start, week_offset
+"""
+
+
+# --- moment-based anomaly flags --------------------------------------------
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers per event type from exact-decimal raw moments.
+
+    value is a 2-dp quantity: cast to DECIMAL(18,2) it sums exactly
+    (order-free, map-side combinable), and d*d is an exact
+    DECIMAL(_,4), so mean/variance are identical under any
+    partitioning. The moments fold to one tiny stats row per type
+    (bounded dimension -> broadcast back, same policy as
+    operators/skew.py), and z = (value - mean) / stddev is the same
+    double operation sequence on both engines, so the |z| filter sees
+    identical bits. Same moment recipe as relational.stats_quantity
+    _price; here it drives row-level flagging, not reporting.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("s"),
+            F.sum(d * d).alias("sq"),
+        )
+        .select(
+            "event_type",
+            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.col("sq").cast("double") / F.col("n")
+                - (F.col("s").cast("double") / F.col("n"))
+                * (F.col("s").cast("double") / F.col("n"))
+            ).alias("std"),
+        )
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > F.lit(2.5))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_OUTLIERS = """
+WITH stats AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(CAST(sq AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std
+  FROM (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s,
+           SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+             AS sq
+    FROM events GROUP BY event_type
+  )
+)
+SELECT events.event_id,
+       events.event_type,
+       events.value,
+       round((events.value - stats.mean) / stats.std, 6) AS zscore
+FROM events JOIN stats ON events.event_type = stats.event_type
+WHERE abs((events.value - stats.mean) / stats.std) > 2.5
+ORDER BY event_id
+"""
+
+
+# --- interval sweep-line: concurrent sessions ------------------------------
+
+
+def sessions_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep-line over the session
+    intervals produced by :func:`sessionize_events`.
+
+    Each session contributes +1 at start and -1 at end (end exclusive);
+    net deltas are grouped per unique boundary timestamp FIRST, so the
+    running sum is deterministic regardless of how ties would
+    otherwise order. The global running sum is a single-partition
+    window over the deduplicated boundary set — already reduced to
+    ~2 rows per session; at 100 TB the same sweep runs per coarse time
+    range with per-range carry-ins (two-pass prefix sum), which this
+    grouping structure admits without changing semantics.
+    """
+    s = sessionize_events(spark, sf_dir)
+    deltas = s.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(s.select(F.col("session_end").alias("t"), F.lit(-1).alias("d")))
+    net = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    w = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    active = net.select(
+        "t", F.sum("net").over(w).alias("active")
+    )
+    return (
+        active.groupBy(F.expr("(t DIV 86400) * 86400").alias("day_start"))
+        .agg(F.max("active").alias("peak_concurrency"))
+        .orderBy("day_start")
+    )
+
+
+ORACLE_CONCURRENCY = f"""
+WITH sessions AS ({ORACLE_SESSIONIZE}
+), deltas AS (
+  SELECT session_start AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT session_end AS t, -1 AS d FROM sessions
+), net AS (
+  SELECT t, SUM(d) AS net FROM deltas GROUP BY t
+), active AS (
+  SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS active
+  FROM net
+)
+SELECT (t // 86400) * 86400 AS day_start,
+       CAST(MAX(active) AS BIGINT) AS peak_concurrency
+FROM active
+GROUP BY 1
+ORDER BY day_start
+"""
