@@ -284,6 +284,7 @@ register(
     ts.sessions_concurrency_daily,
     ts.ORACLE_CONCURRENCY,
 )
+register("events_rolling_7d", ts.events_rolling_7d, ts.ORACLE_ROLLING_7D)
 register(
     "embedding_norm_histogram",
     sq.embedding_norm_histogram,

@@ -319,3 +319,48 @@ FROM active
 GROUP BY 1
 ORDER BY day_start
 """
+
+
+# --- range-frame rolling window --------------------------------------------
+
+
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day rolling activity at every event: a RANGE
+    window frame over epoch seconds (peers at the same timestamp enter
+    the frame together, so the result is tie-proof), versus the
+    rows-frame running totals elsewhere (window_running_revenue).
+
+    One shuffle on user_id; the frame scan is a single sort-then-slide
+    pass per key. Rolling sums of the 2-dp value column round to 4 dp
+    (exact sums sit on the 0.01 grid — order-safe; see
+    events_queries.ORACLE_HOURLY note).
+    """
+    ev = _events(spark, sf_dir)
+    es = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(es)
+        .rangeBetween(-(7 * 86400 - 1), 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+            F.round(F.sum("value").over(w), 4).alias("roll_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ROLLING_7D = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+       round(SUM(value) OVER w, 4) AS roll_value
+FROM (SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
