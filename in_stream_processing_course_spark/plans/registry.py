@@ -285,6 +285,10 @@ register(
     ts.ORACLE_CONCURRENCY,
 )
 register("events_rolling_7d", ts.events_rolling_7d, ts.ORACLE_ROLLING_7D)
+register("user_type_history", ts.user_type_history, ts.ORACLE_TYPE_HISTORY)
+register(
+    "nation_revenue_share", rel.nation_revenue_share, rel.ORACLE_REVENUE_SHARE
+)
 register(
     "embedding_norm_histogram",
     sq.embedding_norm_histogram,

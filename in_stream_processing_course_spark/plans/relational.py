@@ -1725,3 +1725,61 @@ FROM per_nation, total
 WHERE CAST(nation_bal AS DOUBLE) > CAST(total_bal AS DOUBLE) * 0.05
 ORDER BY nationkey
 """
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each nation's share of
+    global discounted revenue, via an unpartitioned window sum OVER the
+    per-nation rollup (25 rows — the window is trivially cheap because
+    it runs on the aggregate, never the fact table).
+
+    Sums stay exact DECIMAL through both levels; the single division
+    happens on the two correctly-rounded doubles, so share bits match
+    any engine.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    per_nation = joined.groupBy("n_name").agg(
+        F.sum("disc_price").alias("rev_dec")
+    )
+    total = Window.partitionBy()
+    return (
+        per_nation.select(
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(total).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       round(CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS share
+FROM per_nation
+ORDER BY n_name
+"""

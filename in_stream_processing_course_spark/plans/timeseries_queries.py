@@ -364,3 +364,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY es
              RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# --- run-length compression / SCD2-style validity ranges -------------------
+
+
+def user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress each user's event stream into validity ranges per
+    consecutive run of the same event_type — the change-data-capture /
+    slowly-changing-dimension shape: (user, state, valid_from,
+    valid_to) with valid_to = next run's start (NULL while current).
+
+    Islands come from a lag-based change flag cumsummed over ONE
+    window spec (partition user_id, order ts,event_id), so the whole
+    derivation is a single shuffle + sort; the island rollup and the
+    valid_to lead reuse the user_id partitioning. Ties are broken by
+    event_id — a total order, so runs are deterministic.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    islands = runs.groupBy("user_id", "run_id").agg(
+        F.min_by("event_type", "event_id").alias("event_type"),
+        F.min("es").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        islands.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(wu).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+ORACLE_TYPE_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, event_type, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type, es,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+), islands AS (
+  SELECT user_id, run_id,
+         MIN(event_type) AS event_type,
+         MIN(es) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM islands
+ORDER BY user_id, valid_from
+"""
