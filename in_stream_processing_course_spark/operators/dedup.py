@@ -112,7 +112,16 @@ def minhash_candidates(
     (band_id, band_key), distinct (a < b) pairs. The join is a plain
     shuffle-hash/sort-merge equi-join — no cross product anywhere.
     """
-    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k)
+    # materialize the band table once: AQE never reuses the exchange
+    # under a self-join (each side becomes its own query stage), so
+    # without this the whole shingle->minhash pipeline — the expensive
+    # part — executes twice. The band table is rows x bands, far
+    # smaller than the token/shingle table, and caching it before a
+    # banded self-join is the standard LSH shape at any scale
+    # (MEMORY_AND_DISK blocks, spillable).
+    banded = minhash_bands(
+        df, id_col, text_col, num_hashes, bands, shingle_k
+    ).localCheckpoint(eager=False)
     left = banded.alias("l")
     # shuffle-hash beats the default broadcast plan here (the build side
     # is not small relative to the probe side — it IS the probe side),
@@ -344,6 +353,10 @@ def simhash_dedup_candidates(
             )
         ).alias("band"),
     ).select(id_col, "_sh", "band.band_id", "band.band_val")
+    # materialized once before the self-join: see minhash_candidates —
+    # AQE's per-stage planning never reuses the exchange, so the
+    # token-explode + n_bits-vote aggregate would otherwise run twice
+    bands = bands.localCheckpoint(eager=False)
     # shuffle-hash over broadcast: see minhash_candidates
     l, r = bands.alias("l"), bands.hint("shuffle_hash").alias("r")
     pairs = (
