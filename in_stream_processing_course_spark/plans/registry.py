@@ -290,6 +290,11 @@ register(
     "nation_revenue_share", rel.nation_revenue_share, rel.ORACLE_REVENUE_SHARE
 )
 register(
+    "lateral_top_orders_per_customer",
+    rel.lateral_top_orders_per_customer,
+    rel.ORACLE_LATERAL_TOPK,
+)
+register(
     "embedding_norm_histogram",
     sq.embedding_norm_histogram,
     sq.ORACLE_NORM_HISTOGRAM,

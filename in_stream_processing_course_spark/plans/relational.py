@@ -1783,3 +1783,41 @@ SELECT n_name,
 FROM per_nation
 ORDER BY n_name
 """
+
+
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-2-orders-per-customer shape expressed as the SQL-standard
+    lateral join instead of a rank-filter window
+    (window_topk_parts_per_brand covers that formulation; this pins
+    the LATERAL surface itself). Catalyst decorrelates it into a
+    ranked window under the hood, so the physical plan is the same
+    shuffle-on-custkey + per-key sort — no nested-loop execution.
+
+    Raw o_totalprice doubles pass through untouched (no arithmetic),
+    so the hash is engine-independent; ties break on o_orderkey.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey, t.rev
+        FROM _lat_customer,
+        LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS rev
+                 FROM _lat_orders WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, rev DESC, o_orderkey
+        """
+    )
+
+
+ORACLE_LATERAL_TOPK = """
+SELECT c_custkey, t.o_orderkey, t.rev
+FROM customer,
+LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS rev
+         FROM orders WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+ORDER BY c_custkey, rev DESC, o_orderkey
+"""
