@@ -490,3 +490,49 @@ SELECT doc_id,
        round(1.0 - len(list_distinct(grams)) / len(grams), 6) AS repetition_ratio
 FROM g ORDER BY doc_id
 """
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching for entity resolution: part-name pairs
+    within the same brand at Levenshtein distance <= 3 — the
+    edit-distance tier of the dedup family (token-set tiers:
+    n-gram Jaccard; hash tiers: MinHash/SimHash).
+
+    Same no-cross-product discipline as every near-dup operator: the
+    equi-join on the brand blocking key bounds the candidate set, and
+    the quadratic edit-distance work stays inside blocks (AQE splits
+    skewed brands). ``levenshtein`` is the classic unit-cost dynamic
+    program in both engines, so distances hash-match exactly.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    l, r = part.alias("l"), part.hint("shuffle_hash").alias("r")
+    dist = F.levenshtein(F.col("l.p_name"), F.col("r.p_name"))
+    return (
+        l.join(
+            r,
+            (F.col("l.p_brand") == F.col("r.p_brand"))
+            & (F.col("l.p_partkey") < F.col("r.p_partkey")),
+        )
+        .where(dist <= 3)
+        .select(
+            F.col("l.p_brand").alias("brand"),
+            F.col("l.p_partkey").alias("a"),
+            F.col("r.p_partkey").alias("b"),
+            dist.cast("long").alias("distance"),
+        )
+        .orderBy("brand", "a", "b")
+    )
+
+
+ORACLE_FUZZY_PARTS = """
+SELECT l.p_brand AS brand,
+       l.p_partkey AS a,
+       r.p_partkey AS b,
+       CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS distance
+FROM part l JOIN part r
+  ON l.p_brand = r.p_brand AND l.p_partkey < r.p_partkey
+WHERE levenshtein(l.p_name, r.p_name) <= 3
+ORDER BY brand, a, b
+"""

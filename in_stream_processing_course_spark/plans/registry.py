@@ -195,6 +195,9 @@ register(
 )
 register("dedup_simhash", dq.simhash_fingerprints, dq.ORACLE_SIMHASH)
 register(
+    "dedup_fuzzy_part_names", dq.fuzzy_part_name_pairs, dq.ORACLE_FUZZY_PARTS
+)
+register(
     "dedup_embedding_cosine",
     dq.embedding_cosine_near_dups,
     dq.ORACLE_EMBEDDING_COSINE,
