@@ -127,8 +127,10 @@ def heavy_hitters_stream(
     capacity: int = 16,
 ) -> DataFrame:
     """Per-``group_col`` Space-Saving summary of ``item_col`` with at
-    most ``capacity`` tracked items per group. Works identically on a
-    batch or streaming DataFrame (entry-point-3 property)."""
+    most ``capacity`` tracked items per group (streaming DataFrames;
+    ``applyInPandasWithState`` is streaming-only — the batch-equivalent
+    answer is a plain exact groupBy count, which the tests use as the
+    ground truth)."""
     keyed = df.selectExpr(
         f"CAST({group_col} AS STRING) AS group",
         f"CAST({item_col} AS STRING) AS item",

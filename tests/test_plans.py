@@ -214,3 +214,38 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bucketed_orders")
         spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
+
+
+def test_lateral_decorrelates_to_hash_join(spark):
+    """The LATERAL correlated subquery must plan as a decorrelated
+    hash join + ranked window — never per-row nested-loop execution."""
+    plan = _physical(QUERIES["lateral_top_orders_per_customer"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the LIMIT-per-row became a rank window
+
+
+def test_fuzzy_match_blocks_on_equi_join(spark):
+    """Edit-distance matching must candidate-generate via the brand
+    equi-join; the levenshtein filter runs post-join, never as a
+    join-free cross product."""
+    plan = _physical(QUERIES["dedup_fuzzy_part_names"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_outlier_stats_broadcast_back(spark):
+    """The per-type moment stats are a bounded dimension: they must
+    broadcast back onto the fact side, not shuffle it."""
+    plan = _physical(QUERIES["events_value_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_range_frame_single_shuffle(spark):
+    """The RANGE-frame rolling window needs exactly one hash exchange
+    (user_id) besides the fan-out repartition."""
+    plan = _physical(QUERIES["events_rolling_7d"](spark, SF))
+    assert plan.count("hashpartitioning(user_id") >= 1
+    # specifiedwindowframe(RangeFrame...) in the window spec
+    assert "RangeFrame" in plan
