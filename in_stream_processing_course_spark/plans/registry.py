@@ -298,6 +298,9 @@ register(
     rel.ORACLE_LATERAL_TOPK,
 )
 register(
+    "weekly_revenue_growth", rel.weekly_revenue_growth, rel.ORACLE_WEEKLY_GROWTH
+)
+register(
     "embedding_norm_histogram",
     sq.embedding_norm_histogram,
     sq.ORACLE_NORM_HISTOGRAM,

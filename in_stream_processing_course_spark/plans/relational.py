@@ -1821,3 +1821,60 @@ LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS rev
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
 ORDER BY c_custkey, rev DESC, o_orderkey
 """
+
+
+def weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly revenue with
+    week-over-week delta and growth rate (lag OVER the aggregated
+    series). Weeks are epoch-anchored 7-day blocks (integer day
+    arithmetic — engine/locale-independent, same convention as
+    user_retention_cohorts).
+
+    The window is unpartitioned but runs on the aggregate (one row per
+    week), so the single-partition sort is bounded by the calendar,
+    not the data; revenue stays exact DECIMAL until the output cast
+    and the growth division divides two identical doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    week = F.expr(
+        "datediff(o_orderdate, DATE '1970-01-01') DIV 7"
+    ).alias("week")
+    weekly = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(week)
+        .agg(F.sum("disc_price").alias("rev_dec"))
+    )
+    w = Window.orderBy("week")
+    rev = F.col("rev_dec").cast("double")
+    prev = F.lag(F.col("rev_dec")).over(w).cast("double")
+    return (
+        weekly.select(
+            "week",
+            rev.alias("revenue"),
+            (rev - prev).alias("delta"),
+            F.round((rev - prev) / prev, 6).alias("growth"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_WEEKLY_GROWTH = """
+WITH weekly AS (
+  SELECT datediff('day', DATE '1970-01-01', o_orderdate) // 7 AS week,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS rev_dec
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT week,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY week) AS DOUBLE)
+         AS delta,
+       round((CAST(rev_dec AS DOUBLE)
+              - CAST(lag(rev_dec) OVER (ORDER BY week) AS DOUBLE))
+             / CAST(lag(rev_dec) OVER (ORDER BY week) AS DOUBLE), 6) AS growth
+FROM weekly
+ORDER BY week
+"""
