@@ -546,3 +546,76 @@ SELECT shard,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
 FROM offs GROUP BY shard, seq_id ORDER BY shard, seq_id
 """
+
+
+# --- deterministic weighted dataset mixing ----------------------------------
+
+# per-source mixture weights: fractional repeat factors. >1 upsamples
+# (integer copies + md5-gated extra), <1 downsamples (md5-gated keep).
+# Same content-addressed determinism as sample_events_stratified: the
+# copy count is a pure function of doc_id, reproducible on any engine,
+# cluster, or partitioning.
+_MIX_EVEN_WEIGHT = (2, "8000")  # even source idx: 2.5x -> base 2, frac 0.5
+_MIX_ODD_WEIGHT = (0, "4000")  # odd source idx: 0.25x -> base 0, frac 0.25
+
+
+def mix_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing — the training-blend materializer:
+    each source's documents are repeated by a fractional weight
+    (upsample hot sources, thin cold ones), emitting one row per copy
+    with a copy_id for downstream shuffling/packing.
+
+    copies = base + [md5_prefix(doc_id) < frac_threshold]; rows with
+    zero copies drop before the explode, so the generate+posexplode
+    never sees an empty-range edge case (Spark's ``sequence(1, 0)``
+    REVERSES direction rather than yielding empty). The explode is
+    map-side only — no shuffle anywhere; at 100 TB the blend runs as
+    a pure scan->project->explode pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+    )
+    even_base, even_thr = _MIX_EVEN_WEIGHT
+    odd_base, odd_thr = _MIX_ODD_WEIGHT
+    base = F.when(
+        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"),
+        F.lit(even_base),
+    ).otherwise(F.lit(odd_base))
+    thr = F.when(
+        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"),
+        F.lit(even_thr),
+    ).otherwise(F.lit(odd_thr))
+    copies = (base + (prefix < thr).cast("int")).alias("copies")
+    return (
+        docs.select("doc_id", "source", copies)
+        .where(F.col("copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.sequence(F.lit(1), F.col("copies"))).alias(
+                "copy_id", "_one"
+            ),
+        )
+        .select("doc_id", "source", F.col("copy_id").cast("long").alias("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    )
+
+
+ORACLE_MIX_WEIGHTED = f"""
+WITH counted AS (
+  SELECT doc_id, source,
+         (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+               THEN {_MIX_EVEN_WEIGHT[0]} ELSE {_MIX_ODD_WEIGHT[0]} END)
+         + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                      (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                            THEN '{_MIX_EVEN_WEIGHT[1]}'
+                            ELSE '{_MIX_ODD_WEIGHT[1]}' END)
+                 THEN 1 ELSE 0 END) AS copies
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(u.c - 1 AS BIGINT) AS copy_id
+FROM counted, unnest(generate_series(1, copies)) AS u(c)
+WHERE copies > 0
+ORDER BY doc_id, copy_id
+"""

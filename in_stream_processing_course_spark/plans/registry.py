@@ -252,6 +252,9 @@ register(
     pq.ORACLE_SAMPLE_STRATIFIED,
 )
 register("text_tfidf", pq.text_tfidf, pq.ORACLE_TFIDF)
+register(
+    "mix_documents_weighted", pq.mix_documents_weighted, pq.ORACLE_MIX_WEIGHTED
+)
 register("text_chunks", pq.text_chunks, pq.ORACLE_CHUNKS)
 register(
     "sample_k_per_user", pq.sample_k_per_user, pq.ORACLE_SAMPLE_K_PER_USER
