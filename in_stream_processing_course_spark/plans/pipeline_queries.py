@@ -7,7 +7,7 @@ all); they are north-star design work, written shuffle-aware.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -618,4 +618,67 @@ SELECT doc_id, source,
 FROM counted, unnest(generate_series(1, copies)) AS u(c)
 WHERE copies > 0
 ORDER BY doc_id, copy_id
+"""
+
+
+# --- balanced shard assignment ----------------------------------------------
+
+_N_SHARDS = 8
+
+
+def shard_documents_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment — the write-side partitioner for
+    training shards: order documents by token count (descending, doc_id
+    tie-break) and deal them round-robin across ``_N_SHARDS``, the
+    classic LPT-style greedy that bounds per-shard token skew to one
+    document. Emits the per-shard totals the writer would use to name
+    and size its output files.
+
+    The global rank is one total-order window (the per-shard rollup
+    reuses nothing heavier); at 100 TB the same dealing runs per
+    partition-range with rank offsets carried in (two-pass prefix
+    ranks), which the round-robin arithmetic admits unchanged."""
+    from ..functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count_col(F.col("text")).alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    assigned = docs.select(
+        "doc_id",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("long").alias(
+            "shard"
+        ),
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_BALANCED = f"""
+WITH counted AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> len(t) > 0)) AS n_tokens
+  FROM documents
+), assigned AS (
+  SELECT doc_id, n_tokens,
+         (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+           % {_N_SHARDS} AS shard
+  FROM counted
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM assigned
+GROUP BY shard
+ORDER BY shard
 """

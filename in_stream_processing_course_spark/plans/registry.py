@@ -255,6 +255,11 @@ register("text_tfidf", pq.text_tfidf, pq.ORACLE_TFIDF)
 register(
     "mix_documents_weighted", pq.mix_documents_weighted, pq.ORACLE_MIX_WEIGHTED
 )
+register(
+    "shard_documents_balanced",
+    pq.shard_documents_balanced,
+    pq.ORACLE_SHARD_BALANCED,
+)
 register("text_chunks", pq.text_chunks, pq.ORACLE_CHUNKS)
 register(
     "sample_k_per_user", pq.sample_k_per_user, pq.ORACLE_SAMPLE_K_PER_USER
