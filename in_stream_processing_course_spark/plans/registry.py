@@ -174,6 +174,9 @@ register("text_lang_quality_rollup", tq.lang_quality_rollup, tq.ORACLE_LANG_ROLL
 register("text_term_frequencies", tq.term_frequencies, tq.ORACLE_TERM_FREQUENCIES)
 register("text_curation_pipeline", tq.curation_pipeline, tq.ORACLE_CURATION)
 register(
+    "text_lang_confusion", tq.lang_confusion_matrix, tq.ORACLE_LANG_CONFUSION
+)
+register(
     "text_doc_length_histogram",
     tq.doc_length_histogram,
     tq.ORACLE_DOC_LENGTH_HISTOGRAM,

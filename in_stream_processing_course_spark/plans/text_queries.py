@@ -290,3 +290,44 @@ SELECT lang, source,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
 FROM deduped GROUP BY lang, source ORDER BY lang, source
 """
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-prediction confusion matrix: declared ``lang`` against
+    the n-gram-marker language guess, long form (label, guess, n) —
+    the evaluation view for any classifier-quality audit over a
+    curated corpus. One projection + one tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    staged = docs.select(
+        "lang", tx.tokens_col(F.lower(t)).alias("_toks"), "text"
+    )
+    return (
+        staged.select(
+            "lang",
+            F.coalesce(
+                tx.lang_id_col(F.col("text"), F.col("_toks")), F.lit("und")
+            ).alias("lang_guess"),
+        )
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+ORACLE_LANG_CONFUSION = rf"""
+WITH scored AS (
+  SELECT lang, {_SCORE_COLS}
+  FROM documents
+)
+SELECT lang,
+       coalesce(CASE
+         WHEN m IS NULL THEN NULL
+         {_LANG_WHENS}
+         ELSE '{tx.LANG_ORDER[-1]}'
+       END, 'und') AS lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT *, greatest({_ALL_SCORES}) AS m FROM scored)
+GROUP BY 1, 2
+ORDER BY lang, lang_guess
+"""
