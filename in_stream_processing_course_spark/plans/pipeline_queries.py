@@ -577,14 +577,9 @@ def mix_documents_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     even_base, even_thr = _MIX_EVEN_WEIGHT
     odd_base, odd_thr = _MIX_ODD_WEIGHT
-    base = F.when(
-        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"),
-        F.lit(even_base),
-    ).otherwise(F.lit(odd_base))
-    thr = F.when(
-        F.expr("CAST(substring(source, 4) AS INT) % 2 = 0"),
-        F.lit(even_thr),
-    ).otherwise(F.lit(odd_thr))
+    is_even = F.expr("CAST(substring(source, 4) AS INT) % 2 = 0")
+    base = F.when(is_even, F.lit(even_base)).otherwise(F.lit(odd_base))
+    thr = F.when(is_even, F.lit(even_thr)).otherwise(F.lit(odd_thr))
     copies = (base + (prefix < thr).cast("int")).alias("copies")
     return (
         docs.select("doc_id", "source", copies)

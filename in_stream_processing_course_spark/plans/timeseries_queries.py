@@ -20,13 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.projections import ensure_timestamp
 from ..sources.batch import load_table
-from .events_queries import ORACLE_SESSIONIZE, sessionize_events
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+from .events_queries import ORACLE_SESSIONIZE, _events, sessionize_events
 
 
 # --- semi-structured: JSON property extraction -----------------------------
@@ -45,7 +40,11 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, mirroring the reference's silent-drop semantics.
     """
     ev = load_table(spark, sf_dir, "events")  # no ts needed: prune to 2 cols
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: a non-numeric "k" degrades to NULL instead of an ANSI
+    # cast error; the oracle guards with json_valid + TRY_CAST because
+    # DuckDB's json_extract_string ERRORS on malformed JSON where
+    # get_json_object returns NULL
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -67,7 +66,9 @@ SELECT event_type,
        CAST(MAX(k) AS BIGINT) AS max_k
 FROM (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
   FROM events
 )
 GROUP BY event_type
@@ -207,6 +208,11 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     double operation sequence on both engines, so the |z| filter sees
     identical bits. Same moment recipe as relational.stats_quantity
     _price; here it drives row-level flagging, not reporting.
+
+    Zero-variance groups (single event, or all-equal values) are
+    excluded up front: 0/0 is NaN in Spark (and NaN compares ABOVE the
+    threshold) but NULL in DuckDB — the std > 0 guard keeps both
+    engines on defined arithmetic.
     """
     ev = load_table(spark, sf_dir, "events")
     d = F.col("value").cast("decimal(18,2)")
@@ -226,6 +232,7 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("s").cast("double") / F.col("n"))
             ).alias("std"),
         )
+        .where(F.col("std") > 0)
     )
     z = (F.col("value") - F.col("mean")) / F.col("std")
     return (
@@ -256,12 +263,17 @@ WITH stats AS (
     FROM events GROUP BY event_type
   )
 )
+, stats_defined AS (
+  SELECT * FROM stats WHERE std > 0
+)
 SELECT events.event_id,
        events.event_type,
        events.value,
-       round((events.value - stats.mean) / stats.std, 6) AS zscore
-FROM events JOIN stats ON events.event_type = stats.event_type
-WHERE abs((events.value - stats.mean) / stats.std) > 2.5
+       round((events.value - stats_defined.mean) / stats_defined.std, 6)
+         AS zscore
+FROM events JOIN stats_defined
+  ON events.event_type = stats_defined.event_type
+WHERE abs((events.value - stats_defined.mean) / stats_defined.std) > 2.5
 ORDER BY event_id
 """
 
@@ -276,17 +288,30 @@ def sessions_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each session contributes +1 at start and -1 at end (end exclusive);
     net deltas are grouped per unique boundary timestamp FIRST, so the
     running sum is deterministic regardless of how ties would
-    otherwise order. The global running sum is a single-partition
-    window over the deduplicated boundary set — already reduced to
-    ~2 rows per session; at 100 TB the same sweep runs per coarse time
-    range with per-range carry-ins (two-pass prefix sum), which this
-    grouping structure admits without changing semantics.
+    otherwise order. A zero-delta probe at every midnight in the
+    boundary span makes each day's max reflect concurrency CARRIED IN
+    at day start — a session spanning midnight counts toward every day
+    it covers, and covered days with no boundaries of their own still
+    appear. The global running sum is a single-partition window over
+    the deduplicated boundary set — already reduced to ~2 rows per
+    session plus one per day; at 100 TB the same sweep runs per coarse
+    time range with per-range carry-ins (two-pass prefix sum), which
+    this grouping structure admits without changing semantics.
     """
     s = sessionize_events(spark, sf_dir)
     deltas = s.select(
         F.col("session_start").alias("t"), F.lit(1).alias("d")
     ).unionAll(s.select(F.col("session_end").alias("t"), F.lit(-1).alias("d")))
-    net = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    probes = (
+        deltas.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.expr("lo DIV 86400"), F.expr("hi DIV 86400"))
+            ).alias("day")
+        )
+        .select((F.col("day") * 86400).alias("t"), F.lit(0).alias("d"))
+    )
+    net = deltas.unionAll(probes).groupBy("t").agg(F.sum("d").alias("net"))
     w = (
         Window.orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -307,8 +332,14 @@ WITH sessions AS ({ORACLE_SESSIONIZE}
   SELECT session_start AS t, 1 AS d FROM sessions
   UNION ALL
   SELECT session_end AS t, -1 AS d FROM sessions
+), probes AS (
+  SELECT unnest(generate_series(lo // 86400, hi // 86400)) * 86400 AS t,
+         0 AS d
+  FROM (SELECT MIN(t) AS lo, MAX(t) AS hi FROM deltas)
 ), net AS (
-  SELECT t, SUM(d) AS net FROM deltas GROUP BY t
+  SELECT t, SUM(d) AS net
+  FROM (SELECT * FROM deltas UNION ALL SELECT * FROM probes)
+  GROUP BY t
 ), active AS (
   SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS active
   FROM net

@@ -27,12 +27,19 @@ Z_BITS = 16  # per dimension; 2 x 16 = 32-bit Z-values
 
 
 def _scale_expr(col: str, lo: str, hi: str, bits: int) -> str:
-    """SQL expr mapping col into [0, 2^bits) by linear domain scaling
-    (integer arithmetic; degenerate single-value domains map to 0)."""
+    """SQL expr mapping col into [0, 2^bits) by linear domain scaling.
+
+    Divide-first form: step = ceil(width / 2^bits), scaled =
+    (col - lo) DIV step. Never multiplies the offset, so the full
+    64-bit key domain (snowflake-style ids) is overflow-safe — the
+    multiply-then-divide form blows past BIGINT once width > ~2^47.
+    Degenerate single-value domains map to 0; narrow domains stay in
+    their low bits, which Morton interleave handles identically."""
     width = f"(CAST({hi} AS BIGINT) - CAST({lo} AS BIGINT) + 1)"
+    step = f"greatest(({width} + {(1 << bits) - 1}) DIV {1 << bits}, 1)"
     return (
-        f"CAST((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) * {1 << bits}"
-        f" DIV {width} AS BIGINT)"
+        f"CAST((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT))"
+        f" DIV {step} AS BIGINT)"
     )
 
 

@@ -31,6 +31,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -134,7 +135,10 @@ def heavy_hitters_stream(
     keyed = df.selectExpr(
         f"CAST({group_col} AS STRING) AS group",
         f"CAST({item_col} AS STRING) AS item",
-    )
+    ).where(F.col("item").isNotNull())
+    # nulls are excluded EXPLICITLY so n_observed counts exactly the
+    # rows the summary saw (pandas value_counts silently drops NaN —
+    # an invisible filter would skew the n/capacity guarantee)
     return keyed.groupBy("group").applyInPandasWithState(
         _make_update_fn(capacity),
         OUTPUT_SCHEMA,

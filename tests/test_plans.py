@@ -246,6 +246,13 @@ def test_rolling_range_frame_single_shuffle(spark):
     """The RANGE-frame rolling window needs exactly one hash exchange
     (user_id) besides the fan-out repartition."""
     plan = _physical(QUERIES["events_rolling_7d"](spark, SF))
-    assert plan.count("hashpartitioning(user_id") >= 1
+    # formatted mode separates the Exchange node from its partitioning
+    # spec ("Arguments: hashpartitioning(user_id#..., ...)")
+    hash_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Arguments: hashpartitioning(user_id" in l
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
     # specifiedwindowframe(RangeFrame...) in the window spec
     assert "RangeFrame" in plan

@@ -55,7 +55,12 @@ def test_concurrency_peak_bounded_by_users(spark, sf_dir):
     n_users = (
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
-    assert all(1 <= r.peak_concurrency <= n_users for r in out)
+    # midnight probes mean a covered-but-idle day may report 0; a
+    # user's sessions never overlap so n_users is the ceiling
+    assert all(0 <= r.peak_concurrency <= n_users for r in out)
+    # probes also guarantee every day of the boundary span appears
+    days = sorted(r.day_start for r in out)
+    assert days == list(range(days[0], days[-1] + 86400, 86400))
 
 
 def test_props_json_null_safe(spark, sf_dir):
