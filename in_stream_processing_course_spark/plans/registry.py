@@ -82,6 +82,11 @@ register(
 )
 register("set_ops_nations", rel.nation_set_ops, rel.ORACLE_SET_OPS)
 register("rollup_revenue", rel.revenue_rollup, rel.ORACLE_ROLLUP)
+register(
+    "rollup_orders_time_hierarchy",
+    rel.rollup_orders_time_hierarchy,
+    rel.ORACLE_ROLLUP_TIME,
+)
 register("pivot_orders_status", rel.orders_pivot_status, rel.ORACLE_PIVOT)
 register("unpivot_orders_status", rel.orders_unpivot_status, rel.ORACLE_UNPIVOT)
 register("tpch_q12_priority_class", rel.q12_priority_class, rel.ORACLE_Q12)

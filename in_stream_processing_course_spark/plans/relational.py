@@ -1878,3 +1878,43 @@ SELECT week,
 FROM weekly
 ORDER BY week
 """
+
+
+def rollup_orders_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-hierarchy ROLLUP — order totals at day, month, year,
+    and grand-total grain in one Expand+aggregate pass (the calendar
+    drill-down complement to the dimension rollup in revenue_rollup).
+    Date-part extraction is identical integer arithmetic in both
+    engines; NULL grouping levels pass through (the driver hash
+    canonicalizes them), and the 2-dp o_totalprice sums round to 4 dp
+    on the exactness grid.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy(
+            F.col("y").asc_nulls_first(),
+            F.col("m").asc_nulls_first(),
+            F.col("d").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP_TIME = """
+SELECT CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(o_totalprice), 4) AS total
+FROM orders
+GROUP BY ROLLUP (y, m, d)
+ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST, d ASC NULLS FIRST
+"""
