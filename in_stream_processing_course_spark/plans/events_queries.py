@@ -392,3 +392,52 @@ def range_join_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def reconcile_clicks_vs_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the audit-join shape: daily click
+    volume against daily purchase volume, keeping days where either
+    side is missing (coalesced to zero) so drop-offs on EITHER stream
+    are visible. Completes the join family (inner/left/semi/anti/
+    lateral/as-of/range all appear elsewhere; this pins full-outer).
+    """
+    ev = _events(spark, sf_dir)
+    day = F.expr("unix_timestamp(ts) DIV 86400 * 86400").alias("day_start")
+
+    def side(event_type: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy(day)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    clicks = side("click", "n_clicks")
+    purchases = side("purchase", "n_purchases")
+    return (
+        clicks.join(purchases, "day_start", "full_outer")
+        .select(
+            "day_start",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .orderBy("day_start")
+    )
+
+
+ORACLE_RECONCILE = """
+WITH clicks AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_start,
+         COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), purchases AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS day_start,
+         COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(clicks.day_start, purchases.day_start) AS day_start,
+       CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases
+FROM clicks FULL OUTER JOIN purchases
+  ON clicks.day_start = purchases.day_start
+ORDER BY day_start
+"""

@@ -171,6 +171,11 @@ register("event_lag_deltas", ev.event_lag_deltas, ev.ORACLE_LAG)
 register("hourly_event_counts", ev.hourly_event_counts, ev.ORACLE_HOURLY)
 register("dedup_events_exact", ev.dedup_events_exact, ev.ORACLE_DEDUP_EXACT)
 register("view_to_click_funnel", ev.view_to_click_funnel, ev.ORACLE_FUNNEL)
+register(
+    "join_full_outer_reconcile",
+    ev.reconcile_clicks_vs_purchases,
+    ev.ORACLE_RECONCILE,
+)
 
 # --- text analysis (X3) ------------------------------------------------------
 register("text_metrics", tq.text_metrics, tq.ORACLE_TEXT_METRICS)
