@@ -117,3 +117,43 @@ def test_stream_bounded_state_under_eviction(spark, tmp_path):
     for item, cnt in true.items():
         if cnt > n // 4:
             assert item in got  # hot + warm survive
+
+
+def test_stream_checkpoint_restart_carries_summary(spark, tmp_path):
+    """T6/T8 for the heavy-hitters operator: stop after batch 1,
+    restart on the same checkpoint with a new file — the second run
+    must process only the new arrivals and fold them into the
+    CARRIED summary (counts continue from run-1 state, n_observed
+    spans both runs)."""
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_foreach_batch,
+    )
+
+    in_dir = write_actions(
+        tmp_path, "b1.json", _actions("ip1", ["x"] * 5 + ["y"] * 2)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def stream():
+        return heavy_hitters_stream(
+            actions_to_log_records(read_action_stream(spark, in_dir)),
+            "ip",
+            "category",
+            capacity=8,
+        )
+
+    def sink(df, _batch_id):
+        seen.extend(tuple(r) for r in df.collect())
+
+    run_stream_foreach_batch(stream(), sink, "update", checkpoint_dir=ckpt)
+    n_first = len(seen)
+    first = {r[1]: r[2] for r in seen}
+    assert first == {"x": 5, "y": 2}
+
+    write_actions(tmp_path, "b2.json", _actions("ip1", ["x"] * 3, base=50))
+    run_stream_foreach_batch(stream(), sink, "update", checkpoint_dir=ckpt)
+    second = seen[n_first:]
+    final = {r[1]: r[2] for r in second}
+    assert final == {"x": 8, "y": 2}  # run-1 counts carried and extended
+    assert all(r[4] == 10 for r in second)  # n_observed spans both runs
