@@ -427,3 +427,35 @@ def test_expire_refuses_while_stream_active(spark, tmp_path):
             expire_raw_events(spark, str(tmp_path / "raw2"), 3600)
     finally:
         q.stop()
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join — enriching a stream with a batch dimension
+    table (the most common production join): the static side is
+    re-resolved per micro-batch, needs no watermark, and broadcasts
+    when small. Complements the watermarked stream-stream join test."""
+    actions = [
+        gen.Action(10, "1000", "ip1", "click"),
+        gen.Action(11, "2000", "ip1", "view"),
+        gen.Action(12, "9999", "ip2", "click"),  # no dim row -> left null
+    ]
+    in_dir = write_actions(tmp_path, "a.json", actions)
+    dim = spark.createDataFrame(
+        [("1000", "electronics"), ("2000", "books")],
+        "category string, category_name string",
+    )
+    lr = actions_to_log_records(read_action_stream(spark, in_dir))
+    enriched = lr.join(F.broadcast(dim), "category", "left").select(
+        "ip", "category", "category_name"
+    )
+    out = run_stream_to_memory(
+        enriched,
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = {(r.ip, r.category): r.category_name for r in out.collect()}
+    assert rows == {
+        ("ip1", "1000"): "electronics",
+        ("ip1", "2000"): "books",
+        ("ip2", "9999"): None,
+    }
