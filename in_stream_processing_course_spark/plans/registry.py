@@ -303,6 +303,7 @@ register(
     "user_retention_cohorts", ts.user_retention_cohorts, ts.ORACLE_RETENTION
 )
 register("events_value_outliers", ts.events_value_outliers, ts.ORACLE_OUTLIERS)
+register("events_value_trend", ts.events_value_trend, ts.ORACLE_VALUE_TREND)
 register(
     "sessions_concurrency_daily",
     ts.sessions_concurrency_daily,

@@ -474,3 +474,85 @@ SELECT user_id, event_type, valid_from,
 FROM islands
 ORDER BY user_id, valid_from
 """
+
+
+# --- per-group linear trend (regression from exact moments) ----------------
+
+
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of value over time per event type —
+    slope/intercept from exact-decimal raw moments, the portable
+    formulation of SQL's regr_slope/regr_intercept (whose built-ins
+    are summation-order-dependent on doubles).
+
+    x = seconds since the epoch day the dataset starts (bounded
+    magnitude keeps the decimal moment widths in range); all five
+    moments (n, Sx, Sy, Sxx, Sxy) are exact DECIMAL sums — order-free
+    and map-side combinable — and the slope/intercept divisions are
+    the same two double ops on both engines. One shuffle (the groupBy);
+    output rounds to 6 dp.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.agg(
+        F.expr("MIN(unix_timestamp(ts) DIV 86400) * 86400").alias("_t0")
+    )
+    with_x = ev.join(F.broadcast(base)).select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.col("_t0")).cast("decimal(18,0)").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    agg = with_x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(slope * 86400, 6).alias("slope_per_day"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_TREND = """
+WITH based AS (
+  SELECT event_type,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT)
+              - (SELECT MIN(CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                 FROM events) AS DECIMAL(18,0)) AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+), moments AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM based GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400, 6)
+         AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept
+FROM moments
+ORDER BY event_type
+"""
