@@ -80,3 +80,42 @@ def test_merge_history_empty_identity(rows):
     """Merging an empty batch is the identity (monoid empty())."""
     state = merge_history(None, _batch(rows))
     assert merge_history(state, _batch([])) == state
+
+
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.sampled_from([f"i{n}" for n in range(12)]),
+            st.integers(min_value=1, max_value=50),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    capacity=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_space_saving_guarantees_hold(batches, capacity):
+    """Space-Saving invariants for ANY arrival sequence and capacity:
+    overcount-only, error-bounded, summary size <= capacity, and no
+    false negatives above n/capacity."""
+    from collections import Counter
+
+    from in_stream_processing_course_spark.streaming.heavy_hitters import (
+        space_saving_fold,
+    )
+
+    true: Counter = Counter()
+    s: dict = {}
+    for b in batches:
+        true.update(b)
+        s = space_saving_fold(s, b, capacity)
+    n = sum(true.values())
+    assert len(s) <= capacity
+    for item, (est, err) in s.items():
+        assert est >= true[item]
+        assert est - err <= true[item]
+    for item, cnt in true.items():
+        if cnt > n // capacity:
+            assert item in s
