@@ -42,32 +42,39 @@ def minhash_signatures(
     shingle_k: int = 5,
 ) -> DataFrame:
     """MinHash signatures, scale-shaped: explode shingles to rows, then
-    ONE hash-aggregate with ``num_hashes`` min() accumulators — each
-    ``md5(i || shingle)`` is computed exactly once, partial aggregation
-    runs map-side, and the only shuffle is the groupBy(id).
+    ONE hash-aggregate with ``num_hashes`` min() accumulators over the
+    standard affine hash family h_i = h1 + i*h2 — md5 runs ONCE per
+    shingle (not once per hash index), partial aggregation runs
+    map-side, and the only shuffle is the groupBy(id).
+
+    h1 = first 60 bits of md5(shingle) (15 hex chars), h2 = 48 bits
+    from hex chars 17-28; h1 + i*h2 stays < 2^61 for i < 2^12, so the
+    arithmetic never overflows a signed 64-bit in either engine. Both
+    md5 and the hex->bigint parse are bit-identical across engines
+    (Spark ``conv(hex,16,10)``, DuckDB ``('0x'||hex)::BIGINT``), so the
+    DuckDB oracle reproduces signatures exactly. Min over an affine
+    family of a random oracle is the textbook MinHash estimator.
 
     (A nested array-lambda formulation — transform over hash indices of
     array_min over shingles — is semantically identical but Catalyst
     cannot CSE across lambda scopes, so shingle tokenization and md5
     get recomputed per hash index and per consumer: 60x slower at
     sf0.1. Exploding is the 100 TB shape.)
-
-    Signature element i = lexicographic min of md5(i:shingle); md5 is
-    bit-identical across engines (unlike murmur3), so the DuckDB oracle
-    reproduces signatures exactly. Min-of-hash over a random oracle is
-    the standard MinHash estimator regardless of hash output ordering.
     """
     shingled = df.select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
     )
+    hashed = shingled.selectExpr(
+        id_col,
+        "CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h1",
+        "CAST(conv(substring(md5(shingle), 17, 12), 16, 10) AS BIGINT) AS h2",
+    )
     # one SQL string for all accumulators (same py4j-latency lesson as
     # simhash_table: per-Column composition costs ~1 ms/call on the
     # driver, dominating small-stage wall time)
-    mins = ", ".join(
-        f"min(md5(concat('{i}:', shingle)))" for i in range(num_hashes)
-    )
-    return shingled.groupBy(id_col).agg(F.expr(f"array({mins}) AS sig"))
+    mins = ", ".join(f"min(h1 + {i} * h2)" for i in range(num_hashes))
+    return hashed.groupBy(id_col).agg(F.expr(f"array({mins}) AS sig"))
 
 
 def minhash_bands(
@@ -253,14 +260,6 @@ def embedding_cosine_pairs(
     )
 
 
-_HEX = "0123456789abcdef"
-
-
-def _hex_nibble(c: Column) -> Column:
-    """hex char -> 0..15 without engine-specific conversions."""
-    return F.instr(F.lit(_HEX), c) - 1
-
-
 def simhash_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -268,12 +267,13 @@ def simhash_table(
     n_bits: int = 48,
 ) -> DataFrame:
     """SimHash over whitespace tokens, scale-shaped like
-    :func:`minhash_signatures`: explode tokens, ONE hash-aggregate
-    with ``n_bits`` sum() vote accumulators, assemble the fingerprint
-    from the final votes. Per token, the first ``n_bits/4`` hex chars
-    of md5(token) are the bit source (LSB-first within each nibble);
-    bit set iff the +1/-1 vote sum is positive. md5+nibble arithmetic
-    is engine-portable, so the oracle reproduces it bit-for-bit.
+    :func:`minhash_signatures`: explode tokens, parse the first
+    ``n_bits/4`` hex chars of md5(token) into ONE bigint per token,
+    then a single hash-aggregate with ``n_bits`` sum() vote
+    accumulators reading bits via shiftright/&1; bit set in the
+    fingerprint iff the +1/-1 vote sum is positive. md5 + hex parse +
+    bit ops are engine-portable (DuckDB ``>>``/``&``), so the oracle
+    reproduces fingerprints bit-for-bit.
 
     Output: (id_col, simhash bigint).
     """
@@ -283,16 +283,11 @@ def simhash_table(
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0)
         ).alias("tok"),
-    ).select(
+    ).selectExpr(
         id_col,
-        # project the nibble VALUES once per token row (md5 once, one
-        # substring+instr per nibble); the n_bits vote expressions then
-        # only index this array instead of re-running n_bits
-        # substring+instr scans per row
-        F.transform(
-            F.split(F.substring(F.md5(F.col("tok")), 1, n_nibbles), "(?!$)"),
-            _hex_nibble,
-        ).alias("nibs"),
+        # one md5 + one hex->bigint parse per token row; the n_bits vote
+        # expressions then only shift/mask this single integer
+        f"CAST(conv(substring(md5(tok), 1, {n_nibbles}), 16, 10) AS BIGINT) AS h",
     )
 
     # the n_bits vote aggregates and the n_bits-term fingerprint sum are
@@ -301,11 +296,7 @@ def simhash_table(
     # which measured ~1.4 s of driver-side DataFrame-construction
     # latency alone (execution of the same plan: 0.15 s)
     def vote(i: int) -> str:
-        return (
-            f"sum(CASE WHEN CAST(floor(element_at(nibs, {i // 4 + 1})"
-            f" / {float(1 << (i % 4))}) AS BIGINT) % 2 = 1"
-            f" THEN 1 ELSE -1 END)"
-        )
+        return f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
 
     votes = toks.groupBy(id_col).agg(
         F.expr("array(" + ", ".join(vote(i) for i in range(n_bits)) + ") AS votes")
@@ -335,23 +326,16 @@ def simhash_dedup_candidates(
     sh = simhash_table(df, id_col, text_col, n_bits).withColumnRenamed(
         "simhash", "_sh"
     )
+    mask = (1 << band_bits) - 1
+    band_structs = ", ".join(
+        f"struct(CAST({b} AS INT) AS band_id,"
+        f" (shiftright(_sh, {b * band_bits}) & {mask}) AS band_val)"
+        for b in range(n_bands)
+    )
     bands = sh.select(
-        id_col,
-        "_sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band_id"),
-                    (
-                        F.floor(
-                            F.col("_sh") / F.pow(F.lit(2.0), (b * band_bits).cast("double"))
-                        ).cast("long")
-                        % (1 << band_bits)
-                    ).alias("band_val"),
-                ),
-            )
-        ).alias("band"),
+        F.col(id_col),
+        F.col("_sh"),
+        F.expr(f"explode(array({band_structs})) AS band"),
     ).select(id_col, "_sh", "band.band_id", "band.band_val")
     # materialized once before the self-join: see minhash_candidates —
     # AQE's per-stage planning never reuses the exchange, so the

@@ -72,14 +72,19 @@ def bucket_time(df: DataFrame, ts_col: str, seconds: int, out: str = "bucket") -
 def ensure_timestamp(df: DataFrame, col: str) -> DataFrame:
     """Normalize an event-time column to TimestampType.
 
-    The driver's ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark
-    reads as long nanoseconds under ``nanosAsLong``; convert with
-    integer arithmetic (``div`` — no double round-trip, exact floor to
-    microseconds).
+    The driver's ``events.ts`` has shipped as parquet TIMESTAMP(NANOS)
+    (read as long nanoseconds under ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) with ``isAdjustedToUTC=false`` (read as
+    TIMESTAMP_NTZ). Normalize both to TIMESTAMP: nanos via integer
+    arithmetic (``div`` — no double round-trip, exact floor to
+    microseconds), NTZ via a cast that is an exact reinterpretation
+    because the session timezone is pinned to UTC (session.py).
     """
     dtype = dict(df.dtypes).get(col)
     if dtype in ("bigint", "long"):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

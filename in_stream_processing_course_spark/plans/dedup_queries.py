@@ -49,11 +49,14 @@ _SQL_SHINGLES = (
     f"list_distinct(list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - {_SHINGLE_K - 1}, 1)),"
     f" i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + {_SHINGLE_K - 1}), ' ')))"
 )
-# signature element i = min over shingles of md5(i || ':' || shingle)
+# signature element i = min over shingles of h1(s) + i*h2(s), where
+# h1 = md5 hex chars 1-15 (60 bits) and h2 = chars 17-28 (48 bits) —
+# the same affine family minhash_signatures computes via Spark conv()
 _SQL_SIG = (
     f"list_transform(generate_series(0, {_NUM_HASHES - 1}),"
     f" i -> list_aggregate(list_transform({_SQL_SHINGLES},"
-    f" s -> md5(concat(CAST(i AS VARCHAR), ':', s))), 'min'))"
+    f" s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
+    f" + i * CAST('0x' || substr(md5(s), 17, 12) AS BIGINT)), 'min'))"
 )
 
 
@@ -247,31 +250,29 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_table(docs, "doc_id", "text", _SIM_BITS)
 
 
-# bit j of md5-prefix hash of token t, LSB-first within each nibble
-_SQL_NIB = "(strpos('0123456789abcdef', h[n + 1]) - 1)"
+# per token: one md5, one hex->bigint parse; vote bit j = (h >> j) & 1
+# (the same spec simhash_table computes via Spark conv()/shiftright)
+_SIM_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_SIM_BITS)
+)
+_SIM_FINGERPRINT = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIM_BITS)
+)
 
 ORACLE_SIMHASH = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_transform({_SQL_TOKENS}, t -> string_split(substr(md5(t), 1, {_SIM_BITS // 4}), '')) AS hs
-  FROM documents
+         CAST('0x' || substr(md5(t), 1, {_SIM_BITS // 4}) AS BIGINT) AS h
+  FROM documents, unnest({_SQL_TOKENS}) AS u(t)
 ),
 votes AS (
   SELECT doc_id,
-         list_transform(generate_series(0, {_SIM_BITS - 1}), j ->
-           list_reduce(list_prepend(CAST(0 AS BIGINT),
-             list_transform(hs, h -> CASE WHEN
-               CAST(floor({_SQL_NIB.replace('n + 1', 'CAST(floor(j / 4) AS INT) + 1')} / power(2, j % 4)) AS BIGINT) % 2 = 1
-             THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-             (acc, x) -> acc + x)) AS v
-  FROM toks
+         {_SIM_VOTES}
+  FROM toks GROUP BY doc_id
 )
 SELECT doc_id,
-       list_reduce(list_prepend(CAST(0 AS BIGINT),
-         list_transform(generate_series(0, {_SIM_BITS - 1}),
-           j -> CASE WHEN v[j + 1] > 0 THEN CAST(power(2, j) AS BIGINT)
-                     ELSE CAST(0 AS BIGINT) END)),
-         (acc, x) -> acc + x) AS simhash
+       CAST({_SIM_FINGERPRINT} AS BIGINT) AS simhash
 FROM votes
 """
 
@@ -288,7 +289,7 @@ ORACLE_SIMHASH_CANDIDATES = f"""
 WITH sh AS ({ORACLE_SIMHASH.strip()}),
 bands AS (
   SELECT doc_id, simhash, b AS band_id,
-         CAST(floor(simhash / power(2, b * {_BAND_BITS})) AS BIGINT) % {1 << _BAND_BITS} AS band_val
+         (simhash >> CAST(b * {_BAND_BITS} AS INT)) & {(1 << _BAND_BITS) - 1} AS band_val
   FROM sh, unnest(generate_series(0, {_SIM_BITS // _BAND_BITS - 1})) AS t(b)
 )
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,

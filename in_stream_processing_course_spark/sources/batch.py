@@ -21,9 +21,11 @@ def load_table(
     into this scan automatically when the downstream plan allows
     (predicate pushdown and pruning traverse the repartition below).
 
-    Spark 4 rejects parquet TIMESTAMP(NANOS) columns (the driver's
-    ``events.ts``); read them as long nanos and convert downstream
-    (:func:`..operators.projections.ensure_timestamp`).
+    Timestamp columns: the driver's tables have shipped with both
+    TIMESTAMP(NANOS) (Spark 4 rejects it unless ``nanosAsLong`` reads
+    it as long nanos) and TIMESTAMP(MICROS) ``isAdjustedToUTC=false``
+    (reads as TIMESTAMP_NTZ). Both normalize downstream via
+    :func:`..operators.projections.ensure_timestamp`.
 
     Fan-out: the driver's test tables are single-file, single-row-group
     parquet, so the scan yields ONE input partition and every map-side
