@@ -29,8 +29,27 @@ from ..functions.vectors import (
 # offline-index cache: one fitted k-means model per (caller-provided)
 # corpus key, so repeated queries reuse the index build instead of
 # refitting per invocation (the build is the expensive offline step;
-# the assignment pass stays a single scan either way).
+# the assignment pass stays a single scan either way). Bounded LRU —
+# a long-lived session touching many corpora must not accumulate
+# fitted models for the driver-process lifetime (VERDICT r2 item 4);
+# dict preserves insertion order, so move-to-end on hit + evict-oldest
+# on insert is a correct LRU without extra dependencies.
+_IVF_CACHE_MAX = 8
 _IVF_INDEX_CACHE: dict[str, object] = {}
+
+
+def _ivf_cache_get(key: str) -> object | None:
+    model = _IVF_INDEX_CACHE.pop(key, None)
+    if model is not None:
+        _IVF_INDEX_CACHE[key] = model  # re-insert -> most recently used
+    return model
+
+
+def _ivf_cache_put(key: str, model: object) -> None:
+    _IVF_INDEX_CACHE.pop(key, None)
+    while len(_IVF_INDEX_CACHE) >= _IVF_CACHE_MAX:
+        _IVF_INDEX_CACHE.pop(next(iter(_IVF_INDEX_CACHE)))
+    _IVF_INDEX_CACHE[key] = model
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -144,13 +163,13 @@ def ivf_topk(
         array_to_vector(l2_normalize_col(F.col(vec_col))).alias("_nv"),
     )
     full_key = cache_key and f"{cache_key}:{n_lists}:{seed}"
-    model = _IVF_INDEX_CACHE.get(full_key) if full_key else None
+    model = _ivf_cache_get(full_key) if full_key else None
     if model is None:
         model = KMeans(
             k=n_lists, seed=seed, featuresCol="_nv", predictionCol="_cell"
         ).fit(with_vec)
         if full_key:
-            _IVF_INDEX_CACHE[full_key] = model
+            _ivf_cache_put(full_key, model)
     assigned = model.transform(with_vec).select(id_col, vec_col, "_cell")
 
     # cell centroids as a small broadcastable table

@@ -46,6 +46,47 @@ def read_event_stream(
     return reader.json(input_dir)
 
 
+# The fixed schema every Kafka source batch/stream carries
+# (spark-sql-kafka KafkaRecordToRowConverter) — the contract the
+# downstream projection is written against. Used by the contract test
+# to exercise cast_kafka_payload over wire-shaped rows without a
+# broker or the connector jar.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = "clickstream-log",
+    starting_offsets: str = "latest",
+) -> tuple[str, dict[str, str]]:
+    """S1 source contract: (format, options) for the structured Kafka
+    reader (ImplStructured.scala:93-102 — format "kafka", subscribe,
+    bootstrap servers, startingOffsets). Split out from the reader
+    construction so the contract is assertable without the connector
+    jar (DataStreamReader keeps its options JVM-private).
+    """
+    return "kafka", {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_dir: str
+) -> tuple[str, dict[str, str]]:
+    """K6 sink contract: (format, options) for the Kafka egress writer
+    (Util.java:24-32 producer config -> writeStream equivalents)."""
+    return "kafka", {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
 def kafka_action_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -56,19 +97,13 @@ def kafka_action_stream(
     (ImplStructured.scala:93-102). Requires the spark-sql-kafka
     package on the cluster; config-only here.
     """
-    from pyspark.sql import functions as F
+    from ..operators.projections import cast_kafka_payload
 
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-    )
+    fmt, opts = kafka_source_options(bootstrap_servers, topic, starting_offsets)
+    reader = spark.readStream.format(fmt)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return cast_kafka_payload(reader.load())
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
@@ -99,9 +134,8 @@ def write_kafka_stream(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("string").alias("value"),
     )
-    return (
-        out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    fmt, opts = kafka_sink_options(bootstrap_servers, topic, checkpoint_dir)
+    writer = out.writeStream.format(fmt)
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    return writer

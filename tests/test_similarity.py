@@ -31,6 +31,36 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below bound"
 
 
+def test_ivf_cache_is_bounded_lru(spark, sf_dir):
+    """Repeated knn_ivf over many distinct corpora must hold at most
+    _IVF_CACHE_MAX fitted models (VERDICT r2 item 4), with LRU order —
+    the most recently used keys survive."""
+    from in_stream_processing_course_spark.operators import similarity as sim
+
+    sim._IVF_INDEX_CACHE.clear()
+    emb = load_table(spark, sf_dir, "embeddings").limit(64).cache()
+    probes = emb.limit(2)
+    n_corpora = sim._IVF_CACHE_MAX + 3
+    for i in range(n_corpora):
+        ivf_topk(emb, probes, 2, n_lists=4, cache_key=f"corpus-{i}").count()
+        assert len(sim._IVF_INDEX_CACHE) <= sim._IVF_CACHE_MAX
+    # the oldest keys were evicted, the newest survive
+    surviving = set(sim._IVF_INDEX_CACHE)
+    expect = {
+        f"corpus-{i}:4:42"
+        for i in range(n_corpora - sim._IVF_CACHE_MAX, n_corpora)
+    }
+    assert surviving == expect
+    # a cache hit refreshes recency: touch the oldest survivor, add one
+    # more corpus, and the touched key must still be present
+    oldest = f"corpus-{n_corpora - sim._IVF_CACHE_MAX}"
+    ivf_topk(emb, probes, 2, n_lists=4, cache_key=oldest).count()
+    ivf_topk(emb, probes, 2, n_lists=4, cache_key="corpus-extra").count()
+    assert f"{oldest}:4:42" in sim._IVF_INDEX_CACHE
+    emb.unpersist()
+    sim._IVF_INDEX_CACHE.clear()
+
+
 def test_ivf_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 4)
