@@ -39,6 +39,57 @@ HEADLINE = [
 ]
 
 
+def bench_stateful_stream(spark) -> tuple[int, float]:
+    """T3 state-path throughput (VERDICT r2 item 5): drip a generated
+    botgen workload through the file source in 8 micro-batches
+    (maxFilesPerTrigger=1, availableNow) -> applyInPandasWithState
+    trailing-history verdicts -> noop sink. Returns (input rows, wall
+    sec). Measures the state store merge + Arrow round-trip per batch —
+    the path bench.py's batch queries never touch. Setup (python-side
+    workload generation + JSON writes) happens outside the timer.
+    """
+    import shutil
+    import tempfile
+
+    from in_stream_processing_course_spark.sources import generator as gen
+    from in_stream_processing_course_spark.sources.stream import (
+        read_action_stream,
+    )
+    from in_stream_processing_course_spark.streaming.pipeline import (
+        stateful_bot_stream,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        await_drained,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_state_")
+    in_dir = os.path.join(root, "in")
+    n_files, duration = 8, 240
+    actions = gen.botgen_workload(
+        n_bots=50, n_users=5000, user_freq=500, duration_sec=duration
+    )
+    slice_sec = max(1, duration // n_files)
+    buckets: list[list] = [[] for _ in range(n_files)]
+    for a in actions:
+        buckets[min(a.time // slice_sec, n_files - 1)].append(a)
+    for i, b in enumerate(buckets):
+        gen.write_json_lines(b, os.path.join(in_dir, f"part-{i:04d}.json"))
+    stream = read_action_stream(spark, in_dir, max_files_per_trigger=1)
+    verdicts = stateful_bot_stream(stream)
+    start = time.perf_counter()
+    query = (
+        verdicts.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query, timeout_sec=600)
+    elapsed = time.perf_counter() - start
+    shutil.rmtree(root, ignore_errors=True)
+    return len(actions), elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -78,6 +129,7 @@ def main() -> None:
                 timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
+    state_rows, state_sec = bench_stateful_stream(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -87,6 +139,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "stateful_pipeline_rows": state_rows,
+                "stateful_pipeline_wall_sec": round(state_sec, 3),
+                "stateful_pipeline_rows_per_sec": round(state_rows / state_sec),
             }
         )
     )

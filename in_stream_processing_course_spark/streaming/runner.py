@@ -9,9 +9,46 @@ sink and hand back the result table.
 from __future__ import annotations
 
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def await_drained(
+    query: StreamingQuery,
+    timeout_sec: float = 300,
+    idle_batches: int = 2,
+    poll_sec: float = 0.2,
+) -> None:
+    """Wait until an availableNow query has processed its whole backlog,
+    then stop it.
+
+    ``availableNow`` alone is NOT sufficient for stateful queries with
+    processing-time timeouts (``applyInPandasWithState`` /
+    ``transformWithStateInPandas``): after the data is drained the
+    micro-batch engine keeps scheduling no-data batches so timers can
+    fire, and the query never terminates (observed: >800 empty batches
+    before the old fixed ``awaitTermination(300)`` gave up — every
+    stateful test silently burned the full timeout). Under availableNow
+    the backlog is consumed strictly before any no-data batch, so
+    ``idle_batches`` consecutive zero-row batches == fully drained;
+    stop there. Queries that self-terminate (stateless availableNow)
+    exit the poll loop via ``isActive`` immediately.
+    """
+    deadline = time.monotonic() + timeout_sec
+    empty, last_batch = 0, -1
+    while query.isActive and time.monotonic() < deadline:
+        progress = query.lastProgress
+        if progress and progress["batchId"] != last_batch:
+            last_batch = progress["batchId"]
+            empty = empty + 1 if progress["numInputRows"] == 0 else 0
+            if empty >= idle_batches:
+                break
+        time.sleep(poll_sec)
+    query.stop()
+    query.awaitTermination(60)
 
 
 def run_stream_to_memory(
@@ -36,10 +73,7 @@ def run_stream_to_memory(
         # whose processing-time timeouts keep scheduling cleanup batches
         .start()
     )
-    try:
-        query.awaitTermination(300)
-    finally:
-        query.stop()
+    await_drained(query)
     spark: SparkSession = sdf.sparkSession
     return spark.table(name)
 
@@ -60,7 +94,4 @@ def run_stream_foreach_batch(
         .trigger(**(trigger or {"availableNow": True}))
     )
     query = writer.start()
-    try:
-        query.awaitTermination(300)
-    finally:
-        query.stop()
+    await_drained(query)
