@@ -61,6 +61,10 @@ def minhash_signatures(
     get recomputed per hash index and per consumer: 60x slower at
     sf0.1. Exploding is the 100 TB shape.)
     """
+    # overflow bound of the affine family (docstring): h1 + i*h2 only
+    # stays inside signed 64-bit for i < 2^12 — fail fast instead of
+    # silently wrapping
+    assert num_hashes < 1 << 12, f"num_hashes={num_hashes} overflows h1 + i*h2"
     shingled = df.select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), shingle_k)).alias("shingle"),
@@ -277,6 +281,13 @@ def simhash_table(
 
     Output: (id_col, simhash bigint).
     """
+    # bounds (docstring): the 1<<i fingerprint literals and the hex
+    # parse only fit signed 64-bit for n_bits <= 60 (Spark 4 ANSI mode
+    # errors rather than wraps, but far from the cause), and the md5
+    # nibble slice needs n_bits divisible by 4 — fail fast here
+    assert n_bits <= 60 and n_bits % 4 == 0, (
+        f"n_bits={n_bits} must be a multiple of 4 and <= 60"
+    )
     n_nibbles = n_bits // 4
     toks = df.select(
         F.col(id_col),

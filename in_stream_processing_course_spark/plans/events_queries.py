@@ -89,8 +89,15 @@ SELECT user_id, event_id, delta_us FROM (
 
 
 def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-hour rollup by event type (P6 bucketing at hour grain)."""
-    ev = _events(spark, sf_dir)
+    """Tumbling-hour rollup by event type (P6 bucketing at hour grain).
+
+    fan_out=False: the only work is one hash aggregate whose groupBy
+    shuffle already redistributes; a pre-shuffle to widen the scan is
+    pure overhead here (r1->r2 bench regression 0.74->1.05s traced to
+    exactly that extra exchange — VERDICT r2 item 6)."""
+    ev = ensure_timestamp(
+        load_table(spark, sf_dir, "events", fan_out=False), "ts"
+    )
     return (
         ev.groupBy(
             F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
@@ -126,8 +133,12 @@ def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 exact dedup with a DETERMINISTIC representative: groupBy the
     identity columns and keep min(event_id) (dropDuplicates keeps an
     arbitrary row — fine in pipelines, not hash-comparable).
+
+    fan_out=False: single hash-aggregate plan; see hourly_event_counts
+    (the dedup groupBy's own shuffle is the parallelism source, and the
+    r1->r2 regression 0.56->1.00s was the added fan-out exchange).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fan_out=False)
     return ev.groupBy("user_id", "event_type", "props").agg(
         F.min("event_id").alias("event_id"),
         F.count(F.lit(1)).alias("n_dupes"),

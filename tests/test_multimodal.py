@@ -66,6 +66,43 @@ def test_real_decode_raises_without_codec(spark, media):
     )
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.requires_pil
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_decode_and_resize_golden(spark):
+    """Golden test for the REAL codec path (runs only where Pillow
+    exists): a synthetic 64x32 mid-gray PNG decodes to its exact
+    dimensions and luma, and resize_images honors the thumbnail
+    contract (longer side -> max_side, aspect preserved)."""
+    import io
+
+    from PIL import Image
+
+    from in_stream_processing_course_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    buf = io.BytesIO()
+    Image.new("L", (64, 32), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(buf.getvalue()), None)],
+        "media_id long, kind string, payload binary, meta string",
+    )
+    decoded = decode_images(df).collect()[0]
+    assert (decoded["width"], decoded["height"]) == (64, 32)
+    assert abs(decoded["mean_luma"] - 128.0) < 0.5
+    resized = resize_images(df, max_side=16).collect()[0]
+    assert (resized["width"], resized["height"]) == (16, 8)
+
+
 def test_frame_sampling_shapes(spark, media):
     frames = sample_frames(media, n_frames=4, frame_bytes=32)
     counts = frames.groupBy("media_id").count().collect()

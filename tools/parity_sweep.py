@@ -9,11 +9,13 @@ Usage: python tools/parity_sweep.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
+# anchor imports on the repo root so the sweep works from any cwd
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from in_stream_processing_course_spark.plans.registry import ORACLES, QUERIES
 from in_stream_processing_course_spark.session import get_spark
@@ -25,10 +27,12 @@ def main() -> int:
     filters = sys.argv[2:]
     spark = get_spark("parity-sweep")
     failed: list[str] = []
+    n_run = 0
     t0 = time.perf_counter()
     for name in sorted(QUERIES):
         if filters and not any(f in name for f in filters):
             continue
+        n_run += 1
         t = time.perf_counter()
         try:
             if name in ORACLES:
@@ -43,7 +47,10 @@ def main() -> int:
             traceback.print_exc(limit=1)
         print(f"{name:45s} {time.perf_counter() - t:6.1f}s  {status}", flush=True)
     total = time.perf_counter() - t0
-    print(f"\n{len(failed)} failures / {len(QUERIES)} queries in {total:.0f}s")
+    print(
+        f"\n{len(failed)} failures / {n_run} run "
+        f"({len(QUERIES)} registered) in {total:.0f}s"
+    )
     for name in failed:
         print("  FAILED:", name)
     spark.stop()
