@@ -155,6 +155,44 @@ def minhash_candidates(
     return pairs
 
 
+def minhash_index_matches(
+    index_bands: DataFrame,
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup — the production shape at 100 TB: new data is
+    checked against a PERSISTED corpus band index instead of re-LSHing
+    the whole corpus per batch.
+
+    For every doc in ``new_bands``, find its deterministic match in the
+    index (min corpus id over all band collisions) or null if novel.
+    The new batch's bands are broadcast; the index side is only ever
+    SCANNED — no shuffle, no re-hash of corpus text — so the per-batch
+    cost is O(index scan + |new| bands), independent of corpus band
+    cardinality skew. Output: (id_col, matched_doc_id, is_novel).
+    """
+    idx = index_bands.select(
+        F.col(id_col).alias("_corpus_id"), "band_id", "band_key"
+    )
+    new = new_bands.select(
+        F.col(id_col).alias("_new_id"), "band_id", "band_key"
+    )
+    hits = (
+        idx.join(F.broadcast(new), ["band_id", "band_key"])
+        .groupBy("_new_id")
+        .agg(F.min("_corpus_id").alias("matched_doc_id"))
+    )
+    all_new = new.select("_new_id").distinct()
+    return (
+        all_new.join(F.broadcast(hits), "_new_id", "left")
+        .select(
+            F.col("_new_id").alias(id_col),
+            "matched_doc_id",
+            F.col("matched_doc_id").isNull().alias("is_novel"),
+        )
+    )
+
+
 def jaccard_col(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays (double)."""
     inter = F.size(F.array_intersect(a, b))

@@ -168,6 +168,57 @@ ORDER BY a, b
 """
 
 
+# --- incremental dedup against a persisted index -----------------------------
+
+# "new batch" = every 5th doc; "corpus" = the rest. In production the
+# corpus band table is PERSISTED parquet built once (see
+# tests/test_pipeline_ops.py round-trip); here both sides derive from
+# the documents table so the oracle can reproduce the split exactly.
+_NEW_MOD = 5
+
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening (the 100 TB daily-ingest shape):
+    new docs join the EXISTING corpus band index — corpus is scanned,
+    never re-shuffled or re-hashed; the new batch's bands broadcast.
+    Each new doc gets its deterministic corpus match (min colliding
+    doc_id) or is flagged novel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % _NEW_MOD != 0)
+    new_batch = docs.where(F.col("doc_id") % _NEW_MOD == 0)
+    index_bands = dd.minhash_bands(
+        corpus, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    new_bands = dd.minhash_bands(
+        new_batch, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    return dd.minhash_index_matches(index_bands, new_bands).orderBy("doc_id")
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                    b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+),
+hits AS (
+  SELECT n.doc_id, CAST(MIN(c.doc_id) AS BIGINT) AS matched_doc_id
+  FROM bands n JOIN bands c
+    ON n.band_id = c.band_id AND n.band_key = c.band_key
+  WHERE n.doc_id % {_NEW_MOD} = 0 AND c.doc_id % {_NEW_MOD} <> 0
+  GROUP BY n.doc_id
+)
+SELECT d.doc_id, hits.matched_doc_id,
+       hits.matched_doc_id IS NULL AS is_novel
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {_NEW_MOD} = 0) d
+LEFT JOIN hits ON hits.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- n-gram Jaccard (X2, exact within blocks) --------------------------------
 
 _JK = 3

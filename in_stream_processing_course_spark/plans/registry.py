@@ -221,6 +221,11 @@ register(
     dq.ORACLE_SIMHASH_CANDIDATES,
 )
 register(
+    "dedup_incremental_new_docs",
+    dq.incremental_dedup_new_docs,
+    dq.ORACLE_INCREMENTAL_DEDUP,
+)
+register(
     "curation_end_to_end",
     dq.curation_end_to_end,
     dq.ORACLE_CURATION_END_TO_END,

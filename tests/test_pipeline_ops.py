@@ -219,3 +219,47 @@ def test_asof_randomized_matches_pandas_merge_asof(spark):
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+# --- incremental dedup against a persisted band index -------------------------
+
+
+def test_incremental_dedup_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """The production incremental flow: build the corpus band index
+    ONCE, persist it as parquet, then screen a new batch against the
+    RELOADED index. Results must equal the computed-fresh path, find
+    real matches (the documents table contains dups by construction),
+    and the plan must never shuffle the index side — only the small
+    new-batch keys."""
+    from in_stream_processing_course_spark.operators import dedup as dd
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    bands = dd.minhash_bands(corpus, "doc_id", "text")
+    path = str(tmp_path / "band_index")
+    bands.write.parquet(path)
+
+    index = spark.read.parquet(path)
+    new_bands = dd.minhash_bands(new_batch, "doc_id", "text")
+    out = dd.minhash_index_matches(index, new_bands)
+    rows = {r["doc_id"]: (r["matched_doc_id"], r["is_novel"]) for r in out.collect()}
+    fresh = {
+        r["doc_id"]: (r["matched_doc_id"], r["is_novel"])
+        for r in dd.minhash_index_matches(bands, new_bands).collect()
+    }
+    assert rows == fresh
+    assert len(rows) == new_batch.count()
+    assert any(not novel for _m, novel in rows.values()), "no dup found"
+    assert any(novel for _m, novel in rows.values()), "no novel doc found"
+
+    # plan contract: the index is only scanned — every exchange keys on
+    # the new-batch side (_new_id), never on the corpus-scale band_key
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(band_key" not in plan
+    assert "hashpartitioning(_corpus_id" not in plan

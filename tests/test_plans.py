@@ -64,6 +64,7 @@ def test_q5_broadcasts_only_bounded_dims(spark):
         "dedup_simhash_candidates",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
+        "dedup_incremental_new_docs",
         "knn_lsh_bucketed",
     ],
 )
