@@ -588,3 +588,68 @@ FROM part l JOIN part r
 WHERE levenshtein(l.p_name, r.p_name) <= 3
 ORDER BY brand, a, b
 """
+
+
+# --- repeated-paragraph (boilerplate) detection -------------------------------
+
+_PARA_TOKENS = 16
+
+
+def repeated_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection — the paragraph-level counterpart of doc
+    dedup (the C4/CCNet "remove lines repeated across documents" step):
+    hash every non-overlapping 16-token window, keep windows that occur
+    in >= 2 distinct docs. Explode + hash-aggregate: one scan, one
+    shuffle on the window hash, never ships window text twice (only the
+    md5 leaves the map side). At 100 TB the groupBy key is a uniform
+    128-bit hash — no skew by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    # raw token sequence (NOT shingles_col — that distincts, which
+    # would reorder/remove tokens and change the windows)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    staged = docs.select("doc_id", toks.alias("_t"))
+    n_full = F.floor(F.size("_t") / _PARA_TOKENS).cast("int")
+    exploded = staged.where(F.size("_t") >= _PARA_TOKENS).select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0), n_full - 1)).alias("_i"),
+    )
+    para = F.array_join(
+        F.slice(F.col("_t"), F.col("_i") * _PARA_TOKENS + 1, _PARA_TOKENS), " "
+    )
+    return (
+        exploded.select("doc_id", F.md5(para).alias("para_hash"))
+        .groupBy("para_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("para_hash")
+    )
+
+
+ORACLE_REPEATED_PARAGRAPHS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_PARA_TOKENS}
+),
+paras AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i * {_PARA_TOKENS} + 1,
+                                        i * {_PARA_TOKENS} + {_PARA_TOKENS}), ' ')) AS para_hash
+  FROM toks,
+       unnest(generate_series(0, CAST(floor(len(t) / {_PARA_TOKENS}) AS BIGINT) - 1)) AS u(i)
+)
+SELECT para_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM paras
+GROUP BY para_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY para_hash
+"""

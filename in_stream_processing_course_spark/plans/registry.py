@@ -191,6 +191,7 @@ register(
     tq.doc_length_histogram,
     tq.ORACLE_DOC_LENGTH_HISTOGRAM,
 )
+register("text_pii_scan", tq.text_pii_scan, tq.ORACLE_PII_SCAN)
 
 # --- dedup family (X1/X2) ----------------------------------------------------
 register("dedup_documents_exact", dq.dedup_documents_exact, dq.ORACLE_DEDUP_EXACT_DOCS)
@@ -224,6 +225,11 @@ register(
     "dedup_incremental_new_docs",
     dq.incremental_dedup_new_docs,
     dq.ORACLE_INCREMENTAL_DEDUP,
+)
+register(
+    "dedup_repeated_paragraphs",
+    dq.repeated_paragraphs,
+    dq.ORACLE_REPEATED_PARAGRAPHS,
 )
 register(
     "curation_end_to_end",

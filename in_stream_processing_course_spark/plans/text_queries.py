@@ -331,3 +331,84 @@ FROM (SELECT *, greatest({_ALL_SCORES}) AS m FROM scored)
 GROUP BY 1, 2
 ORDER BY lang, lang_guess
 """
+
+
+# --- PII scan + redaction ----------------------------------------------------
+
+# The synthetic corpus is PII-free word salad, so the query INJECTS
+# deterministic PII (same concat expression on both engines) into every
+# 7th doc before scanning — the scan/redact machinery then does real
+# work and the oracle hash proves counts AND the redacted text. The
+# patterns deliberately use the regex intersection of Java (Spark) and
+# RE2 (DuckDB): char classes + bounded repetition only, no lookaround.
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "555-[0-9]{4}"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection + redaction — the mandatory curation
+    step before corpus release. Counts per category (email/phone/ipv4),
+    a has_pii flag, and md5 of the fully-redacted text (hash, not the
+    text, so output stays narrow; the hash proves the exact redaction).
+    All regexp_count/regexp_replace Column algebra — single scan, no
+    shuffle except the output sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", injected.alias("_txt"))
+    t = F.col("_txt")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(_PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(_PII_IPV4),
+        F.lit("[IP]"),
+    )
+    n_emails = F.regexp_count(t, F.lit(_PII_EMAIL))
+    n_phones = F.regexp_count(t, F.lit(_PII_PHONE))
+    n_ips = F.regexp_count(t, F.lit(_PII_IPV4))
+    return staged.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ips.cast("long").alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_SCAN = rf"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or call 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS txt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(txt, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       (len(regexp_extract_all(txt, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(txt, '{_PII_PHONE}'))
+        + len(regexp_extract_all(txt, '{_PII_IPV4}'))) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             txt, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_IPV4}', '[IP]', 'g')) AS redacted_md5
+FROM staged
+ORDER BY doc_id
+"""
