@@ -162,6 +162,38 @@ def test_stateful_history_accumulates_across_batches(spark, tmp_path):
     assert verdicts == [(False, "clear"), (True, "categories")]
 
 
+def test_stateful_prereduce_matches_raw_path(spark, tmp_path):
+    """The map-side combiner (prereduce_log_records) must be invisible
+    in results: identical verdict rows for the same multi-batch drip
+    with and without it."""
+    from in_stream_processing_course_spark.streaming.state import (
+        keyed_history_verdicts,
+    )
+
+    b1 = gen.category_hopper("ip1", 40, 4, base_time=0, interval=20) + (
+        gen.requests_burst("hot", 120, interval=4)
+    )
+    b2 = [
+        gen.Action(a.time + 60, f"cat{int(a.category_id[3:]) + 4}", a.ip, a.action)
+        for a in gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+    ]
+    in_dir = write_actions(tmp_path, "b1.json", b1)
+    write_actions(tmp_path, "b2.json", b2)
+
+    def run(prereduce, ckpt):
+        lr = actions_to_log_records(
+            read_action_stream(spark, in_dir, max_files_per_trigger=1)
+        )
+        out = run_stream_to_memory(
+            keyed_history_verdicts(lr, prereduce=prereduce),
+            output_mode="update",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert run(True, "ckpt_pre") == run(False, "ckpt_raw")
+
+
 def test_dedup_within_watermark_stream(spark, tmp_path):
     """T4 — the structured impl's dropDuplicates quirk (SURVEY §1.4.5)
     done right: watermark-bounded streaming dedup."""
