@@ -121,6 +121,48 @@ def bucketed_topk(
     return _ranked_topk(scored, k)
 
 
+def multiprobe_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query searches its exact bucket
+    PLUS the ``n_bits`` single-bit-flip neighbor buckets — the standard
+    recall lever that trades a bounded candidate-set growth (x(n_bits+1)
+    on the probe side only) for recall, without touching the corpus
+    layout. The corpus is bucketed once; the probe fan-out is a tiny
+    explode; candidate generation stays a plain equi-join (each corpus
+    vector lives in exactly one bucket, so probe targets are distinct
+    and no pair dedup is needed).
+    """
+    base = sign_bucket_col(F.col(vec_col), n_bits)
+    flips = F.array(
+        F.lit(0), *[F.lit(1 << i) for i in range(n_bits)]
+    )
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        F.explode(
+            F.transform(flips, lambda m: base.bitwiseXOR(m).cast("int"))
+        ).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        sign_bucket_col(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(p), ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("_q"), F.col("_v")), 6))
+        .drop("_q", "_v", "bucket")
+    )
+    return _ranked_topk(scored, k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -250,6 +250,7 @@ register(
 # --- similarity search (X2) --------------------------------------------------
 register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
 register("knn_lsh_bucketed", sq.knn_lsh_bucketed, sq.ORACLE_KNN_LSH)
+register("knn_lsh_multiprobe", sq.knn_lsh_multiprobe, sq.ORACLE_KNN_MULTIPROBE)
 register("embedding_label_centroids", sq.label_centroids, sq.ORACLE_CENTROIDS)
 register("knn_ivf", sq.knn_ivf)  # rows-only: k-means index, recall-tested
 

@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, bucketed_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    multiprobe_topk,
+)
 from ..sources.batch import load_table
 
 _K = 5
@@ -84,6 +88,47 @@ scored AS (
   SELECT p.query_id, e.vec_id AS neighbor_id,
          {_sql_cosine('p.q', 'e.embedding')} AS cosine
   FROM probes p JOIN b e ON e.bucket = p.bucket AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant: exact bucket + every single-bit-flip
+    neighbor bucket per query (recall lever at fixed corpus layout)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    return multiprobe_topk(emb, probes, _K, n_bits=_N_BITS).orderBy(
+        "query_id", "rank"
+    )
+
+
+_SQL_FLIPS = ", ".join(str(m) for m in [0] + [1 << i for i in range(_N_BITS)])
+
+ORACLE_KNN_MULTIPROBE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_SQL_BUCKET.format(a='embedding', nb=_N_BITS)} AS bucket
+  FROM embeddings
+),
+probes AS (SELECT vec_id AS query_id, embedding AS q, bucket FROM b
+           WHERE vec_id < {_N_PROBES}),
+pb AS (
+  SELECT query_id, q, CAST(xor(bucket, m) AS INT) AS bucket
+  FROM probes, unnest([{_SQL_FLIPS}]) AS t(m)
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('p.q', 'e.embedding')} AS cosine
+  FROM pb p JOIN b e ON e.bucket = p.bucket AND e.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,

@@ -67,3 +67,29 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in ivf_topk(emb, probes, 3).collect())
     b = sorted(tuple(r) for r in ivf_topk(emb, probes, 3).collect())
     assert a == b
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    """Multi-probe searches a strict superset of buckets, so per-query
+    recall vs brute force can only improve — and candidate growth is
+    bounded by (n_bits + 1) x the probe side only."""
+    from in_stream_processing_course_spark.operators.similarity import (
+        bucketed_topk,
+        multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, 5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bucketed_topk(emb, probes, 5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in multiprobe_topk(emb, probes, 5).collect()
+    }
+    assert len(exact & multi) >= len(exact & single)
