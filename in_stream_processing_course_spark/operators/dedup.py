@@ -118,10 +118,21 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: self-equi-join banded docs on
     (band_id, band_key), distinct (a < b) pairs. The join is a plain
     shuffle-hash/sort-merge equi-join — no cross product anywhere.
+
+    ``max_bucket_size`` is the quadratic-blowup guard for real corpora:
+    a band key shared by B docs emits B^2/2 pairs, and AQE's skew
+    handling splits partitions, not that pair count — one degenerate
+    key (empty docs, boilerplate) can dominate the whole job. Capping
+    drops buckets with more than ``max_bucket_size`` members before the
+    join (the stop-shingle rationale: a key that common isn't
+    discriminative, and its members still collide on their other
+    bands). The cap is one extra count-aggregate on the band table —
+    cheap relative to the join it bounds.
     """
     # materialize the band table once: AQE never reuses the exchange
     # under a self-join (each side becomes its own query stage), so
@@ -133,6 +144,15 @@ def minhash_candidates(
     banded = minhash_bands(
         df, id_col, text_col, num_hashes, bands, shingle_k
     ).localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        banded = (
+            banded.join(sizes, ["band_id", "band_key"])
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     left = banded.alias("l")
     # shuffle-hash beats the default broadcast plan here (the build side
     # is not small relative to the probe side — it IS the probe side),

@@ -653,3 +653,47 @@ GROUP BY para_hash
 HAVING COUNT(DISTINCT doc_id) >= 2
 ORDER BY para_hash
 """
+
+
+# --- hot-bucket-capped LSH candidates ----------------------------------------
+
+_BUCKET_CAP = 4
+
+
+def minhash_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with the quadratic-blowup guard: band buckets
+    holding more than _BUCKET_CAP docs are dropped before the self-join
+    (non-discriminative keys — the stop-shingle rationale; members
+    still collide on their other bands). See minhash_candidates'
+    max_bucket_size note for why AQE alone cannot bound this."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_candidates(
+        docs,
+        "doc_id",
+        "text",
+        _NUM_HASHES,
+        _BANDS,
+        _SHINGLE_K,
+        max_bucket_size=_BUCKET_CAP,
+    ).orderBy("a", "b")
+
+
+ORACLE_MINHASH_CAPPED = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                    b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {_BUCKET_CAP}
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM capped l JOIN capped r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+ORDER BY a, b
+"""

@@ -232,6 +232,11 @@ register(
     dq.ORACLE_REPEATED_PARAGRAPHS,
 )
 register(
+    "dedup_minhash_capped",
+    dq.minhash_candidates_capped,
+    dq.ORACLE_MINHASH_CAPPED,
+)
+register(
     "curation_end_to_end",
     dq.curation_end_to_end,
     dq.ORACLE_CURATION_END_TO_END,

@@ -263,3 +263,23 @@ def test_incremental_dedup_persisted_index_roundtrip(spark, sf_dir, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(band_key" not in plan
     assert "hashpartitioning(_corpus_id" not in plan
+
+
+def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """One boilerplate text repeated 10x forms a giant bucket: with
+    max_bucket_size=5 it emits ZERO pairs (10x9/2=45 otherwise), while
+    a small legit near-dup bucket still pairs — the quadratic guard
+    drops only the degenerate key."""
+    from in_stream_processing_course_spark.operators import dedup as dd
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, boiler) for i in range(10)] + [
+        (100, "unique words alpha beta gamma delta epsilon zeta eta"),
+        (101, "unique words alpha beta gamma delta epsilon zeta eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dd.minhash_candidates(docs).collect()
+    capped = dd.minhash_candidates(docs, max_bucket_size=5).collect()
+    assert len(uncapped) == 45 + 1
+    pairs = {(r["a"], r["b"]) for r in capped}
+    assert pairs == {(100, 101)}

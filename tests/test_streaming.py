@@ -250,6 +250,21 @@ def test_upsert_sink_last_writer_wins(spark, tmp_path):
     assert table == {("k", "categories")}
 
 
+def test_upsert_sink_corrupt_table_fails_loudly(spark, tmp_path):
+    """Only PATH_NOT_FOUND maps to "empty table"; a corrupt existing
+    table must raise so the micro-batch retries from the checkpoint
+    instead of silently overwriting the table with just the incoming
+    batch (the data-loss failure mode)."""
+    path = tmp_path / "bots_corrupt"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    sink = KeyedUpsertSink(str(path), ["bot_ip"])
+    with pytest.raises(Exception):
+        sink(_verdicts_df(spark, [("k", "requests")]), 0)
+    # the corrupt table was left untouched — no silent overwrite
+    assert (path / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
 def test_upsert_sink_large_batch_distributed(spark, tmp_path):
     """The MERGE path must scale with executors, not driver heap: a
     120k-key batch goes through the staged-write + rename-swap path
