@@ -385,11 +385,14 @@ def simhash_dedup_candidates(
     text_col: str = "text",
     n_bits: int = 48,
     band_bits: int = 12,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: split the fingerprint into
     ``n_bits/band_bits`` bands; docs agreeing on any band are
     candidates (Hamming-distance blocking); report exact Hamming
-    distance via xor bit count.
+    distance via xor bit count. ``max_bucket_size`` is the same
+    quadratic-blowup guard as :func:`minhash_candidates` — drop
+    over-common band values before the self-join.
     """
     n_bands = n_bits // band_bits
     sh = simhash_table(df, id_col, text_col, n_bits).withColumnRenamed(
@@ -410,6 +413,15 @@ def simhash_dedup_candidates(
     # AQE's per-stage planning never reuses the exchange, so the
     # token-explode + n_bits-vote aggregate would otherwise run twice
     bands = bands.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band_id", "band_val").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band_id", "band_val"])
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     # shuffle-hash over broadcast: see minhash_candidates
     l, r = bands.alias("l"), bands.hint("shuffle_hash").alias("r")
     pairs = (

@@ -283,3 +283,22 @@ def test_minhash_bucket_cap_bounds_degenerate_buckets(spark):
     assert len(uncapped) == 45 + 1
     pairs = {(r["a"], r["b"]) for r in capped}
     assert pairs == {(100, 101)}
+
+
+def test_simhash_bucket_cap_bounds_degenerate_buckets(spark):
+    """Same guard on the SimHash band join: identical boilerplate docs
+    share every band value; capped, they emit no pairs while a distinct
+    near-dup pair (one band in common) survives."""
+    from in_stream_processing_course_spark.operators import dedup as dd
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, boiler) for i in range(10)] + [
+        (100, "unique words alpha beta gamma delta epsilon zeta eta"),
+        (101, "unique words alpha beta gamma delta epsilon zeta eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dd.simhash_dedup_candidates(docs, max_bucket_size=5).collect()
+    pairs = {(r["a"], r["b"]) for r in capped}
+    assert pairs == {(100, 101)}
+    uncapped = dd.simhash_dedup_candidates(docs).collect()
+    assert len(uncapped) == 45 + 1
