@@ -39,6 +39,63 @@ HEADLINE = [
 ]
 
 
+def _drip_workload(tmp_root: str) -> tuple[str, int]:
+    """Generate the 8-file botgen drip shared by the streaming benches."""
+    import os as _os
+
+    from in_stream_processing_course_spark.sources import generator as gen
+
+    in_dir = _os.path.join(tmp_root, "in")
+    n_files, duration = 8, 240
+    actions = gen.botgen_workload(
+        n_bots=50, n_users=5000, user_freq=500, duration_sec=duration
+    )
+    slice_sec = max(1, duration // n_files)
+    buckets: list[list] = [[] for _ in range(n_files)]
+    for a in actions:
+        buckets[min(a.time // slice_sec, n_files - 1)].append(a)
+    for i, b in enumerate(buckets):
+        gen.write_json_lines(b, _os.path.join(in_dir, f"part-{i:04d}.json"))
+    return in_dir, len(actions)
+
+
+def bench_windowed_stream(spark) -> tuple[int, float]:
+    """Structured windowed path throughput (A1: watermark + sliding
+    window + verdict filter — all JVM-side streaming aggregation).
+    The contrast line for the Python state path: same drip, native
+    state store, no Arrow round-trip."""
+    import shutil
+    import tempfile
+
+    from in_stream_processing_course_spark.sources.stream import (
+        read_action_stream,
+    )
+    from in_stream_processing_course_spark.streaming.pipeline import (
+        windowed_bot_stream,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        await_drained,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_win_")
+    in_dir, n_rows = _drip_workload(root)
+    verdicts = windowed_bot_stream(
+        read_action_stream(spark, in_dir, max_files_per_trigger=1)
+    )
+    start = time.perf_counter()
+    query = (
+        verdicts.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query, timeout_sec=600)
+    elapsed = time.perf_counter() - start
+    shutil.rmtree(root, ignore_errors=True)
+    return n_rows, elapsed
+
+
 def bench_stateful_stream(spark) -> tuple[int, float]:
     """T3 state-path throughput (VERDICT r2 item 5): drip a generated
     botgen workload through the file source in 8 micro-batches
@@ -58,7 +115,6 @@ def bench_stateful_stream(spark) -> tuple[int, float]:
     import shutil
     import tempfile
 
-    from in_stream_processing_course_spark.sources import generator as gen
     from in_stream_processing_course_spark.sources.stream import (
         read_action_stream,
     )
@@ -70,17 +126,7 @@ def bench_stateful_stream(spark) -> tuple[int, float]:
     )
 
     root = tempfile.mkdtemp(prefix="bench_state_")
-    in_dir = os.path.join(root, "in")
-    n_files, duration = 8, 240
-    actions = gen.botgen_workload(
-        n_bots=50, n_users=5000, user_freq=500, duration_sec=duration
-    )
-    slice_sec = max(1, duration // n_files)
-    buckets: list[list] = [[] for _ in range(n_files)]
-    for a in actions:
-        buckets[min(a.time // slice_sec, n_files - 1)].append(a)
-    for i, b in enumerate(buckets):
-        gen.write_json_lines(b, os.path.join(in_dir, f"part-{i:04d}.json"))
+    in_dir, n_rows = _drip_workload(root)
     stream = read_action_stream(spark, in_dir, max_files_per_trigger=1)
     verdicts = stateful_bot_stream(stream)
     start = time.perf_counter()
@@ -94,7 +140,7 @@ def bench_stateful_stream(spark) -> tuple[int, float]:
     await_drained(query, timeout_sec=600)
     elapsed = time.perf_counter() - start
     shutil.rmtree(root, ignore_errors=True)
-    return len(actions), elapsed
+    return n_rows, elapsed
 
 
 def main() -> None:
@@ -137,6 +183,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     state_rows, state_sec = bench_stateful_stream(spark)
+    win_rows, win_sec = bench_windowed_stream(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -149,6 +196,7 @@ def main() -> None:
                 "stateful_pipeline_rows": state_rows,
                 "stateful_pipeline_wall_sec": round(state_sec, 3),
                 "stateful_pipeline_rows_per_sec": round(state_rows / state_sec),
+                "windowed_pipeline_rows_per_sec": round(win_rows / win_sec),
             }
         )
     )
