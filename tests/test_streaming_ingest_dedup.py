@@ -130,3 +130,51 @@ def test_ingest_within_batch_near_dup_defers_to_min_id(spark, tmp_path):
     ingest(_df(spark, rows), 0)
     admitted = {r["doc_id"] for r in ingest.admitted(spark).collect()}
     assert admitted == {7, 8}
+
+
+def test_ingest_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """T6/T8 for the ingest op: stop after batch 0, drop a new file,
+    restart on the SAME checkpoint — only the new file is processed
+    (the b0 docs are not re-screened; index partitions stay 0 and 1)."""
+    import os
+
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_foreach_batch,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write(fname, rows):
+        path = in_dir / fname
+        with open(path, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        return path
+
+    ingest = _make(tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").json(
+            str(in_dir)
+        )
+
+    write("b0.json", _DOCS_B0)
+    run_stream_foreach_batch(stream(), ingest, "append", checkpoint_dir=ckpt)
+    assert {r["doc_id"] for r in ingest.admitted(spark).collect()} == {1, 2, 4}
+
+    write("b1.json", _DOCS_B1)
+    run_stream_foreach_batch(stream(), ingest, "append", checkpoint_dir=ckpt)
+    admitted = {r["doc_id"] for r in ingest.admitted(spark).collect()}
+    quarantined = {
+        r["doc_id"]: r["matched_doc_id"]
+        for r in ingest.quarantined(spark).collect()
+    }
+    assert admitted == {1, 2, 4, 12}
+    assert quarantined == {11: 1, 13: 2}
+    # index accreted exactly one partition per micro-batch
+    parts = {
+        d for d in os.listdir(tmp_path / "index") if d.startswith("batch_id=")
+    }
+    assert parts == {"batch_id=0", "batch_id=1"}
