@@ -538,3 +538,58 @@ def test_stream_static_dimension_join(spark, tmp_path):
         ("ip1", "2000"): "books",
         ("ip2", "9999"): None,
     }
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER join with watermarks: clicks with no
+    view in the preceding 60 s surface with null view time — but only
+    after the watermark passes their join window (Spark holds outer
+    results until state can be finalized). A later batch on BOTH
+    streams advances the global watermark to flush them."""
+    import os
+    import time as _time
+
+    clicks = [gen.Action(100, "1000", "u1", "click"),
+              gen.Action(100, "1000", "lonely", "click")]
+    views = [gen.Action(80, "1000", "u1", "view")]
+    late_c = [gen.Action(10_000, "1000", "u1", "click")]
+    late_v = [gen.Action(10_000, "1000", "u1", "view")]
+    in_c = str(tmp_path / "clicks")
+    in_v = str(tmp_path / "views")
+    now = _time.time()
+    for path, early, late in (
+        (in_c, clicks, late_c),
+        (in_v, views, late_v),
+    ):
+        gen.write_json_lines(early, path + "/f0.json")
+        gen.write_json_lines(late, path + "/f1.json")
+        os.utime(path + "/f0.json", (now - 60, now - 60))
+        os.utime(path + "/f1.json", (now - 30, now - 30))
+
+    c = actions_to_log_records(
+        read_action_stream(spark, in_c, max_files_per_trigger=1)
+    ).select(
+        F.col("ip").alias("c_ip"), F.col("time").alias("c_time")
+    ).withWatermark("c_time", "10 seconds")
+    v = actions_to_log_records(
+        read_action_stream(spark, in_v, max_files_per_trigger=1)
+    ).select(
+        F.col("ip").alias("v_ip"), F.col("time").alias("v_time")
+    ).withWatermark("v_time", "10 seconds")
+    joined = c.join(
+        v,
+        (F.col("c_ip") == F.col("v_ip"))
+        & (F.col("v_time") >= F.col("c_time") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("v_time") <= F.col("c_time")),
+        "left_outer",
+    ).select(
+        "c_ip",
+        F.unix_timestamp("c_time").alias("ct"),
+        F.unix_timestamp("v_time").alias("vt"),
+    )
+    out = run_stream_to_memory(
+        joined, output_mode="append", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    rows = {(r["c_ip"], r["ct"], r["vt"]) for r in out.collect()}
+    assert ("u1", 100, 80) in rows  # matched pair
+    assert ("lonely", 100, None) in rows  # outer row flushed by watermark
