@@ -44,6 +44,7 @@ class IncrementalDedupIngest:
         num_hashes: int = 16,
         bands: int = 4,
         shingle_k: int = 5,
+        max_bucket_size: int | None = None,
     ) -> None:
         self.index_path = index_path
         self.admitted_path = admitted_path
@@ -53,6 +54,10 @@ class IncrementalDedupIngest:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_k = shingle_k
+        # quadratic guard for the in-batch self-join (same rationale as
+        # operators.dedup.minhash_candidates); the index-side join is
+        # already bounded by the min() aggregation
+        self.max_bucket_size = max_bucket_size
 
     def _read_index(self, spark: SparkSession) -> DataFrame | None:
         try:
@@ -83,11 +88,15 @@ class IncrementalDedupIngest:
             else:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
-    def _dedup_within_batch(self, batch: DataFrame) -> DataFrame:
+    def _dedup_within_batch(
+        self, batch: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
         """Exact dups collapse to the min-id representative; then any
         doc whose bands collide with a LOWER-id doc in the same batch
         defers to it (greedy min-id near-dup pick — the same
-        representative rule the batch curation pipeline uses)."""
+        representative rule the batch curation pipeline uses). Returns
+        (surviving docs, their band rows) — bands are computed ONCE per
+        batch and reused for the index screen."""
         exact = (
             batch.withColumn(
                 "_rk",
@@ -97,7 +106,7 @@ class IncrementalDedupIngest:
             )
             .where(F.col("_rk") == 1)
             .drop("_rk")
-        )
+        ).localCheckpoint()
         bands = minhash_bands(
             exact,
             self.id_col,
@@ -105,11 +114,21 @@ class IncrementalDedupIngest:
             self.num_hashes,
             self.bands,
             self.shingle_k,
-        )
+        ).localCheckpoint()
+        joinable = bands
+        if self.max_bucket_size is not None:
+            sizes = joinable.groupBy("band_id", "band_key").agg(
+                F.count(F.lit(1)).alias("_bucket_n")
+            )
+            joinable = (
+                joinable.join(sizes, ["band_id", "band_key"])
+                .where(F.col("_bucket_n") <= self.max_bucket_size)
+                .drop("_bucket_n")
+            )
         losers = (
-            bands.alias("l")
+            joinable.alias("l")
             .join(
-                bands.alias("r"),
+                joinable.alias("r"),
                 (F.col("l.band_id") == F.col("r.band_id"))
                 & (F.col("l.band_key") == F.col("r.band_key"))
                 & (F.col(f"l.{self.id_col}") < F.col(f"r.{self.id_col}")),
@@ -117,19 +136,15 @@ class IncrementalDedupIngest:
             .select(F.col(f"r.{self.id_col}").alias(self.id_col))
             .distinct()
         )
-        return exact.join(losers, self.id_col, "left_anti")
+        return (
+            exact.join(losers, self.id_col, "left_anti"),
+            bands.join(losers, self.id_col, "left_anti"),
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = self._dedup_within_batch(batch_df).localCheckpoint()
-        new_bands = minhash_bands(
-            batch,
-            self.id_col,
-            self.text_col,
-            self.num_hashes,
-            self.bands,
-            self.shingle_k,
-        )
+        batch, new_bands = self._dedup_within_batch(batch_df)
+        batch = batch.localCheckpoint()
         index = self._read_index(spark)
         if index is not None:
             # replay safety: a retried micro-batch must not screen
