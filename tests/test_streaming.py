@@ -593,3 +593,44 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
     rows = {(r["c_ip"], r["ct"], r["vt"]) for r in out.collect()}
     assert ("u1", 100, 80) in rows  # matched pair
     assert ("lonely", 100, None) in rows  # outer row flushed by watermark
+
+
+def test_stateful_history_on_rocksdb_provider(spark, tmp_path):
+    """CLUSTER_SCALE_CONF recommends the RocksDB state store for the
+    100 TB state path — prove the applyInPandasWithState operator
+    actually runs on it (protobuf only gates transformWithState, not
+    this API). Same multi-batch accumulation scenario as the default-
+    provider test."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        b1 = gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+        b2 = [
+            gen.Action(a.time + 60, f"cat{int(a.category_id[3:]) + 4}", a.ip, a.action)
+            for a in gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+        ]
+        in_dir = write_actions(tmp_path, "b1.json", b1)
+        write_actions(tmp_path, "b2.json", b2)
+        out = run_stream_to_memory(
+            stateful_bot_stream(
+                read_action_stream(spark, in_dir, max_files_per_trigger=1)
+            ),
+            output_mode="update",
+            checkpoint_dir=str(tmp_path / "ckpt_rocks"),
+        )
+        rows = out.orderBy("categories_count").collect()
+        assert [r["categories_count"] for r in rows] == [4, 8]
+        assert [(r["is_bot"], r["reason"]) for r in rows] == [
+            (False, "clear"),
+            (True, "categories"),
+        ]
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
