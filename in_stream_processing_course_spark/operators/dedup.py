@@ -220,6 +220,18 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def containment_col(a: Column, b: Column) -> Column:
+    """Exact containment |a ∩ b| / |a| over two distinct-element
+    arrays. Asymmetric by design: a quote, excerpt, or wrapped copy of
+    a document scores near 1.0 against its origin even though Jaccard
+    is tiny (the union is dominated by the longer side). The dedup
+    decision that Jaccard verification structurally misses — standard
+    in web-corpus curation (containment-based near-dup detection,
+    Broder's resemblance/containment pair)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / F.greatest(F.size(a), F.lit(1))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -697,3 +697,211 @@ FROM capped l JOIN capped r
   ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 ORDER BY a, b
 """
+
+
+# --- containment-verified near-dups (X2, asymmetric) -------------------------
+
+# Broder's containment coefficient |A∩B|/|A|: catches excerpts/quotes/
+# wrapped copies whose Jaccard is tiny because the union is dominated
+# by the longer document — the case minhash_verified structurally
+# misses. Candidates still come from the SAME LSH band join (no new
+# shuffle shape); only the per-pair verification metric changes.
+_CONTAIN_THRESHOLD = 0.6
+
+
+def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact shingle CONTAINMENT in both
+    directions; a pair survives if either side is >= 60% contained in
+    the other. Same 100 TB shape as minhash_verified_near_dups: the
+    quadratic array work runs on |candidates| rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    sh_a = docs.select(
+        F.col("doc_id").alias("a"),
+        dd.shingles_col(F.col("text"), _SHINGLE_K).alias("_sa"),
+    )
+    sh_b = docs.select(
+        F.col("doc_id").alias("b"),
+        dd.shingles_col(F.col("text"), _SHINGLE_K).alias("_sb"),
+    )
+    return (
+        cands.join(sh_a, "a")
+        .join(sh_b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                dd.containment_col(F.col("_sa"), F.col("_sb")), 6
+            ).alias("containment_a_in_b"),
+            F.round(
+                dd.containment_col(F.col("_sb"), F.col("_sa")), 6
+            ).alias("containment_b_in_a"),
+        )
+        .where(
+            (F.col("containment_a_in_b") >= _CONTAIN_THRESHOLD)
+            | (F.col("containment_b_in_a") >= _CONTAIN_THRESHOLD)
+        )
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_MINHASH_CONTAINMENT = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                    b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents)
+SELECT a, b,
+       round(len(list_intersect(sa.s, sb.s)) / greatest(len(sa.s), 1), 6)
+         AS containment_a_in_b,
+       round(len(list_intersect(sa.s, sb.s)) / greatest(len(sb.s), 1), 6)
+         AS containment_b_in_a
+FROM cands
+JOIN sh sa ON sa.doc_id = a
+JOIN sh sb ON sb.doc_id = b
+WHERE round(len(list_intersect(sa.s, sb.s)) / greatest(len(sa.s), 1), 6)
+        >= {_CONTAIN_THRESHOLD}
+   OR round(len(list_intersect(sa.s, sb.s)) / greatest(len(sb.s), 1), 6)
+        >= {_CONTAIN_THRESHOLD}
+ORDER BY a, b
+"""
+
+
+# --- shingle novelty (corpus-growth analytics) -------------------------------
+
+
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct shingles NOT
+    seen in any lower-doc_id document (doc_id as ingest order). The
+    corpus-growth diagnostic behind "is new data adding information or
+    repeating the crawl": novelty ~0 rows are candidates to drop even
+    when no single pair-dup fires.
+
+    100 TB shape: one shuffle on shingle (min-doc_id aggregate, map-
+    side partial), one shuffle back on doc_id. No pairwise work at all
+    — linear in total shingle count, the cheapest member of the dedup
+    family."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(dd.shingles_col(F.col("text"), _SHINGLE_K)).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("_n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.round(
+                F.lit(1) - F.col("_n_seen") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SHINGLE_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       round(1 - SUM(CASE WHEN first.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty
+FROM sh JOIN first ON sh.s = first.s
+GROUP BY sh.doc_id
+ORDER BY doc_id
+"""
+
+
+# --- cross-source shingle overlap matrix -------------------------------------
+
+
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level diagnostics: shingle-set Jaccard between every
+    pair of sources. Tells a curation pipeline which feeds are
+    near-copies of each other (mirror sites, re-crawls) BEFORE paying
+    for doc-level dedup between them.
+
+    100 TB shape: distinct (source, shingle) first (kills within-
+    source repetition early), then a shingle equi-join — pairs shuffle
+    on the shingle hash; output is |sources|^2-bounded (tiny). The
+    per-source totals are a bounded-dimension aggregate, broadcast
+    back (same policy as operators/skew.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ss = docs.select(
+        "source",
+        F.explode(dd.shingles_col(F.col("text"), _SHINGLE_K)).alias("shingle"),
+    ).distinct()
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    l, r = ss.alias("l"), ss.hint("shuffle_hash").alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .groupBy(
+            F.col("l.source").alias("source_a"),
+            F.col("r.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH ss AS (
+  SELECT DISTINCT source, unnest({_SQL_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY source),
+inter AS (
+  SELECT l.source AS source_a, r.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ss l JOIN ss r ON l.s = r.s AND l.source < r.source
+  GROUP BY l.source, r.source
+)
+SELECT inter.source_a, inter.source_b, sa.n AS n_a, sb.n AS n_b,
+       inter.n_common,
+       round(inter.n_common / (sa.n + sb.n - inter.n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+"""

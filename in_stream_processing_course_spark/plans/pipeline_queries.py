@@ -677,3 +677,92 @@ FROM assigned
 GROUP BY shard
 ORDER BY shard
 """
+
+
+# --- semantic dedup (SemDeDup-shaped keep/drop decision) --------------------
+
+# cosine threshold for "semantically duplicate" within a cluster
+# block; 0.3 on this synthetic noisy corpus plays the role 0.95+ plays
+# on real embedding spaces — it yields a realistic edge density for
+# the closure step (the algorithm is threshold-agnostic)
+_SEM_COS_THRESHOLD = 0.3
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embeddings table: the
+    per-row KEEP/DROP decision, not just the pair list.
+
+    Pipeline: (1) pairwise cosine >= t WITHIN cluster blocks — here
+    the label column stands in for the k-means cluster id SemDeDup
+    computes (the rows-only knn_ivf query demonstrates real k-means
+    assignment; at 100 TB the block key is that IVF cell or an LSH
+    bucket, never a global all-pairs); (2) transitive closure of the
+    near-dup pairs via min-label-propagation connected components;
+    (3) representative = min vec_id per component -> keep, everything
+    else in the component -> drop. Rows in no pair keep trivially.
+
+    Scale: the pair join shuffles on the block key (quadratic only
+    within a block — bounded by block size, the same contract as every
+    blocked near-dup operator here); the closure is one shuffle per
+    round over the PAIR table (|pairs| << |rows|); the final decision
+    join is a left join on vec_id. The oracle reproduces the closure
+    with a recursive CTE — different algorithm, same fixpoint."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", "label", _SEM_COS_THRESHOLD
+    ).select("a", "b")
+    comp = connected_components(pairs, "a", "b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("vec_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# fixed-order double fold cosine, identical to the Spark fold (see
+# dedup_queries._SQL_DOT_ED — duplicated literally here because this
+# module owns its oracle strings; both derive from functions/vectors)
+_SQL_DOT_SEM = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+def _sql_cos_sem(a: str, b: str) -> str:
+    dot = _SQL_DOT_SEM.format(a=a, b=b)
+    na = f"sqrt({_SQL_DOT_SEM.format(a=a, b=a)})"
+    nb = f"sqrt({_SQL_DOT_SEM.format(a=b, b=b)})"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE cands AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l JOIN embeddings r
+    ON l.label = r.label AND l.vec_id < r.vec_id
+  WHERE {_sql_cos_sem('l.embedding', 'r.embedding')} >= {_SEM_COS_THRESHOLD}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM cands
+  UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT e.vec_id,
+       CAST(COALESCE(comp.component, e.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(comp.component, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp ON comp.node = e.vec_id
+ORDER BY vec_id
+"""

@@ -251,6 +251,21 @@ register(
     dq.text_repetition_scores,
     dq.ORACLE_REPETITION,
 )
+register(
+    "dedup_minhash_containment",
+    dq.minhash_containment_pairs,
+    dq.ORACLE_MINHASH_CONTAINMENT,
+)
+register(
+    "dedup_shingle_novelty",
+    dq.doc_shingle_novelty,
+    dq.ORACLE_SHINGLE_NOVELTY,
+)
+register(
+    "dedup_source_overlap",
+    dq.source_shingle_overlap,
+    dq.ORACLE_SOURCE_OVERLAP,
+)
 
 # --- similarity search (X2) --------------------------------------------------
 register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
@@ -282,6 +297,11 @@ register(
     pq.ORACLE_SAMPLE_STRATIFIED,
 )
 register("text_tfidf", pq.text_tfidf, pq.ORACLE_TFIDF)
+register(
+    "semantic_dedup_keep",
+    pq.semantic_dedup_keep,
+    pq.ORACLE_SEMANTIC_DEDUP,
+)
 register(
     "mix_documents_weighted", pq.mix_documents_weighted, pq.ORACLE_MIX_WEIGHTED
 )
@@ -321,6 +341,12 @@ register(
 )
 register("events_value_outliers", ts.events_value_outliers, ts.ORACLE_OUTLIERS)
 register("events_value_trend", ts.events_value_trend, ts.ORACLE_VALUE_TREND)
+register(
+    "events_value_robust_outliers",
+    ts.events_value_robust_outliers,
+    ts.ORACLE_ROBUST_OUTLIERS,
+)
+register("user_value_ewma", ts.user_value_ewma, ts.ORACLE_USER_EWMA)
 register(
     "sessions_concurrency_daily",
     ts.sessions_concurrency_daily,

@@ -556,3 +556,160 @@ SELECT event_type,
 FROM moments
 ORDER BY event_type
 """
+
+
+# --- robust (median/MAD) outliers ------------------------------------------
+
+# scaled-MAD consistency constant (MAD * 1.4826 estimates sigma for a
+# normal), the textbook robust z-score; the moment-based z in
+# events_value_outliers is pulled around by the very outliers it is
+# trying to flag — the median/MAD variant is the heavy-tail-safe form.
+_MAD_SCALE = 1.4826
+_ROBUST_Z = 3.5
+
+
+def _discrete_median(df: DataFrame, key: str, col: str, out: str) -> DataFrame:
+    """Lower-median order statistic per key: the value at 1-based rank
+    floor((n+1)/2) ordered by (col, event_id). An ORDER-STATISTIC
+    median, not an interpolated one: interpolation averages two
+    doubles (engine-specific operation order → ULP drift across
+    engines), while picking an element is bit-exact everywhere. Two
+    window passes over one shuffle on the key."""
+    w = Window.partitionBy(key).orderBy(col, "event_id")
+    wn = Window.partitionBy(key)
+    return (
+        df.select(
+            key,
+            F.col(col),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .where(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select(key, F.col(col).alias(out))
+    )
+
+
+def events_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score outliers per event type:
+    |value - median| / (1.4826 * MAD) > 3.5, both statistics as exact
+    order statistics (see _discrete_median). The per-type stats fold
+    to one row per type (bounded dimension) and broadcast back over
+    the events scan — same policy as the moment-based z variant;
+    adds one extra shuffle for the deviation ranking."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", "event_id", "value")
+    med = _discrete_median(base, "event_type", "value", "med")
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("med")).alias("_dev"),
+    )
+    mad = _discrete_median(dev, "event_type", "_dev", "mad").where(
+        F.col("mad") > 0
+    )
+    stats = med.join(mad, "event_type")
+    z = (F.col("value") - F.col("med")) / (F.lit(_MAD_SCALE) * F.col("mad"))
+    return (
+        base.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > F.lit(_ROBUST_Z))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("med").alias("median"),
+            F.col("mad"),
+            F.round(z, 6).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ROBUST_OUTLIERS = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked
+  WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+),
+dev_ranked AS (
+  SELECT e.event_type, e.event_id, abs(e.value - med.med) AS dev,
+         ROW_NUMBER() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.value - med.med), e.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM dev_ranked
+  WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) AND dev > 0
+)
+SELECT e.event_id, e.event_type, e.value, med.med AS median, mad.mad,
+       round((e.value - med.med) / ({_MAD_SCALE} * mad.mad), 6) AS robust_z
+FROM events e
+JOIN med ON e.event_type = med.event_type
+JOIN mad ON e.event_type = mad.event_type
+WHERE abs((e.value - med.med) / ({_MAD_SCALE} * mad.mad)) > {_ROBUST_Z}
+ORDER BY e.event_id
+"""
+
+
+# --- per-user EWMA (ordered-fold sequence feature) -------------------------
+
+_EWMA_ALPHA = 0.2
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of value per user over
+    the user's event sequence (time order): the classic recency-
+    weighted engagement feature. EWMA is a RECURRENCE (s = a*v +
+    (1-a)*s), not a window sum, so it cannot be a plain OVER-window
+    aggregate; the portable exact form is an ordered fold:
+    collect the user's values sorted by (ts, event_id) and fold left
+    with the recurrence — identical double operation sequence in
+    Spark (``aggregate``) and DuckDB (``list_reduce``).
+
+    Scale: one shuffle (groupBy user); the fold is per-key linear and
+    per-user sequences are bounded (same contract as sequence packing
+    / session features). For unbounded keys the streaming form is
+    applyInPandasWithState with the scalar s as state — this is the
+    batch backfill of exactly that feature."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_seq")
+    )
+    vals = F.transform(F.col("_seq"), lambda x: x["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.size(vals)),
+        F.element_at(vals, F.lit(1)),
+        lambda acc, v: acc * F.lit(1 - _EWMA_ALPHA) + v * F.lit(_EWMA_ALPHA),
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.size("_seq").cast("long").alias("n_events"),
+            F.round(ewma, 6).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_EWMA = f"""
+WITH seq AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       round(list_reduce(vals,
+             (acc, v) -> acc * {1 - _EWMA_ALPHA} + v * {_EWMA_ALPHA}), 6)
+         AS ewma_value
+FROM seq ORDER BY user_id
+"""
