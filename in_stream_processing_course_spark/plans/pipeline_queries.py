@@ -766,3 +766,179 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN comp ON comp.node = e.vec_id
 ORDER BY vec_id
 """
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+# md5-prefix thresholds out of 0x10000: ~87.5% train, ~6.25% val, rest
+# test. Content-addressed (pure function of doc_id), so the split is
+# stable under re-runs, re-partitioning, engine changes, and corpus
+# growth — a doc NEVER migrates between splits when new data arrives,
+# which is the property that keeps eval sets uncontaminated across
+# dataset versions. (Random splits with seeds lose it the moment row
+# order or partitioning changes.)
+_SPLIT_TRAIN_MAX = "e000"
+_SPLIT_VAL_MAX = "f000"
+
+
+def split_documents_train_val_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document split assignment + per-split size accounting in
+    one pass: (doc_id, split) rows carry the assignment; the window
+    totals give each split's doc and char budget without a second
+    scan. Pushes down as pure projection + broadcast-free window over
+    a 3-value key — trivially scale-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+    )
+    split = (
+        F.when(prefix < _SPLIT_TRAIN_MAX, "train")
+        .when(prefix < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    w = Window.partitionBy("split")
+    return (
+        docs.select("doc_id", F.col("n_chars"), split.alias("split"))
+        .select(
+            "doc_id",
+            "split",
+            F.count(F.lit(1)).over(w).alias("split_docs"),
+            F.sum("n_chars").over(w).alias("split_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPLIT_TVT = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_TRAIN_MAX}'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_VAL_MAX}'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT doc_id, split,
+       CAST(COUNT(*) OVER (PARTITION BY split) AS BIGINT) AS split_docs,
+       CAST(SUM(n_chars) OVER (PARTITION BY split) AS BIGINT) AS split_chars
+FROM assigned
+ORDER BY doc_id
+"""
+
+
+# --- cross-modal curation manifest ------------------------------------------
+
+
+def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-release MANIFEST: one row per document with every
+    curation gate evaluated side by side — text quality, exact-dup
+    representative, embedding-space semantic keep (cross-table: the
+    embeddings row with vec_id = doc_id), plus the deterministic
+    train/val/test split — and the final ``selected`` verdict. This is
+    the auditable artifact a 100 TB curation run ships: per-gate
+    booleans make "why was this doc dropped" a filter, not a re-run.
+
+    Scale: quality + split are scan-local projections; the exact-rep
+    flag is one hash-shuffle window on md5(text); the semantic gate
+    reuses the blocked-cosine + connected-components closure
+    (|pairs|-sized work); the final assembly is one join on doc_id.
+    The oracle rebuilds all four gates in SQL (recursive CTE for the
+    closure), hash-verifying the whole composition."""
+    from ..functions.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", "label", _SEM_COS_THRESHOLD
+    ).select("a", "b")
+    comp = connected_components(pairs, "a", "b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    sem = (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("semantic_keep"),
+        )
+    )
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+    )
+    split = (
+        F.when(prefix < _SPLIT_TRAIN_MAX, "train")
+        .when(prefix < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    rn = F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+    gated = docs.select(
+        "doc_id",
+        split.alias("split"),
+        (quality_score_col(F.col("text")) >= 0.5).alias("quality_pass"),
+        (rn == 1).alias("exact_rep"),
+    )
+    keep = F.coalesce(F.col("semantic_keep"), F.lit(True))
+    return (
+        gated.join(sem, gated.doc_id == sem.vec_id, "left")
+        .select(
+            "doc_id",
+            "split",
+            "quality_pass",
+            "exact_rep",
+            keep.alias("semantic_keep"),
+            (F.col("quality_pass") & F.col("exact_rep") & keep).alias(
+                "selected"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_curation_manifest(quality_sql: str) -> str:
+    return f"""
+WITH RECURSIVE cands AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l JOIN embeddings r
+    ON l.label = r.label AND l.vec_id < r.vec_id
+  WHERE {_sql_cos_sem('l.embedding', 'r.embedding')} >= {_SEM_COS_THRESHOLD}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM cands
+  UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+sem AS (
+  SELECT e.vec_id,
+         COALESCE(comp.component, e.vec_id) = e.vec_id AS semantic_keep
+  FROM embeddings e LEFT JOIN comp ON comp.node = e.vec_id
+),
+gated AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_TRAIN_MAX}'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_VAL_MAX}'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         ({quality_sql} >= 0.5) AS quality_pass,
+         (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+           AS exact_rep
+  FROM documents
+)
+SELECT g.doc_id, g.split, g.quality_pass, g.exact_rep,
+       COALESCE(sem.semantic_keep, TRUE) AS semantic_keep,
+       g.quality_pass AND g.exact_rep AND COALESCE(sem.semantic_keep, TRUE)
+         AS selected
+FROM gated g LEFT JOIN sem ON sem.vec_id = g.doc_id
+ORDER BY g.doc_id
+"""

@@ -192,6 +192,9 @@ register(
     tq.ORACLE_DOC_LENGTH_HISTOGRAM,
 )
 register("text_pii_scan", tq.text_pii_scan, tq.ORACLE_PII_SCAN)
+register(
+    "text_gopher_rules", tq.gopher_quality_rules, tq.ORACLE_GOPHER_RULES
+)
 
 # --- dedup family (X1/X2) ----------------------------------------------------
 register("dedup_documents_exact", dq.dedup_documents_exact, dq.ORACLE_DEDUP_EXACT_DOCS)
@@ -304,6 +307,16 @@ register(
 )
 register(
     "mix_documents_weighted", pq.mix_documents_weighted, pq.ORACLE_MIX_WEIGHTED
+)
+register(
+    "split_documents_tvt",
+    pq.split_documents_train_val_test,
+    pq.ORACLE_SPLIT_TVT,
+)
+register(
+    "curation_manifest",
+    pq.curation_manifest,
+    pq._oracle_curation_manifest(dq._SQL_QUALITY),
 )
 register(
     "shard_documents_balanced",

@@ -412,3 +412,107 @@ SELECT doc_id,
 FROM staged
 ORDER BY doc_id
 """
+
+
+# --- Gopher-style quality rule flags ----------------------------------------
+
+# Rule thresholds follow the published Gopher/MassiveText filtering
+# recipe shape (doc length bounds, mean-word-length band, symbol
+# ratio cap, alphabetic-token floor, minimum stop-word evidence).
+# Token-count and mean-word-length bands are re-tuned so each splits
+# this synthetic corpus (10-99 tokens, mwl 3.7-5.3); the punct/alpha
+# rules keep their published shape even though the punctuation-free
+# all-alpha synthetic corpus passes them trivially. Rules are
+# REPORTED per doc (boolean columns), not silently applied — the
+# manifest/filter step downstream decides.
+_G_MIN_TOKENS = 25
+_G_MAX_TOKENS = 100_000
+_G_MWL_MIN = 3.0
+_G_MWL_MAX = 4.5
+_G_PUNCT_MAX = 0.25
+_G_ALPHA_MIN = 0.8
+_G_STOP_MIN = 2
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher-style rule evaluation: token-count bounds,
+    mean word length band, punctuation-ratio cap, alphabetic-token
+    floor, and minimum stop-word count, plus the conjunction
+    ``pass_all``. Pure Column algebra over ONE projected token array
+    (no UDF, no shuffle) — the whole thing is a scan-local projection
+    that Catalyst fuses into one codegen stage; at 100 TB it runs at
+    parquet-scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "text", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # integer char total -> one double division (bit-portable)
+    char_sum = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    mwl = char_sum / F.greatest(n, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / F.greatest(n, F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in tx.STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    rules = {
+        "r_token_count": (n >= _G_MIN_TOKENS) & (n <= _G_MAX_TOKENS),
+        "r_mean_word_len": (mwl >= _G_MWL_MIN) & (mwl <= _G_MWL_MAX),
+        "r_punct": tx.punct_ratio_col(F.col("text")) <= _G_PUNCT_MAX,
+        "r_alpha": alpha_frac >= _G_ALPHA_MIN,
+        "r_stopwords": stop_hits >= _G_STOP_MIN,
+    }
+    cols = [
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+    ]
+    cols += [expr.alias(name) for name, expr in rules.items()]
+    pass_all = rules["r_token_count"]
+    for name in list(rules)[1:]:
+        pass_all = pass_all & rules[name]
+    return staged.select(*cols, pass_all.alias("pass_all")).orderBy("doc_id")
+
+
+_SQL_G_TOKS = _sql_tokens("text")
+_SQL_G_STOPS = "[" + ",".join(f"'{s}'" for s in tx.STOPWORDS) + "]"
+
+ORACLE_GOPHER_RULES = rf"""
+WITH staged AS (
+  SELECT doc_id, text, {_SQL_G_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         coalesce(list_aggregate(list_transform(toks, t -> len(t)), 'sum'), 0)
+           / greatest(len(toks), 1) AS mwl,
+         len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+           / greatest(len(text), 1) AS punct,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+           / greatest(len(toks), 1) AS alpha_frac,
+         len(list_filter(toks, t -> list_contains({_SQL_G_STOPS}, t)))
+           AS stop_hits
+  FROM staged
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mwl, 6) AS mean_word_len,
+       n_tokens >= {_G_MIN_TOKENS} AND n_tokens <= {_G_MAX_TOKENS}
+         AS r_token_count,
+       mwl >= {_G_MWL_MIN} AND mwl <= {_G_MWL_MAX} AS r_mean_word_len,
+       punct <= {_G_PUNCT_MAX} AS r_punct,
+       alpha_frac >= {_G_ALPHA_MIN} AS r_alpha,
+       stop_hits >= {_G_STOP_MIN} AS r_stopwords,
+       (n_tokens >= {_G_MIN_TOKENS} AND n_tokens <= {_G_MAX_TOKENS})
+         AND (mwl >= {_G_MWL_MIN} AND mwl <= {_G_MWL_MAX})
+         AND punct <= {_G_PUNCT_MAX}
+         AND alpha_frac >= {_G_ALPHA_MIN}
+         AND stop_hits >= {_G_STOP_MIN} AS pass_all
+FROM m
+ORDER BY doc_id
+"""
