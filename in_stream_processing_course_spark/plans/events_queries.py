@@ -452,3 +452,86 @@ FROM clicks FULL OUTER JOIN purchases
   ON clicks.day_start = purchases.day_start
 ORDER BY day_start
 """
+
+
+# --- three-step funnel (view -> click -> purchase, eventually-after) --------
+
+
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stage funnel with EVENTUALLY-AFTER semantics (the product
+    form: a user converts if a click happens any time at-or-after the
+    first view, and a purchase at-or-after that click), complementing
+    view_to_click_funnel's strict adjacent-pair form. One row per user
+    who entered the funnel: stage timestamps (epoch micros, null where
+    the stage was never reached) + reached flags.
+
+    Scale shape: a chain of conditional-min aggregates — each stage is
+    one groupBy(user) over a filtered scan joined to the previous
+    stage's per-user scalar. All three shuffles hash on user_id (AQE
+    reuses the partitioning decision per stage); no windows over full
+    event history, no fanout. The oracle derives the same chain with
+    three dependent CTEs."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        base.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    c = (
+        base.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    p = (
+        base.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            F.col("click_us").isNotNull().alias("reached_click"),
+            F.col("purchase_us").isNotNull().alias("reached_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FUNNEL_THREE_STEP = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (
+  SELECT user_id, MIN(us) AS view_us FROM base
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT base.user_id, MIN(us) AS click_us
+  FROM base JOIN v ON base.user_id = v.user_id AND base.us >= v.view_us
+  WHERE event_type = 'click' GROUP BY base.user_id
+),
+p AS (
+  SELECT base.user_id, MIN(us) AS purchase_us
+  FROM base JOIN c ON base.user_id = c.user_id AND base.us >= c.click_us
+  WHERE event_type = 'purchase' GROUP BY base.user_id
+)
+SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+       c.click_us IS NOT NULL AS reached_click,
+       p.purchase_us IS NOT NULL AS reached_purchase
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+ORDER BY v.user_id
+"""

@@ -172,6 +172,9 @@ register("hourly_event_counts", ev.hourly_event_counts, ev.ORACLE_HOURLY)
 register("dedup_events_exact", ev.dedup_events_exact, ev.ORACLE_DEDUP_EXACT)
 register("view_to_click_funnel", ev.view_to_click_funnel, ev.ORACLE_FUNNEL)
 register(
+    "funnel_three_step", ev.funnel_three_step, ev.ORACLE_FUNNEL_THREE_STEP
+)
+register(
     "join_full_outer_reconcile",
     ev.reconcile_clicks_vs_purchases,
     ev.ORACLE_RECONCILE,
