@@ -1,0 +1,190 @@
+"""Semantic invariants for the round-4 curation/analytics operators
+beyond the oracle hash: order-statistic median edge cases, containment
+vs Jaccard dominance, eventually-after funnel ordering rules, and the
+split/manifest gate algebra."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.operators.dedup import (
+    containment_col,
+    jaccard_col,
+    shingles_col,
+)
+from in_stream_processing_course_spark.plans import events_queries as ev
+from in_stream_processing_course_spark.plans import pipeline_queries as pq
+from in_stream_processing_course_spark.plans import timeseries_queries as ts
+
+
+# --- _discrete_median: order-statistic semantics ---------------------------
+
+
+def _median_of(spark, values):
+    df = spark.createDataFrame(
+        [(i, "k", float(v)) for i, v in enumerate(values)],
+        "event_id long, event_type string, value double",
+    )
+    out = ts._discrete_median(df, "event_type", "value", "med").collect()
+    assert len(out) == 1
+    return out[0].med
+
+
+def test_discrete_median_odd_is_middle(spark):
+    assert _median_of(spark, [5.0, 1.0, 9.0]) == 5.0
+
+
+def test_discrete_median_even_is_lower_middle(spark):
+    # rank floor((4+1)/2) = 2 -> the 2nd smallest, never an average
+    assert _median_of(spark, [4.0, 1.0, 3.0, 2.0]) == 2.0
+
+
+def test_discrete_median_ties_pick_the_tied_value(spark):
+    assert _median_of(spark, [7.0, 7.0, 7.0, 1.0]) == 7.0
+
+
+def test_discrete_median_single_row(spark):
+    assert _median_of(spark, [42.0]) == 42.0
+
+
+# --- containment vs Jaccard ------------------------------------------------
+
+
+def test_containment_dominates_jaccard_and_detects_excerpts(spark):
+    # b's shingles are a strict subset of a's: containment(b in a) = 1
+    # while Jaccard stays low — exactly the excerpt case the metric is
+    # for. Shingle k=2 over explicit word lists.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end"),
+        (2, "quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(
+        "doc_id", shingles_col(F.col("text"), 2).alias("s")
+    ).collect()
+    by_id = {r.doc_id: r.s for r in sh}
+    pair = spark.createDataFrame(
+        [(by_id[1], by_id[2])], "sa array<string>, sb array<string>"
+    )
+    got = pair.select(
+        containment_col(F.col("sb"), F.col("sa")).alias("c_b_in_a"),
+        containment_col(F.col("sa"), F.col("sb")).alias("c_a_in_b"),
+        jaccard_col(F.col("sa"), F.col("sb")).alias("j"),
+    ).collect()[0]
+    assert got.c_b_in_a == 1.0  # the excerpt is fully contained
+    assert got.j < 0.3  # Jaccard misses it
+    # containment always dominates jaccard (|A∩B|/|A| >= |A∩B|/|A∪B|)
+    assert got.c_b_in_a >= got.j and got.c_a_in_b >= got.j
+
+
+# --- eventually-after funnel ----------------------------------------------
+
+
+def _funnel_rows(spark, events):
+    """events: (event_id, user_id, event_type, epoch_sec)"""
+    df = spark.createDataFrame(
+        [(e, u, t, s) for e, u, t, s in events],
+        "event_id long, user_id long, event_type string, sec long",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    base = df.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    v = (
+        base.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    c = (
+        base.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    p = (
+        base.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") >= F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .collect()
+    )
+    return {r.user_id: r for r in out}
+
+
+def test_funnel_requires_stage_order(spark):
+    got = _funnel_rows(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, 1, "view", 10),
+            (2, 1, "click", 20),
+            (3, 1, "purchase", 30),
+            # user 2: purchase BEFORE the click -> stage 3 not reached
+            (4, 2, "view", 10),
+            (5, 2, "purchase", 15),
+            (6, 2, "click", 20),
+            # user 3: click before any view -> stage 2 not reached
+            (7, 3, "click", 5),
+            (8, 3, "view", 10),
+            # user 4: view only
+            (9, 4, "view", 10),
+        ],
+    )
+    assert got[1].purchase_us is not None
+    assert got[2].click_us is not None and got[2].purchase_us is None
+    assert got[3].click_us is None and got[3].purchase_us is None
+    assert got[4].click_us is None and got[4].purchase_us is None
+
+
+def test_funnel_query_monotone_on_testdata(spark, sf_dir):
+    rows = ev.funnel_three_step(spark, sf_dir).collect()
+    assert rows, "funnel produced no entrants"
+    for r in rows:
+        # stage timestamps are present only in order and non-decreasing
+        if r.purchase_us is not None:
+            assert r.click_us is not None and r.purchase_us >= r.click_us
+        if r.click_us is not None:
+            assert r.click_us >= r.view_us
+        assert r.reached_click == (r.click_us is not None)
+        assert r.reached_purchase == (r.purchase_us is not None)
+
+
+# --- split + manifest gate algebra -----------------------------------------
+
+
+def test_split_is_exhaustive_and_deterministic(spark, sf_dir):
+    out = pq.split_documents_train_val_test(spark, sf_dir)
+    rows = out.collect()
+    n_docs = len({r.doc_id for r in rows})
+    assert len(rows) == n_docs  # one row per doc
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # per-split totals are consistent with the row-level assignment
+    from collections import Counter
+
+    counts = Counter(r.split for r in rows)
+    for r in rows:
+        assert r.split_docs == counts[r.split]
+    # determinism: a second run assigns identically
+    again = {r.doc_id: r.split for r in out.collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_manifest_selected_is_conjunction_of_gates(spark, sf_dir):
+    rows = pq.curation_manifest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.selected == (
+            r.quality_pass and r.exact_rep and r.semantic_keep
+        )
