@@ -371,6 +371,16 @@ register(
 register("events_rolling_7d", ts.events_rolling_7d, ts.ORACLE_ROLLING_7D)
 register("user_type_history", ts.user_type_history, ts.ORACLE_TYPE_HISTORY)
 register(
+    "attribution_daily_revenue",
+    ts.attribution_daily_revenue,
+    ts.ORACLE_ATTRIBUTION,
+)
+register(
+    "events_hourly_interpolated",
+    ts.events_hourly_interpolated,
+    ts.ORACLE_HOURLY_INTERPOLATED,
+)
+register(
     "nation_revenue_share", rel.nation_revenue_share, rel.ORACLE_REVENUE_SHARE
 )
 register(

@@ -713,3 +713,235 @@ SELECT user_id,
          AS ewma_value
 FROM seq ORDER BY user_id
 """
+
+
+# --- marketing attribution: time-bounded conditional window ----------------
+
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7-day lookback, microseconds
+
+
+def attribution_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-7-days touch attribution: for every purchase, count the
+    user's view/click touches in the preceding 7 days (strictly before
+    the purchase, microsecond resolution), then roll purchases up per
+    day into attributed vs organic revenue.
+
+    The lookback is a time-bounded conditional window — a RANGE frame
+    over ``unix_micros(ts)`` summing a 0/1 touch flag — so the whole
+    scan is one shuffle (the per-user sort) with no self-join and no
+    range-join explosion; the frame state Spark keeps per user is the
+    sliding deque, not the 7-day event list. Revenue sums are exact
+    DECIMAL (order-free, map-side combinable) cast to DOUBLE at the
+    edge per the oracle contract.
+
+    At 100 TB the window partitions by user (millions of partitions,
+    no skew: one user's history is bounded); the daily rollup is a
+    second small shuffle. The streaming twin is the per-key deque in
+    ``streaming/enrich.py`` — this is its batch backfill.
+    """
+    ev = _events(spark, sf_dir)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type").isin("view", "click"), 1)
+        .otherwise(0)
+        .alias("is_touch"),
+    )
+    look = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-_ATTR_LOOKBACK_US, -1)
+    )
+    counted = tagged.withColumn(
+        "n_touches", F.coalesce(F.sum("is_touch").over(look), F.lit(0))
+    )
+    purchases = counted.where(F.col("event_type") == "purchase")
+    dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start")
+    return (
+        purchases.groupBy(day)
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum((F.col("n_touches") > 0).cast("long")).alias("n_attributed"),
+            F.sum(F.when(F.col("n_touches") > 0, dec).otherwise(zero))
+            .cast("double")
+            .alias("attributed_revenue"),
+            F.sum(F.when(F.col("n_touches") == 0, dec).otherwise(zero))
+            .cast("double")
+            .alias("organic_revenue"),
+        )
+        .orderBy("day_start")
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_type, value, epoch_us(ts) AS t,
+         CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END
+           AS is_touch
+  FROM events
+), counted AS (
+  SELECT *,
+         COALESCE(SUM(is_touch) OVER (
+           PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN {_ATTR_LOOKBACK_US} PRECEDING AND 1 PRECEDING
+         ), 0) AS n_touches
+  FROM tagged
+)
+SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN n_touches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       CAST(SUM(CASE WHEN n_touches > 0
+                     THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS attributed_revenue,
+       CAST(SUM(CASE WHEN n_touches = 0
+                     THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS organic_revenue
+FROM counted
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY day_start
+"""
+
+
+# --- resampling: linear interpolation over the hourly spine ----------------
+
+
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly mean value per event type with missing hours linearly
+    interpolated between the nearest observed neighbours (edges clamp
+    to the nearest observation) — the standard resample step before
+    feeding a sparse series to a windowed model.
+
+    Built on the same broadcast hour-spine as ``events_hourly_gapfill``;
+    the fill itself is two IGNORE-NULLS window passes per series
+    (last-preceding and first-following observation + its hour), then
+    one arithmetic blend. Hourly means come from exact DECIMAL sums so
+    the interpolation arithmetic sees identical doubles on both
+    engines; op order in the blend is pinned to match the oracle.
+
+    At 100 TB the windows partition by series key (here event_type;
+    generally metric x entity — millions of independent partitions)
+    and the spine join stays broadcast because the spine is bounded by
+    (hours x series), never by events.
+    """
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(hour.alias("h"), "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.count("value").alias("nv"),
+    )
+    spine_hours = (
+        ev.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        spine_hours.crossJoin(F.broadcast(types))
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("hu"),
+            (F.col("sv").cast("double") / F.col("nv").cast("double"))
+            .alias("avg_v"),
+            F.coalesce("nv", F.lit(0)).alias("nv"),
+        )
+    )
+    prev_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hu")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_w = (
+        Window.partitionBy("event_type")
+        .orderBy("hu")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hu = F.when(F.col("avg_v").isNotNull(), F.col("hu"))
+    filled = grid.select(
+        "event_type",
+        "hu",
+        "avg_v",
+        "nv",
+        F.last("avg_v", ignorenulls=True).over(prev_w).alias("prev_v"),
+        F.last(obs_hu, ignorenulls=True).over(prev_w).alias("prev_h"),
+        F.first("avg_v", ignorenulls=True).over(next_w).alias("next_v"),
+        F.first(obs_hu, ignorenulls=True).over(next_w).alias("next_h"),
+    )
+    frac = (F.col("hu") - F.col("prev_h")) / (F.col("next_h") - F.col("prev_h"))
+    blend = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    interp = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(blend)
+    )
+    return filled.select(
+        F.col("hu").alias("hour_start"),
+        "event_type",
+        F.col("nv").cast("long").alias("n_obs"),
+        F.round(interp, 6).alias("value_interp"),
+    ).orderBy("event_type", "hour_start")
+
+
+ORACLE_HOURLY_INTERPOLATED = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv, COUNT(value) AS nv
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT types.event_type,
+         CAST(floor(epoch(hours.h)) AS BIGINT) AS hu,
+         CAST(hourly.sv AS DOUBLE) / CAST(hourly.nv AS DOUBLE) AS avg_v,
+         COALESCE(hourly.nv, 0) AS nv
+  FROM hours CROSS JOIN types
+  LEFT JOIN hourly ON hourly.h = hours.h
+                  AND hourly.event_type = types.event_type
+), filled AS (
+  SELECT *,
+         last_value(avg_v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hu ROWS UNBOUNDED PRECEDING
+         ) AS prev_v,
+         last_value(CASE WHEN avg_v IS NOT NULL THEN hu END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hu ROWS UNBOUNDED PRECEDING)
+           AS prev_h,
+         first_value(avg_v IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hu
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS next_v,
+         first_value(CASE WHEN avg_v IS NOT NULL THEN hu END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hu
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM grid
+)
+SELECT hu AS hour_start,
+       event_type,
+       CAST(nv AS BIGINT) AS n_obs,
+       round(CASE WHEN avg_v IS NOT NULL THEN avg_v
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * ((hu - prev_h) / (next_h - prev_h)) END, 6)
+         AS value_interp
+FROM filled
+ORDER BY event_type, hour_start
+"""

@@ -188,3 +188,162 @@ def test_manifest_selected_is_conjunction_of_gates(spark, sf_dir):
         assert r.selected == (
             r.quality_pass and r.exact_rep and r.semantic_keep
         )
+
+
+# --- attribution: time-bounded conditional window --------------------------
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _mini_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, _EV_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _attr(spark, sf_dir):
+    rows = ts.attribution_daily_revenue(spark, sf_dir).collect()
+    return {
+        r.day_start: (r.n_attributed, r.attributed_revenue, r.organic_revenue)
+        for r in rows
+    }
+
+
+import datetime as _dt
+
+
+def _t(day, hour=0, micro=0):
+    return _dt.datetime(2024, 1, day, hour, 0, 0, micro)
+
+
+def test_attribution_touch_within_lookback(spark, tmp_path):
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(10, 9), 1, "view", 0.0, "{}"),
+            (2, _t(10, 10), 1, "purchase", 50.0, "{}"),
+        ],
+    )
+    out = _attr(spark, sf)
+    assert out[1704844800] == (1, 50.0, 0.0)  # 2024-01-10 attributed
+
+
+def test_attribution_touch_outside_7d_is_organic(spark, tmp_path):
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(1, 9), 1, "click", 0.0, "{}"),
+            (2, _t(9, 10), 1, "purchase", 50.0, "{}"),  # 8d later
+        ],
+    )
+    (n_attr, attr_rev, org_rev) = list(_attr(spark, sf).values())[0]
+    assert (n_attr, attr_rev, org_rev) == (0, 0.0, 50.0)
+
+
+def test_attribution_same_instant_touch_excluded(spark, tmp_path):
+    # frame is [-7d, -1 microsecond]: a touch at the purchase's exact
+    # timestamp must NOT count
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(10, 10), 1, "view", 0.0, "{}"),
+            (2, _t(10, 10), 1, "purchase", 50.0, "{}"),
+            (3, _t(10, 10, micro=1), 1, "purchase", 25.0, "{}"),
+        ],
+    )
+    (n_attr, attr_rev, org_rev) = list(_attr(spark, sf).values())[0]
+    # purchase 2 sees no prior touch; purchase 3 sees the view 1us back
+    assert (n_attr, attr_rev, org_rev) == (1, 25.0, 50.0)
+
+
+def test_attribution_other_users_touches_do_not_count(spark, tmp_path):
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(10, 9), 7, "view", 0.0, "{}"),
+            (2, _t(10, 10), 1, "purchase", 50.0, "{}"),
+        ],
+    )
+    (n_attr, attr_rev, org_rev) = list(_attr(spark, sf).values())[0]
+    assert (n_attr, attr_rev, org_rev) == (0, 0.0, 50.0)
+
+
+def test_attribution_prior_purchase_is_not_a_touch(spark, tmp_path):
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(10, 9), 1, "purchase", 10.0, "{}"),
+            (2, _t(10, 10), 1, "purchase", 50.0, "{}"),
+        ],
+    )
+    (n_attr, attr_rev, org_rev) = list(_attr(spark, sf).values())[0]
+    assert (n_attr, attr_rev, org_rev) == (0, 0.0, 60.0)
+
+
+# --- hourly linear interpolation -------------------------------------------
+
+
+def _interp(spark, sf_dir):
+    rows = ts.events_hourly_interpolated(spark, sf_dir).collect()
+    return {
+        (r.event_type, r.hour_start): (r.n_obs, r.value_interp) for r in rows
+    }
+
+
+def test_interpolation_fills_linear_gap(spark, tmp_path):
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(10, 0), 1, "view", 1.0, "{}"),
+            (2, _t(10, 3), 1, "view", 4.0, "{}"),
+        ],
+    )
+    out = _interp(spark, sf)
+    h0 = 1704844800
+    assert out[("view", h0)] == (1, 1.0)
+    assert out[("view", h0 + 3600)] == (0, 2.0)
+    assert out[("view", h0 + 7200)] == (0, 3.0)
+    assert out[("view", h0 + 10800)] == (1, 4.0)
+
+
+def test_interpolation_edges_clamp(spark, tmp_path):
+    # spine spans hours 0..3 (set by the view series); the click series
+    # observes only hour 1 -> hours 0, 2, 3 clamp to the nearest obs
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(10, 0), 1, "view", 5.0, "{}"),
+            (2, _t(10, 3), 1, "view", 5.0, "{}"),
+            (3, _t(10, 1), 1, "click", 9.0, "{}"),
+        ],
+    )
+    out = _interp(spark, sf)
+    h0 = 1704844800
+    assert out[("click", h0)] == (0, 9.0)
+    assert out[("click", h0 + 3600)] == (1, 9.0)
+    assert out[("click", h0 + 7200)] == (0, 9.0)
+    assert out[("click", h0 + 10800)] == (0, 9.0)
+
+
+def test_interpolation_hour_mean_is_used(spark, tmp_path):
+    sf = _mini_events(
+        spark,
+        tmp_path,
+        [
+            (1, _t(10, 0, micro=0), 1, "view", 1.0, "{}"),
+            (2, _t(10, 0, micro=5), 1, "view", 3.0, "{}"),
+        ],
+    )
+    out = _interp(spark, sf)
+    assert out[("view", 1704844800)] == (2, 2.0)
