@@ -42,6 +42,16 @@ CLUSTER_SCALE_CONF: dict[str, str] = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.io.compression.codec": "zstd",
     "spark.shuffle.compress": "true",
+    # Runtime bloom-filter join pruning: when one join side carries a
+    # selective filter, inject might_contain(bloom(keys)) into the
+    # other side's scan so the big-side shuffle writes only rows that
+    # can match. At 100 TB this is the difference between shuffling
+    # the full fact table and shuffling the ~1% that survives —
+    # plan-pinned in tests/test_plans.py::test_runtime_bloom_filter_injected.
+    # (applicationSideScanSizeThreshold stays at the 10 GB default on a
+    # cluster: the filter only pays for itself on genuinely large scans.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
 }
 
 

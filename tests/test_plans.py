@@ -257,3 +257,46 @@ def test_rolling_range_frame_single_shuffle(spark):
     assert len(hash_exchanges) == 1, hash_exchanges
     # specifiedwindowframe(RangeFrame...) in the window spec
     assert "RangeFrame" in plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Runtime bloom-filter join pruning (CLUSTER_SCALE_CONF contract):
+    with a selective filter on the small side of a shuffle join, the
+    optimizer must inject might_contain(bloom(keys)) into the fact
+    side so the big scan's shuffle writes only candidate rows. Local
+    sessions keep the feature dormant (the application-side scan
+    threshold is 10 GB); this test drops the threshold to prove the
+    engine's plans are eligible when a cluster enables it."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: bloom filters are pointless (and not
+        # injected) under a broadcast join, where the small side never
+        # shuffles the fact side anyway
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        pt = load_table(spark, SF, "part").where(F.col("p_brand") == "Brand#13")
+        j = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
