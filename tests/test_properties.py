@@ -151,3 +151,88 @@ def test_merge_history_partials_equal_raw(rows):
         }
     )
     assert merge_history(None, partial) == raw
+
+
+# --- streaming attribution: batching invariance + brute-force parity -------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def _run_attribution(events, cut_points):
+    """Drive streaming/attribution._attribution_fn over time-ordered
+    chunks split at ``cut_points``; return {event_id: n_touches}."""
+    import pandas as pd
+
+    from in_stream_processing_course_spark.streaming.attribution import (
+        _attribution_fn,
+    )
+
+    state = _FakeGroupState()
+    got = {}
+    bounds = [0, *sorted(cut_points), len(events)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = events[lo:hi]
+        if not chunk:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "event_id": [e[0] for e in chunk],
+                "event_type": [e[2] for e in chunk],
+                "value": [1.0] * len(chunk),
+                "ts_us": [e[1] for e in chunk],
+            }
+        )
+        for out in _attribution_fn((1,), [pdf], state):
+            got.update(
+                zip(out["event_id"].tolist(), out["n_touches"].tolist())
+            )
+    return got
+
+
+_LOOKBACK = 7 * 86400 * 1_000_000
+
+attr_events = st.lists(
+    st.tuples(
+        st.integers(0, 20 * 86400 * 1_000_000),  # ts_us across ~3 lookbacks
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=attr_events, cuts=st.lists(st.integers(0, 25), max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_attribution_state_fn_matches_brute_force(raw, cuts):
+    # time-ordered with unique ids; ties broken by id like the operator
+    events = [
+        (i, ts, et)
+        for i, (ts, et) in enumerate(sorted(raw, key=lambda e: e[0]))
+    ]
+    got = _run_attribution(events, [min(c, len(events)) for c in cuts])
+    for eid, t, et in events:
+        if et != "purchase":
+            continue
+        expected = sum(
+            1
+            for _eid2, t2, et2 in events
+            if et2 in ("view", "click") and t - _LOOKBACK <= t2 < t
+        )
+        assert got[eid] == expected, (eid, got[eid], expected)
