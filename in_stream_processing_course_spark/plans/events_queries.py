@@ -535,3 +535,76 @@ LEFT JOIN c ON c.user_id = v.user_id
 LEFT JOIN p ON p.user_id = v.user_id
 ORDER BY v.user_id
 """
+
+
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every type pair, the
+    distinct-user intersection size and the Jaccard of the two
+    audiences — the segment-overlap matrix behind "users who do A also
+    do B" analyses.
+
+    Scale shape: ONE shuffle. Types are collected per user (an array
+    bounded by |event types|, not by activity), pairs explode from that
+    bounded array, and the pair counts are a map-side-combinable
+    aggregate over at most |types|^2/2 keys. The naive form — distinct
+    (type, user) self-joined on user — shuffles the pair table twice
+    and explodes on power users; the oracle uses exactly that naive
+    algebra, so the hash match proves the rewrite.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) ->"
+                " transform(slice(ts, i + 2, size(ts)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common"))
+    sizes = (
+        per_user.select("user_id", F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("t", "a").withColumnRenamed("n", "n_a"), "a")
+        .join(sizes.withColumnRenamed("t", "b").withColumnRenamed("n", "n_b"), "b")
+        .select(
+            F.col("a").alias("type_a"),
+            F.col("b").alias("type_b"),
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), inter AS (
+  SELECT l.event_type AS type_a, r.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tu l JOIN tu r
+    ON l.user_id = r.user_id AND l.event_type < r.event_type
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1
+)
+SELECT type_a, type_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = inter.type_a
+JOIN sizes sb ON sb.event_type = inter.type_b
+ORDER BY type_a, type_b
+"""

@@ -381,6 +381,14 @@ register(
     ts.ORACLE_HOURLY_INTERPOLATED,
 )
 register(
+    "text_inverted_index", tq.inverted_index, tq.ORACLE_INVERTED_INDEX
+)
+register(
+    "audience_overlap_matrix",
+    ev.audience_overlap_matrix,
+    ev.ORACLE_AUDIENCE_OVERLAP,
+)
+register(
     "nation_revenue_share", rel.nation_revenue_share, rel.ORACLE_REVENUE_SHARE
 )
 register(

@@ -6,7 +6,7 @@ each oracle reproduces the arithmetic exactly in DuckDB SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -515,4 +515,79 @@ SELECT doc_id,
          AND stop_hits >= {_G_STOP_MIN} AS pass_all
 FROM m
 ORDER BY doc_id
+"""
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> bounded posting-list index over the corpus: per term its
+    document frequency, total term frequency, and the first 10 doc ids
+    (ascending) as a comma-joined posting sample.
+
+    The posting cap is applied BEFORE any collect: a per-term
+    row_number window keeps 10 rows per term, so no aggregation state
+    ever holds a hot term's full posting list ("the" at 100 TB is
+    millions of docs — collect-then-slice would OOM the aggregate).
+    Stats and postings then meet in a per-term join that AQE broadcasts
+    when small. Output bounded to terms with doc_freq >= 5.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("term"),
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_freq"),
+    )
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    top = (
+        per_doc.withColumn("_rn", rn)
+        .where(F.col("_rn") <= 10)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(top, "term")
+        .where(F.col("doc_freq") >= 5)
+        .select("term", "doc_freq", "total_freq", "postings")
+        .orderBy("term")
+    )
+
+
+ORACLE_INVERTED_INDEX = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> len(x) > 0)) AS term
+  FROM documents
+), per_doc AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+), stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         CAST(SUM(tf) AS BIGINT) AS total_freq
+  FROM per_doc GROUP BY term
+), ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM per_doc
+), top AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM ranked WHERE rn <= 10 GROUP BY term
+)
+SELECT stats.term, doc_freq, total_freq, top.postings
+FROM stats JOIN top USING (term)
+WHERE doc_freq >= 5
+ORDER BY term
 """

@@ -347,3 +347,67 @@ def test_interpolation_hour_mean_is_used(spark, tmp_path):
     )
     out = _interp(spark, sf)
     assert out[("view", 1704844800)] == (2, 2.0)
+
+
+# --- inverted index --------------------------------------------------------
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _mini_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_inverted_index_caps_postings_but_counts_all(spark, tmp_path):
+    from in_stream_processing_course_spark.plans.text_queries import (
+        inverted_index,
+    )
+
+    # "hot" appears in 12 docs (ids 0..11), twice in doc 0
+    rows = [(i, "hot" + (" hot" if i == 0 else ""), "en", "s", 3) for i in range(12)]
+    sf = _mini_docs(spark, tmp_path, rows)
+    out = {r.term: r for r in inverted_index(spark, sf).collect()}
+    hot = out["hot"]
+    assert hot.doc_freq == 12 and hot.total_freq == 13
+    # postings capped at the 10 SMALLEST doc ids, not all 12
+    assert hot.postings == ",".join(str(i) for i in range(10))
+
+
+def test_inverted_index_df_floor_drops_rare_terms(spark, tmp_path):
+    from in_stream_processing_course_spark.plans.text_queries import (
+        inverted_index,
+    )
+
+    rows = [(i, "common rare" if i < 4 else "common", "en", "s", 10)
+            for i in range(8)]
+    sf = _mini_docs(spark, tmp_path, rows)
+    terms = {r.term for r in inverted_index(spark, sf).collect()}
+    assert terms == {"common"}  # rare: df=4 < 5
+
+
+# --- audience overlap ------------------------------------------------------
+
+
+def test_audience_overlap_counts_and_jaccard(spark, tmp_path):
+    from in_stream_processing_course_spark.plans.events_queries import (
+        audience_overlap_matrix,
+    )
+
+    # users 1,2 view; users 2,3 click; user 2 clicks twice (distinct!)
+    rows = [
+        (1, _t(10), 1, "view", 0.0, "{}"),
+        (2, _t(10), 2, "view", 0.0, "{}"),
+        (3, _t(10), 2, "click", 0.0, "{}"),
+        (4, _t(10), 2, "click", 0.0, "{}"),
+        (5, _t(10), 3, "click", 0.0, "{}"),
+    ]
+    sf = _mini_events(spark, tmp_path, rows)
+    out = audience_overlap_matrix(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("click", "view")
+    assert (r.n_common, r.n_a, r.n_b) == (1, 2, 2)
+    assert r.jaccard == round(1 / 3, 6)
