@@ -905,3 +905,277 @@ JOIN sizes sa ON sa.source = inter.source_a
 JOIN sizes sb ON sb.source = inter.source_b
 ORDER BY source_a, source_b
 """
+
+
+# --- Bloom-filter decontamination (the no-broadcast scale path) --------------
+
+_BLOOM_M = 16384  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via an engine-portable Bloom filter, the scale
+    path for when the benchmark shingle set is too large to broadcast
+    as exact strings (many eval suites x many n-gram sizes): project
+    each benchmark shingle to _BLOOM_K bit positions of an _BLOOM_M-bit
+    filter with the same affine md5 family as MinHash
+    (pos_j = (h1 + j*h2) mod m), keep only the DISTINCT occupied
+    positions (<= m rows of one int — kilobytes, broadcastable no
+    matter how many shingles produced them), and probe by equi-joining
+    corpus shingle positions against that table: a shingle "might be
+    contaminated" iff all k of its positions are occupied.
+
+    Deliberately NOT DataFrame.stat.bloomFilter: that materializes a
+    JVM-side sketch usable only on the driver, so membership tests
+    would need a per-row py4j/UDF round-trip. Representing the filter
+    as a position TABLE keeps probing a broadcast hash join inside
+    whole-stage codegen — and makes the algebra bit-identical in
+    DuckDB, so false positives themselves are oracle-checked.
+
+    Output compares the bloom verdict against the exact semi-join per
+    doc, so the false-positive rows are visible (m/k here are sized so
+    sf-scale data actually produces some).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dd.shingles_col(F.col("text"), 5)).alias("sh")
+    )
+    hashed = sh.selectExpr(
+        "doc_id",
+        "sh",
+        "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) AS h1",
+        "CAST(conv(substring(md5(sh), 17, 12), 16, 10) AS BIGINT) AS h2",
+    )
+    pos = hashed.select(
+        "doc_id",
+        "sh",
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j"),
+    ).selectExpr(
+        "doc_id",
+        "sh",
+        f"pmod(h1 + j * h2, {_BLOOM_M}) AS pos",
+    )
+    occupied = (
+        pos.where(F.col("doc_id") < 10).select("pos").distinct()
+    )
+    corpus_pos = pos.where(F.col("doc_id") >= 10)
+    bloom_hits = (
+        corpus_pos.join(F.broadcast(occupied), "pos")
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("_matched"))
+        .where(F.col("_matched") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    bench_sh = sh.where(F.col("doc_id") < 10).select("sh").distinct()
+    exact_hits = (
+        sh.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_exact"))
+    )
+    corpus = docs.where(F.col("doc_id") >= 10).select("doc_id")
+    return (
+        corpus.join(bloom_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias(
+                "bloom_contaminated"
+            ),
+            (F.coalesce("_n_exact", F.lit(0)) > 0).alias("exact_contaminated"),
+            (
+                (F.coalesce("n_bloom_hits", F.lit(0)) > 0)
+                & (F.coalesce("_n_exact", F.lit(0)) == 0)
+            ).alias("false_positive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE_BLOOM = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM documents
+),
+hashed AS (
+  SELECT doc_id, sh,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(sh), 17, 12) AS BIGINT) AS h2
+  FROM sh
+),
+pos AS (
+  SELECT doc_id, sh, (h1 + j * h2) % {_BLOOM_M} AS pos
+  FROM hashed, unnest(generate_series(0, {_BLOOM_K - 1})) AS t(j)
+),
+occupied AS (SELECT DISTINCT pos FROM pos WHERE doc_id < 10),
+bloom_hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM (
+    SELECT doc_id, sh
+    FROM pos JOIN occupied USING (pos)
+    WHERE doc_id >= 10
+    GROUP BY doc_id, sh
+    HAVING COUNT(*) = {_BLOOM_K}
+  ) GROUP BY doc_id
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+exact_hits AS (
+  SELECT doc_id, COUNT(*) AS n_exact
+  FROM sh JOIN bench USING (sh)
+  WHERE doc_id >= 10 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_bloom_hits, 0) AS n_bloom_hits,
+       coalesce(n_bloom_hits, 0) > 0 AS bloom_contaminated,
+       coalesce(n_exact, 0) > 0 AS exact_contaminated,
+       coalesce(n_bloom_hits, 0) > 0 AND coalesce(n_exact, 0) = 0
+         AS false_positive
+FROM documents d
+LEFT JOIN bloom_hits ON d.doc_id = bloom_hits.doc_id
+LEFT JOIN exact_hits ON d.doc_id = exact_hits.doc_id
+WHERE d.doc_id >= 10
+ORDER BY d.doc_id
+"""
+
+
+# --- boilerplate REMOVAL (the rewrite counterpart of detection) --------------
+
+
+def boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/CCNet cleanup step itself, not just the detector: drop
+    every 16-token window that occurs in >= 2 distinct documents
+    (repeated_paragraphs' boilerplate set) and re-emit the cleaned
+    document. Text is normalized to lowercase single-space tokens (the
+    same canonical form the window hashes are computed over), the
+    sub-window tail is always kept, and docs shorter than one window
+    pass through whole.
+
+    Scale shape: windows explode once, the boilerplate set comes from
+    the same hash-aggregate as repeated_paragraphs (uniform 128-bit
+    key, no skew), survivors anti-join on the hash, and reassembly is
+    one groupBy(doc_id) whose collect_list is bounded by the document
+    itself (you cannot rewrite a doc in less than the doc). Emitting
+    md5(cleaned) rather than the body keeps the result table narrow;
+    production would write the body to the curated sink instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    staged = docs.select("doc_id", toks.alias("_t")).select(
+        "doc_id",
+        "_t",
+        F.floor(F.size("_t") / _PARA_TOKENS).cast("int").alias("_n_full"),
+    )
+    exploded = staged.where(F.col("_n_full") >= 1).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("_n_full") - 1)).alias("_i"),
+        F.array_join(
+            F.slice(
+                F.col("_t"),
+                F.col("_i") * _PARA_TOKENS + 1,
+                _PARA_TOKENS,
+            ),
+            " ",
+        ).alias("_para"),
+    )
+    # (re-slicing inside explode keeps _t out of the exploded rows)
+    windows = exploded.select(
+        "doc_id", "_i", "_para", F.md5("_para").alias("_ph")
+    )
+    boiler = (
+        windows.groupBy("_ph")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_ph")
+    )
+    kept = (
+        windows.join(boiler, "_ph", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_i", "_para"))
+                    ),
+                    lambda s: s["_para"],
+                ),
+                " ",
+            ).alias("_body"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    tail = F.array_join(
+        F.slice(
+            F.col("_t"),
+            F.col("_n_full") * _PARA_TOKENS + 1,
+            F.size("_t") - F.col("_n_full") * _PARA_TOKENS,
+        ),
+        " ",
+    )
+    cleaned_body = F.concat_ws(
+        " ",
+        F.when(F.length("_body") > 0, F.col("_body")),
+        F.when(F.length(tail) > 0, tail),
+    )
+    return (
+        staged.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_n_full").cast("long").alias("n_windows"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept_windows"),
+            (F.col("_n_full") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped_windows"
+            ),
+            F.md5(cleaned_body).alias("cleaned_hash"),
+            (
+                F.coalesce("n_kept", F.lit(0)) * _PARA_TOKENS
+                + (F.size("_t") - F.col("_n_full") * _PARA_TOKENS)
+            ).cast("long").alias("n_cleaned_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BOILERPLATE_REMOVED = f"""
+WITH staged AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t,
+         CAST(floor(len({_SQL_TOKENS}) / {_PARA_TOKENS}) AS INT) AS n_full
+  FROM documents
+),
+windows AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(t, i * {_PARA_TOKENS} + 1,
+                                    i * {_PARA_TOKENS} + {_PARA_TOKENS}),
+                         ' ') AS para
+  FROM staged, unnest(generate_series(0, CAST(n_full AS BIGINT) - 1)) AS u(i)
+  WHERE n_full >= 1
+),
+hashed AS (SELECT doc_id, i, para, md5(para) AS ph FROM windows),
+boiler AS (
+  SELECT ph FROM hashed GROUP BY ph HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT doc_id,
+         string_agg(para, ' ' ORDER BY i) AS body,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM hashed WHERE ph NOT IN (SELECT ph FROM boiler)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_full AS BIGINT) AS n_windows,
+       coalesce(n_kept, 0) AS n_kept_windows,
+       CAST(s.n_full AS BIGINT) - coalesce(n_kept, 0) AS n_dropped_windows,
+       md5(concat_ws(' ',
+           CASE WHEN len(coalesce(body, '')) > 0 THEN body END,
+           CASE WHEN len(s.t) > s.n_full * {_PARA_TOKENS}
+                THEN array_to_string(list_slice(s.t,
+                       s.n_full * {_PARA_TOKENS} + 1, len(s.t)), ' ')
+           END)) AS cleaned_hash,
+       coalesce(n_kept, 0) * {_PARA_TOKENS}
+         + (len(s.t) - s.n_full * {_PARA_TOKENS}) AS n_cleaned_tokens
+FROM staged s LEFT JOIN kept ON s.doc_id = kept.doc_id
+ORDER BY s.doc_id
+"""

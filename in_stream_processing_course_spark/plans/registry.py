@@ -253,6 +253,16 @@ register(
     dq.ORACLE_DECONTAMINATE,
 )
 register(
+    "decontaminate_bloom",
+    dq.decontaminate_bloom,
+    dq.ORACLE_DECONTAMINATE_BLOOM,
+)
+register(
+    "text_boilerplate_removed",
+    dq.boilerplate_removed,
+    dq.ORACLE_BOILERPLATE_REMOVED,
+)
+register(
     "text_repetition_scores",
     dq.text_repetition_scores,
     dq.ORACLE_REPETITION,
@@ -403,6 +413,11 @@ register(
     "embedding_norm_histogram",
     sq.embedding_norm_histogram,
     sq.ORACLE_NORM_HISTOGRAM,
+)
+register(
+    "embedding_random_projection",
+    sq.embedding_random_projection,
+    sq.ORACLE_RANDOM_PROJECTION,
 )
 
 # --- approx/sketch variants (A2 at scale; rows-only, sketches are

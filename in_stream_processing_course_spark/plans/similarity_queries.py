@@ -256,3 +256,76 @@ FROM embeddings
 GROUP BY 1, 2
 ORDER BY label, norm_bin
 """
+
+
+# --- seeded random projection (Achlioptas sign matrix) -----------------------
+
+_RP_OUT_DIMS = 16
+_RP_IN_DIMS = 64
+
+
+def _rp_sign(j: int, d: int) -> float:
+    """Deterministic +-1 from md5("rp-j-d") — the same engine-portable
+    random oracle the minhash family uses, evaluated ONCE at plan-build
+    time (Python hashlib md5 == Spark md5 == DuckDB md5) and inlined as
+    a literal, so neither engine pays 1024 md5 calls per row."""
+    import hashlib
+
+    h = hashlib.md5(f"rp-{j}-{d}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) < 8 else -1.0
+
+
+_RP_MATRIX = [
+    _rp_sign(j, d)
+    for j in range(_RP_OUT_DIMS)
+    for d in range(1, _RP_IN_DIMS + 1)
+]
+_RP_MATRIX_SQL = "[" + ", ".join(
+    ("1.0" if v > 0 else "-1.0") for v in _RP_MATRIX
+) + "]"
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection 64 -> 16 dims
+    (Achlioptas 2003: +-1 entries preserve pairwise distances in
+    expectation like Gaussian ones, but need no float matrix): the
+    standard cheap front-end for ANN indexing and dedup blocking when
+    the full embedding is too wide to shuffle.
+
+    The projection is per-row Column algebra over the vector's own
+    array — an ORDERED left fold per output dim, so the double sum is
+    bit-identical across engines and row orderings. No shuffle at all:
+    the plan is scan -> project, embarrassingly parallel at 100 TB,
+    and the emitted row is 4x narrower than the input (the point of
+    the operator). The sign matrix is a compile-time literal in both
+    engines; 1/sqrt(16) scaling keeps norms comparable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mat = "array(" + ", ".join(
+        ("1.0D" if v > 0 else "-1.0D") for v in _RP_MATRIX
+    ) + ")"
+    proj = ", ".join(
+        "round(aggregate(sequence(1, {n}), 0.0D, (acc, d) -> acc +"
+        " CAST(element_at(embedding, d) AS DOUBLE) *"
+        " element_at({mat}, {off} + d)) * 0.25, 6)".format(
+            n=_RP_IN_DIMS, mat=mat, off=j * _RP_IN_DIMS
+        )
+        for j in range(_RP_OUT_DIMS)
+    )
+    return emb.selectExpr(
+        "vec_id", "label", f"array({proj}) AS proj"
+    ).orderBy("vec_id")
+
+
+ORACLE_RANDOM_PROJECTION = f"""
+WITH mat AS (SELECT {_RP_MATRIX_SQL} AS m)
+SELECT vec_id, label,
+       list_transform(generate_series(0, {_RP_OUT_DIMS - 1}),
+         j -> round(list_reduce(list_prepend(0.0,
+                list_transform(generate_series(1, {_RP_IN_DIMS}),
+                  d -> CAST(embedding[d] AS DOUBLE)
+                       * m[j * {_RP_IN_DIMS} + d])),
+              (acc, x) -> acc + x) * 0.25, 6)) AS proj
+FROM embeddings, mat
+ORDER BY vec_id
+"""

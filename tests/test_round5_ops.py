@@ -1,0 +1,160 @@
+"""Semantic invariants for the round-5 curation operators beyond the
+oracle hash: Bloom soundness (no false negatives, bounded fp), the
+boilerplate-removal rewrite contract (token conservation, idempotent
+pass-through for short/unique docs), and random-projection geometry
+(linearity, sign-matrix determinism)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.plans import dedup_queries as dq
+from in_stream_processing_course_spark.plans import similarity_queries as sq
+
+
+# --- decontaminate_bloom ---------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Soundness: every exactly-contaminated doc must be bloom-flagged
+    (a Bloom filter can only over-approximate the bench set)."""
+    out = dq.decontaminate_bloom(spark, sf_dir)
+    missed = out.where(
+        F.col("exact_contaminated") & ~F.col("bloom_contaminated")
+    ).count()
+    assert missed == 0
+
+
+def test_bloom_false_positive_flag_is_consistent(spark, sf_dir):
+    rows = dq.decontaminate_bloom(spark, sf_dir).collect()
+    for r in rows:
+        assert r.false_positive == (
+            r.bloom_contaminated and not r.exact_contaminated
+        )
+        assert r.bloom_contaminated == (r.n_bloom_hits > 0)
+
+
+def test_bloom_fp_rate_is_bounded(spark, sf_dir):
+    """With m=16384, k=3 and one small bench doc set, the per-doc fp
+    rate should stay well under total saturation (every doc flagged
+    would mean the filter is useless / m is mis-sized)."""
+    out = dq.decontaminate_bloom(spark, sf_dir)
+    total = out.count()
+    fp = out.where("false_positive").count()
+    assert fp < total * 0.5
+
+
+# --- text_boilerplate_removed ----------------------------------------------
+
+
+def test_boilerplate_removed_token_conservation(spark, sf_dir):
+    """n_cleaned_tokens == kept_windows * 16 + tail, and windows
+    partition the (full-window prefix of the) doc."""
+    rows = dq.boilerplate_removed(spark, sf_dir).collect()
+    assert rows, "no documents"
+    for r in rows:
+        assert r.n_kept_windows + r.n_dropped_windows == r.n_windows
+        assert 0 <= r.n_kept_windows <= r.n_windows
+
+
+def test_boilerplate_removed_unique_docs_pass_through(spark):
+    """A doc sharing no 16-token window with any other keeps all its
+    windows, and its cleaned hash equals md5 of its own normalized
+    text."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i}" for i in range(20)), "en", "s", 0),
+            (2, " ".join(f"beta{i}" for i in range(35)), "en", "s", 0),
+            (3, "short doc", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in dq.boilerplate_removed(spark, d).collect()
+        }
+    # doc 1: 20 tokens -> 1 window kept + 4-token tail
+    assert out[1].n_windows == 1 and out[1].n_kept_windows == 1
+    assert out[1].n_cleaned_tokens == 20
+    # doc 3: shorter than a window -> passes through whole
+    assert out[3].n_windows == 0 and out[3].n_cleaned_tokens == 2
+    import hashlib
+
+    assert out[3].cleaned_hash == hashlib.md5(b"short doc").hexdigest()
+
+
+def test_boilerplate_removed_drops_shared_windows(spark):
+    """Two docs sharing their first 16 tokens lose exactly that window;
+    their distinct remainders survive."""
+    shared = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail", "en", "s", 0),
+            (2, shared + " other distinct suffix", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in dq.boilerplate_removed(spark, d).collect()
+        }
+    for doc_id, tail_tokens in [(1, 3), (2, 3)]:
+        r = out[doc_id]
+        assert r.n_windows == 1 and r.n_dropped_windows == 1
+        assert r.n_kept_windows == 0
+        assert r.n_cleaned_tokens == tail_tokens
+
+
+# --- embedding_random_projection -------------------------------------------
+
+
+def test_rp_matrix_is_deterministic_signs():
+    m = sq._RP_MATRIX
+    assert len(m) == sq._RP_OUT_DIMS * sq._RP_IN_DIMS
+    assert set(m) <= {1.0, -1.0}
+    # regenerating gives the identical matrix (pure function of md5)
+    again = [
+        sq._rp_sign(j, d)
+        for j in range(sq._RP_OUT_DIMS)
+        for d in range(1, sq._RP_IN_DIMS + 1)
+    ]
+    assert again == m
+    # signs are roughly balanced (md5 is a decent coin)
+    pos = sum(1 for v in m if v > 0)
+    assert 0.4 < pos / len(m) < 0.6
+
+
+def test_rp_projection_is_linear(spark):
+    """proj(2x) == 2*proj(x) up to the 6-dp rounding the query applies."""
+    import tempfile, os
+
+    base = [float(math.sin(i + 1)) for i in range(64)]
+    docs = spark.createDataFrame(
+        [(0, base, 0), (1, [2.0 * v for v in base], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {
+            r.vec_id: r.proj
+            for r in sq.embedding_random_projection(spark, d).collect()
+        }
+    for a, b in zip(out[0], out[1]):
+        assert abs(2.0 * a - b) < 2e-5
+
+
+def test_rp_output_shape(spark, sf_dir):
+    df = sq.embedding_random_projection(spark, sf_dir)
+    row = df.first()
+    assert len(row.proj) == sq._RP_OUT_DIMS
+    assert df.columns == ["vec_id", "label", "proj"]
