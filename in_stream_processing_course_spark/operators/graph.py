@@ -73,3 +73,62 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in SCALED INTEGER arithmetic:
+    rank(v)' = (100-d)%*scale + d% * sum_{u->v} (rank(u) div outdeg(u)),
+    every division an integer `div`, every sum a BIGINT sum — so the
+    result is bit-identical on any engine and any partitioning (a
+    double formulation would make the groupBy sum order-dependent and
+    un-oracle-able). rank/scale approximates the standard damped
+    PageRank value to ~1e-6 per iteration; ranks stay < nodes*scale
+    (mass conservation), far from 64-bit overflow for any realistic
+    graph.
+
+    Scale shape: out-degrees computed once; each iteration is one
+    hash-join (edges x ranks on src) + one groupBy-sum — map-side
+    partial aggregation both, no driver-side graph, no collect.
+    ``localCheckpoint`` truncates lineage per round (same discipline as
+    connected_components). Fixed iteration count (not convergence
+    polling) keeps the plan a pure function of the input — which is
+    also what makes the unrolled-CTE SQL oracle possible.
+    """
+    assert iterations >= 1 and 0 < damping_pct < 100
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            e2.join(ranks, e2.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * coalesce(_s, 0L)) div 100"
+                    " AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

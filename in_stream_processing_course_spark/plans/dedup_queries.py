@@ -1179,3 +1179,102 @@ SELECT s.doc_id,
 FROM staged s LEFT JOIN kept ON s.doc_id = kept.doc_id
 ORDER BY s.doc_id
 """
+
+
+# --- triangle census of the near-dup graph -----------------------------------
+
+
+def dedup_candidate_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the MinHash-LSH candidate graph: per doc,
+    its candidate degree and the number of triangles it sits in. A
+    candidate PAIR can be banding noise; a TRIANGLE (three mutual
+    collisions) almost never is — triangle participation is the cheap
+    cluster-coherence signal that separates true duplicate groups from
+    stray collisions before running full connected components.
+
+    Scale shape: the near-dup graph is sparse BY CONSTRUCTION (band
+    collisions, hot buckets droppable via the capped variant) — this
+    is what makes triangle enumeration tractable; a dense projection
+    graph (e.g. supplier co-purchase, which is complete at every SF
+    here) would be cubic. Edges are degree-oriented (lo < hi comes
+    free from the candidate convention), the two-path join is bounded
+    by sum(deg^2), and the closing edge is an equi-join on the pair.
+    Pure integer key algebra — exact oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )  # (a, b) with a < b, distinct
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    triangles = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("s1"),
+            F.col("e1.b").alias("s2"),
+            F.col("e2.b").alias("s3"),
+        )
+    )
+    per_node = (
+        triangles.select(F.explode(F.array("s1", "s2", "s3")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_TRIANGLES = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
+                                    b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
+  FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
+),
+edges AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+),
+tri AS (
+  SELECT e1.a AS s1, e1.b AS s2, e2.b AS s3
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT s1 AS doc_id FROM tri
+    UNION ALL SELECT s2 FROM tri
+    UNION ALL SELECT s3 FROM tri
+  ) GROUP BY doc_id
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS doc_id FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles
+FROM deg d LEFT JOIN per_node p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""

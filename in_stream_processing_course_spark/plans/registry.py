@@ -410,6 +410,16 @@ register(
     "weekly_revenue_growth", rel.weekly_revenue_growth, rel.ORACLE_WEEKLY_GROWTH
 )
 register(
+    "pagerank_customer_supplier",
+    rel.pagerank_customer_supplier,
+    rel.ORACLE_PAGERANK,
+)
+register(
+    "dedup_candidate_triangles",
+    dq.dedup_candidate_triangles,
+    dq.ORACLE_DEDUP_TRIANGLES,
+)
+register(
     "embedding_norm_histogram",
     sq.embedding_norm_histogram,
     sq.ORACLE_NORM_HISTOGRAM,

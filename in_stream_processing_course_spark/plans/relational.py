@@ -1918,3 +1918,110 @@ FROM orders
 GROUP BY ROLLUP (y, m, d)
 ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST, d ASC NULLS FIRST
 """
+
+
+# --- graph analytics over the order graph ------------------------------------
+
+_PR_ITERATIONS = 5
+_PR_DAMPING = 85
+_PR_SCALE = 1_000_000
+
+
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trading graph (undirected:
+    an order line links its customer to its supplier in both
+    directions): who are the structurally central parties? The classic
+    iterative-algorithm stress test for a declarative engine — here as
+    5 unrolled rounds of join + groupBy-sum in scaled-integer
+    arithmetic (operators/graph.py::pagerank_fixed_point), which makes
+    the fixpoint bit-identical in DuckDB's unrolled-CTE oracle; a
+    float PageRank could only ever be rows-only checked.
+
+    Node encoding: customer c -> 2c, supplier s -> 2s+1 (disjoint id
+    spaces without strings). rank is the scaled integer; rank/1e6 is
+    the conventional value.
+    """
+    from ..operators.graph import pagerank_fixed_point
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("u"), F.col("snode").alias("v")
+    ).unionByName(
+        pairs.select(F.col("snode").alias("u"), F.col("cnode").alias("v"))
+    )
+    ranks = pagerank_fixed_point(
+        edges,
+        "u",
+        "v",
+        iterations=_PR_ITERATIONS,
+        damping_pct=_PR_DAMPING,
+        scale=_PR_SCALE,
+    )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("rank").alias("rank_scaled"),
+    ).orderBy("node_type", "entity_key")
+
+
+def _pagerank_oracle() -> str:
+    base = ((100 - _PR_DAMPING) * _PR_SCALE) // 100
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT cnode AS src, snode AS dst FROM pairs
+  UNION ALL
+  SELECT snode AS src, cnode AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+e2 AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst AS node FROM edges),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, _PR_ITERATIONS + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // e.outdeg) AS s
+  FROM e2 e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({_PR_DAMPING} * coalesce(c.s, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       node // 2 AS entity_key,
+       rank AS rank_scaled
+FROM r{_PR_ITERATIONS}
+ORDER BY node_type, entity_key"""
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+

@@ -158,3 +158,100 @@ def test_rp_output_shape(spark, sf_dir):
     row = df.first()
     assert len(row.proj) == sq._RP_OUT_DIMS
     assert df.columns == ["vec_id", "label", "proj"]
+
+
+# --- pagerank_fixed_point ---------------------------------------------------
+
+
+def _pr(spark, edge_list, iterations=5):
+    from in_stream_processing_course_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    return {
+        r.node: r.rank
+        for r in pagerank_fixed_point(
+            edges, iterations=iterations
+        ).collect()
+    }
+
+
+def test_pagerank_star_hub_dominates(spark):
+    """In a star (all spokes point at the hub, hub points back), the
+    hub must out-rank every spoke."""
+    spokes = list(range(1, 6))
+    edges = [(s, 0) for s in spokes] + [(0, s) for s in spokes]
+    ranks = _pr(spark, edges)
+    assert all(ranks[0] > ranks[s] for s in spokes)
+    # symmetric spokes get identical integer ranks (determinism)
+    assert len({ranks[s] for s in spokes}) == 1
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    """Two nodes pointing at each other: rank stays exactly at scale
+    (base 150000 + 85% of a full contribution = 1.0 in fixed point,
+    modulo integer floors)."""
+    ranks = _pr(spark, [(1, 2), (2, 1)])
+    assert ranks[1] == ranks[2]
+    assert abs(ranks[1] - 1_000_000) < 5  # floor slack per iteration
+
+
+def test_pagerank_is_deterministic_across_runs(spark):
+    edges = [(a, b) for a in range(6) for b in range(6) if (a + b) % 3 == 0 and a != b]
+    r1 = _pr(spark, edges)
+    r2 = _pr(spark, edges)
+    assert r1 == r2
+
+
+def test_pagerank_mass_is_bounded(spark, sf_dir):
+    """Total scaled mass stays near nodes*scale: no contribution is
+    double-counted (ranks only leak mass to integer floors and
+    dangling edges, never gain)."""
+    from in_stream_processing_course_spark.plans.relational import (
+        pagerank_customer_supplier,
+    )
+
+    rows = pagerank_customer_supplier(spark, sf_dir).collect()
+    total = sum(r.rank_scaled for r in rows)
+    n = len(rows)
+    assert total <= n * 1_000_000
+    assert total >= int(n * 1_000_000 * 0.80)
+
+
+# --- dedup_candidate_triangles ----------------------------------------------
+
+
+def test_triangle_census_counts_known_graph(spark, sf_dir):
+    """Cross-check: recompute triangles in Python from the candidate
+    edge list (small at test SF) and compare per-node counts."""
+    from itertools import combinations
+
+    from in_stream_processing_course_spark.operators.dedup import (
+        minhash_candidates,
+    )
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = {
+        (r.a, r.b)
+        for r in minhash_candidates(docs, "doc_id", "text", 16, 4, 5).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {n: 0 for n in adj}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c counts each triangle once
+                for n in (a, b, c):
+                    expected[n] += 1
+    out = {
+        r.doc_id: (r.degree, r.n_triangles)
+        for r in dq.dedup_candidate_triangles(spark, sf_dir).collect()
+    }
+    assert set(out) == set(adj)
+    for n, (deg, tri) in out.items():
+        assert deg == len(adj[n])
+        assert tri == expected[n]
