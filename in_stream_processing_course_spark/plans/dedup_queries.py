@@ -60,6 +60,28 @@ _SQL_SIG = (
 )
 
 
+def _sql_sig_ctes(src: str = "documents") -> str:
+    """CTE block computing ``sig(doc_id, s)`` with md5 run ONCE per
+    shingle — the oracle-side mirror of minhash_signatures' hash-once
+    explode (the inline _SQL_SIG form re-evaluates both md5 calls per
+    hash index: 32x the hashing; measured ~2x whole-oracle wall on the
+    candidate queries). MATERIALIZED because band tables self-join —
+    DuckDB would otherwise inline (recompute) sig per reference.
+    Semantics identical: MIN over rows == list_aggregate('min') over
+    the same multiset."""
+    mins = ", ".join(f"MIN(h1 + {i} * h2) AS s{i}" for i in range(_NUM_HASHES))
+    arr = ", ".join(f"s{i}" for i in range(_NUM_HASHES))
+    return (
+        f"_tok AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM {src}),\n"
+        "_hh AS (SELECT doc_id,\n"
+        "        CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,\n"
+        "        CAST('0x' || substr(md5(sh), 17, 12) AS BIGINT) AS h2\n"
+        "        FROM _tok),\n"
+        f"sig AS MATERIALIZED (SELECT doc_id, [{arr}] AS s FROM\n"
+        f"  (SELECT doc_id, {mins} FROM _hh GROUP BY doc_id))"
+    )
+
+
 def minhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_id, band_key) LSH table — the shuffle key for
     candidate generation."""
@@ -72,7 +94,7 @@ def minhash_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 ORACLE_MINHASH_BANDS = f"""
-WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents)
+WITH {_sql_sig_ctes()}
 SELECT doc_id,
        CAST(b AS INT) AS band_id,
        array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
@@ -91,7 +113,7 @@ def minhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MINHASH_CANDIDATES = f"""
-WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+WITH {_sql_sig_ctes()},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
@@ -143,7 +165,7 @@ def minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MINHASH_VERIFIED = f"""
-WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+WITH {_sql_sig_ctes()},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
@@ -197,7 +219,7 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_INCREMENTAL_DEDUP = f"""
-WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+WITH {_sql_sig_ctes()},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
@@ -412,19 +434,19 @@ ex AS (
     FROM q
   ) WHERE rn = 1
 ),
-sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM ex),
+{_sql_sig_ctes("ex")},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
                                     b * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}), '|') AS band_key
   FROM sig, unnest(generate_series(0, {_BANDS - 1})) AS t(b)
 ),
-cands AS (
+cands AS MATERIALIZED (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bands l JOIN bands r
     ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a AS u, b AS v FROM cands UNION SELECT b AS u, a AS v FROM cands
 ),
 reach AS (
@@ -679,7 +701,7 @@ def minhash_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MINHASH_CAPPED = f"""
-WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+WITH {_sql_sig_ctes()},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
@@ -748,7 +770,7 @@ def minhash_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MINHASH_CONTAINMENT = f"""
-WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+WITH {_sql_sig_ctes()},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,
@@ -1242,7 +1264,7 @@ def dedup_candidate_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_TRIANGLES = f"""
-WITH sig AS (SELECT doc_id, {_SQL_SIG} AS s FROM documents),
+WITH {_sql_sig_ctes()},
 bands AS (
   SELECT doc_id, b AS band_id,
          array_to_string(list_slice(s, b * {_ROWS_PER_BAND} + 1,

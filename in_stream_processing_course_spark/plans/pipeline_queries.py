@@ -107,9 +107,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_dedup_clusters(candidates_sql_body: str) -> str:
     """Wrap the shared candidate-pair CTE body in a recursive closure."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    # recursive term would recompute the full MinHash candidate
+    # pipeline on EVERY closure iteration (measured 42s -> 13s at
+    # sf0.01 from materializing cands/edges once)
     return f"""
-WITH RECURSIVE cands AS ({candidates_sql_body}),
-edges AS (
+WITH RECURSIVE cands AS MATERIALIZED ({candidates_sql_body}),
+edges AS MATERIALIZED (
   SELECT a AS u, b AS v FROM cands
   UNION SELECT b AS u, a AS v FROM cands
 ),
