@@ -394,6 +394,14 @@ register(
     "text_inverted_index", tq.inverted_index, tq.ORACLE_INVERTED_INDEX
 )
 register(
+    "text_vocab_coverage", tq.vocab_coverage, tq.ORACLE_VOCAB_COVERAGE
+)
+register(
+    "quality_calibration", tq.quality_calibration, tq.ORACLE_QUALITY_CALIBRATION
+)
+# rows-only: approx_percentile boundaries are engine-specific sketches
+register("quality_calibration_approx", tq.quality_calibration_approx)
+register(
     "audience_overlap_matrix",
     ev.audience_overlap_matrix,
     ev.ORACLE_AUDIENCE_OVERLAP,

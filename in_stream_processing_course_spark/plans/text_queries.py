@@ -591,3 +591,178 @@ FROM stats JOIN top USING (term)
 WHERE doc_freq >= 5
 ORDER BY term
 """
+
+
+# --- vocabulary coverage / OOV profile ---------------------------------------
+
+_VOCAB_SIZE = 16
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep profile: build the top-N vocabulary by total
+    frequency (deterministic tiebreak on the term itself) and report
+    each document's out-of-vocabulary exposure — token count, OOV
+    token count, OOV rate. The first question before training a
+    tokenizer or estimating byte/token ratios on a new corpus.
+
+    Scale shape: one explode + term-key aggregate for counts (map-side
+    partials; stopword-skewed keys handled by AQE); the top-N cut is
+    orderBy+limit — Spark's distributed TakeOrdered, each partition
+    keeps its local top N, NOT a single-partition row_number window
+    (the naive formulation collapses the whole term table onto one
+    task). The vocabulary is top-N = provably bounded, so the
+    membership join BROADCASTS; the per-doc rollup shuffles on doc_id
+    once. N is 16 here because the synthetic corpus has ~31 distinct
+    tokens — at 100 TB N is 10^5-ish and still broadcast-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("total_freq"))
+        .orderBy(F.col("total_freq").desc(), F.col("term").asc())
+        .limit(_VOCAB_SIZE)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> len(x) > 0)) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rk
+    FROM toks GROUP BY term
+  ) WHERE rk <= {_VOCAB_SIZE}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE vocab.term IS NULL) AS BIGINT) AS n_oov,
+       round(COUNT(*) FILTER (WHERE vocab.term IS NULL) * 1.0 / COUNT(*), 6)
+         AS oov_rate
+FROM toks LEFT JOIN vocab USING (term)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- quality-score calibration deciles ---------------------------------------
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration table for the quality gate: rank every
+    document into score deciles (deterministic ntile over
+    (score, doc_id)) and report each decile's score range and how much
+    of it the 0.5 gate keeps. The artifact you read before moving a
+    quality threshold on a 100 TB corpus — shows exactly which decile
+    the cut bisects.
+
+    Exact ntile with no PARTITION BY is Spark's one single-partition
+    window (WindowExec warns and moves all rows to one task) — fine at
+    oracle SF, NOT the 100 TB shape. The scale path swaps the decile
+    assignment for approx_percentile boundary lookup (the same
+    exact-vs-sketch pairing as bot_stats_approx_categories /
+    event_value_percentiles_approx); this query keeps the exact form
+    because decile membership must hash-match the oracle bit-for-bit.
+    """
+    from ..functions.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score_col(F.col("text")).alias("q")
+    )
+    decile = F.ntile(10).over(Window.orderBy(F.col("q"), F.col("doc_id")))
+    return (
+        scored.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_pass"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _oracle_quality_calibration() -> str:
+    from .dedup_queries import _SQL_QUALITY
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {_SQL_QUALITY} AS q FROM documents
+),
+ranked AS (
+  SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id) AS decile
+  FROM scored
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(MIN(q), 6) AS min_q,
+       round(MAX(q), 6) AS max_q,
+       CAST(COUNT(*) FILTER (WHERE q >= 0.5) AS BIGINT) AS n_pass
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+ORACLE_QUALITY_CALIBRATION = _oracle_quality_calibration()
+
+
+def quality_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of quality_calibration: decile BOUNDARIES from
+    approx_percentile (one t-digest-style aggregate, no global sort),
+    docs binned against the broadcast boundary row. Registered
+    rows-only — sketch boundaries are engine-specific — while the
+    exact ntile twin above carries the hash check; together they pin
+    the exact/approx contract the way the percentile and HLL pairs do.
+    """
+    from ..functions.text import quality_score_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score_col(F.col("text")).alias("q")
+    )
+    bounds = scored.select(
+        F.percentile_approx(
+            "q", [i / 10.0 for i in range(1, 10)], 10_000
+        ).alias("_b")
+    )
+    binned = scored.join(F.broadcast(bounds)).select(
+        "q",
+        (
+            F.size(F.filter(F.col("_b"), lambda b: b < F.col("q"))) + 1
+        ).alias("decile"),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)).alias("n_pass"),
+        )
+        .orderBy("decile")
+    )

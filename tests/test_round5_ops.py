@@ -255,3 +255,39 @@ def test_triangle_census_counts_known_graph(spark, sf_dir):
     for n, (deg, tri) in out.items():
         assert deg == len(adj[n])
         assert tri == expected[n]
+
+
+# --- vocab coverage / quality calibration -----------------------------------
+
+
+def test_vocab_coverage_invariants(spark, sf_dir):
+    from in_stream_processing_course_spark.plans import text_queries as tq
+
+    rows = tq.vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert abs(r.oov_rate - round(r.n_oov / r.n_tokens, 6)) < 1e-9
+
+
+def test_quality_calibration_partitions_corpus(spark, sf_dir):
+    from in_stream_processing_course_spark.plans import text_queries as tq
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    rows = tq.quality_calibration(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    assert sum(r.n_docs for r in rows) == n_docs
+    # deciles are ordered score ranges
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_q <= hi.min_q + 1e-9
+
+
+def test_quality_calibration_approx_matches_exact_totals(spark, sf_dir):
+    from in_stream_processing_course_spark.plans import text_queries as tq
+
+    exact = tq.quality_calibration(spark, sf_dir).collect()
+    approx = tq.quality_calibration_approx(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in approx) == sum(r.n_docs for r in exact)
+    assert sum(r.n_pass for r in approx) == sum(r.n_pass for r in exact)
+    assert len(approx) <= 10
