@@ -401,6 +401,12 @@ register(
 )
 # rows-only: approx_percentile boundaries are engine-specific sketches
 register("quality_calibration_approx", tq.quality_calibration_approx)
+register("events_ks_drift", ts.events_ks_drift, ts.ORACLE_KS_DRIFT)
+register(
+    "events_categorical_drift",
+    ts.events_categorical_drift,
+    ts.ORACLE_CATEGORICAL_DRIFT,
+)
 register(
     "audience_overlap_matrix",
     ev.audience_overlap_matrix,

@@ -945,3 +945,172 @@ SELECT hu AS hour_start,
 FROM filled
 ORDER BY event_type, hour_start
 """
+
+
+# --- two-sample KS drift monitor ---------------------------------------------
+
+_KS_SPLIT = "2024-01-16"
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the two-sample
+    Kolmogorov-Smirnov statistic between the value distributions of
+    the first and second half of the month (split at a fixed date) —
+    the standard gate before retraining on, or mixing in, a new corpus
+    slice ("did `value` drift?").
+
+    Exact, not sketched: KS = max over observed points of
+    |ECDF_a - ECDF_b|, computed with ONE pass of RANGE-framed window
+    sums over the union of both samples (ECDF at v counts ALL rows
+    with value <= v, which the default RANGE frame gives on both
+    engines — tie handling falls out for free, no per-tie
+    correction). Scale: the window partitions by event_type, so this
+    is a partitioned sort, never a global one; output is one row per
+    type. No sums of doubles anywhere — cumulative INTEGER counts
+    divided once at the end, so the statistic is bit-identical in the
+    oracle.
+    """
+    ev = _events(spark, sf_dir)
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("_in_a"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = Window.partitionBy("event_type")
+    cum = tagged.select(
+        "event_type",
+        "value",
+        F.sum("_in_a").over(w).alias("_ca"),
+        F.sum(1 - F.col("_in_a")).over(w).alias("_cb"),
+        F.sum("_in_a").over(totals).alias("_na"),
+        F.sum(1 - F.col("_in_a")).over(totals).alias("_nb"),
+    )
+    gap = F.abs(
+        F.col("_ca") / F.col("_na") - F.col("_cb") / F.col("_nb")
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("_na").alias("n_first_half"),
+            F.max("_nb").alias("n_second_half"),
+            F.round(F.max(gap), 6).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_KS_DRIFT = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+cum AS (
+  SELECT event_type, value,
+         SUM(in_a) OVER (PARTITION BY event_type ORDER BY value
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(1 - in_a) OVER (PARTITION BY event_type ORDER BY value
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(in_a) OVER (PARTITION BY event_type) AS na,
+         SUM(1 - in_a) OVER (PARTITION BY event_type) AS nb
+  FROM tagged
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_first_half,
+       CAST(MAX(nb) AS BIGINT) AS n_second_half,
+       round(MAX(abs(ca * 1.0 / na - cb * 1.0 / nb)), 6) AS ks_stat
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical twin of events_ks_drift: chi-square contributions
+    for the event-type MIX between the two halves of the month. Each
+    row is one cell pair of the 2xK contingency table — observed
+    counts, margin-expected counts, and the cell's chi2 contribution —
+    so a drifted category is readable directly instead of hiding
+    inside one omnibus number (summing the column gives the classic
+    statistic; K-1 dof).
+
+    All counts are integers aggregated with map-side partials; the
+    expected values and contributions are a handful of divisions per
+    OUTPUT row (K rows), so determinism is free — no double summation
+    ever happens inside the engine.
+    """
+    ev = _events(spark, sf_dir)
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("_in_a"),
+    )
+    counts = tagged.groupBy("event_type").agg(
+        F.sum("_in_a").alias("n_first"),
+        F.sum(1 - F.col("_in_a")).alias("n_second"),
+    )
+    tot = Window.partitionBy()
+    with_margins = counts.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.sum("n_first").over(tot).alias("_ta"),
+        F.sum("n_second").over(tot).alias("_tb"),
+    )
+    row_total = F.col("n_first") + F.col("n_second")
+    grand = F.col("_ta") + F.col("_tb")
+    e_first = row_total * F.col("_ta") / grand
+    e_second = row_total * F.col("_tb") / grand
+    # squares via explicit multiply, not pow(): Math.pow and DuckDB pow
+    # are not guaranteed bit-identical; x*x is
+    d_first = F.col("n_first") - e_first
+    d_second = F.col("n_second") - e_second
+    chi2 = d_first * d_first / e_first + d_second * d_second / e_second
+    return with_margins.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.round(e_first, 6).alias("expected_first"),
+        F.round(e_second, 6).alias("expected_second"),
+        F.round(chi2, 6).alias("chi2_contribution"),
+    ).orderBy("event_type")
+
+
+ORACLE_CATEGORICAL_DRIFT = f"""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+counts AS (
+  SELECT event_type,
+         SUM(in_a) AS n_first,
+         SUM(1 - in_a) AS n_second
+  FROM tagged GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n_first, n_second,
+         SUM(n_first) OVER () AS ta,
+         SUM(n_second) OVER () AS tb
+  FROM counts
+)
+SELECT event_type,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST(n_second AS BIGINT) AS n_second,
+       round((n_first + n_second) * ta * 1.0 / (ta + tb), 6) AS expected_first,
+       round((n_first + n_second) * tb * 1.0 / (ta + tb), 6) AS expected_second,
+       round((n_first - (n_first + n_second) * ta * 1.0 / (ta + tb))
+             * (n_first - (n_first + n_second) * ta * 1.0 / (ta + tb))
+               / ((n_first + n_second) * ta * 1.0 / (ta + tb))
+             + (n_second - (n_first + n_second) * tb * 1.0 / (ta + tb))
+             * (n_second - (n_first + n_second) * tb * 1.0 / (ta + tb))
+               / ((n_first + n_second) * tb * 1.0 / (ta + tb)), 6)
+         AS chi2_contribution
+FROM m ORDER BY event_type
+"""

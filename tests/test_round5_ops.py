@@ -291,3 +291,78 @@ def test_quality_calibration_approx_matches_exact_totals(spark, sf_dir):
     assert sum(r.n_docs for r in approx) == sum(r.n_docs for r in exact)
     assert sum(r.n_pass for r in approx) == sum(r.n_pass for r in exact)
     assert len(approx) <= 10
+
+
+# --- events_ks_drift --------------------------------------------------------
+
+
+def _ks_of(spark, rows):
+    import tempfile, os
+
+    from in_stream_processing_course_spark.plans import (
+        timeseries_queries as tsq,
+    )
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        return {
+            r.event_type: r.ks_stat
+            for r in tsq.events_ks_drift(spark, d).collect()
+        }
+
+
+def test_ks_identical_halves_is_zero(spark):
+    import datetime as dt
+
+    a = dt.datetime(2024, 1, 2)
+    b = dt.datetime(2024, 1, 20)
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append((i, a, 1, "click", v, "{}"))
+        rows.append((100 + i, b, 1, "click", v, "{}"))
+    assert _ks_of(spark, rows)["click"] == 0.0
+
+
+def test_ks_disjoint_halves_is_one(spark):
+    import datetime as dt
+
+    a = dt.datetime(2024, 1, 2)
+    b = dt.datetime(2024, 1, 20)
+    rows = [(i, a, 1, "view", float(i), "{}") for i in range(4)]
+    rows += [(100 + i, b, 1, "view", 100.0 + i, "{}") for i in range(4)]
+    assert _ks_of(spark, rows)["view"] == 1.0
+
+
+def test_categorical_drift_no_drift_is_zero(spark):
+    import datetime as dt
+    import os
+    import tempfile
+
+    from in_stream_processing_course_spark.plans import (
+        timeseries_queries as tsq,
+    )
+
+    a = dt.datetime(2024, 1, 2)
+    b = dt.datetime(2024, 1, 20)
+    rows = []
+    i = 0
+    for t in ("click", "view"):
+        for half in (a, b):
+            for _ in range(5):  # same mix in both halves
+                rows.append((i, half, 1, t, 1.0, "{}"))
+                i += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = tsq.events_categorical_drift(spark, d).collect()
+    assert all(r.chi2_contribution == 0.0 for r in out)
+    assert all(r.expected_first == r.n_first for r in out)
