@@ -608,3 +608,44 @@ JOIN sizes sa ON sa.event_type = inter.type_a
 JOIN sizes sb ON sb.event_type = inter.type_b
 ORDER BY type_a, type_b
 """
+
+
+# --- mergeable-sketch distinct counting --------------------------------------
+
+
+def approx_users_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch DAU accounting (Apache DataSketches HLL, the
+    Spark 3.5+ `hll_sketch_agg` family): per event type, the exact
+    distinct-user count next to the sketch estimate; plus an 'ALL'
+    row whose estimate comes from UNIONING the per-type sketches —
+    NOT re-scanning the data. That merge is the 100 TB point: persist
+    one kilobyte-scale sketch per (partition, day), answer any
+    distinct-users-over-subset query by sketch union alone, never a
+    second pass over raw events. Registered rows-only (sketch
+    estimates are engine-specific); tests/test_round5_ops.py bounds
+    the estimate against the exact count.
+    """
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.hll_sketch_agg("user_id").alias("_sk"),
+    )
+    typed = per_type.select(
+        "event_type",
+        "n_users_exact",
+        F.hll_sketch_estimate("_sk").alias("n_users_hll"),
+    )
+    total = (
+        per_type.agg(
+            F.hll_union_agg("_sk").alias("_u"),
+        )
+        .join(
+            ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_users_exact",
+            F.hll_sketch_estimate("_u").alias("n_users_hll"),
+        )
+    )
+    return typed.unionByName(total).orderBy("event_type")

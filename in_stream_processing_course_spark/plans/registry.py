@@ -448,3 +448,4 @@ register(
 # engine-specific)
 register("bot_stats_approx_categories", bd.windowed_counts_approx)
 register("event_value_percentiles_approx", pq.event_value_percentiles_approx)
+register("approx_users_sketch_union", ev.approx_users_sketch_union)

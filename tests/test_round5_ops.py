@@ -366,3 +366,20 @@ def test_categorical_drift_no_drift_is_zero(spark):
         out = tsq.events_categorical_drift(spark, d).collect()
     assert all(r.chi2_contribution == 0.0 for r in out)
     assert all(r.expected_first == r.n_first for r in out)
+
+
+def test_sketch_union_estimates_within_bounds(spark, sf_dir):
+    from in_stream_processing_course_spark.plans import events_queries as evq
+
+    rows = evq.approx_users_sketch_union(spark, sf_dir).collect()
+    by_type = {r.event_type: r for r in rows}
+    assert "ALL" in by_type
+    for r in rows:
+        # HLL (lgK=12 default) is ~1.6% rel err at 3 sigma; corpus
+        # cardinalities here are far below saturation, allow 5%
+        assert abs(r.n_users_hll - r.n_users_exact) <= max(
+            0.05 * r.n_users_exact, 2
+        )
+    # the union row covers at least the largest single type
+    m = max(r.n_users_exact for r in rows if r.event_type != "ALL")
+    assert by_type["ALL"].n_users_exact >= m
