@@ -1,0 +1,79 @@
+"""Declarative MERGE INTO — the lakehouse type-1 CDC apply.
+
+Companion to operators/scd.py (type 2 keeps history; this keeps only
+the CURRENT row per key): given a keyed target snapshot and a source
+changeset, produce the post-merge snapshot with SQL MERGE semantics —
+
+    WHEN MATCHED AND <delete_cond>      THEN DELETE
+    WHEN MATCHED                        THEN UPDATE SET <when_matched>
+    WHEN NOT MATCHED AND NOT <delete>   THEN INSERT
+
+Spark-first shape: ONE full-outer join on the key, then per-row
+resolution with Column expressions — no driver loop, no collect; on
+Delta/Iceberg the same call maps 1:1 onto ``MERGE INTO``. Cost is a
+single hash shuffle per side; with the changeset ≪ target (the normal
+CDC case) AQE turns it into a broadcast of the source side, so the
+100 TB target is never shuffled at all.
+
+``when_matched`` maps output column -> expression over ``F.col("t.x")``
+(target value) and ``F.col("s.x")`` (source value); omitted columns
+keep the target value. Insert takes the source row's columns verbatim.
+Merge of per-batch changesets is associative for the usual CDC
+combine expressions (last-writer fields + additive counters), which is
+what makes multi-batch apply == one-shot — hash-pinned in the
+registry (``merge_user_profiles``) and random-chunk-tested in
+tests/test_round6_ops.py.
+
+Reference scope: extension surface; batch analog of the K1/K2 keyed
+upsert sink (sinks/upsert.py), generalized from last-writer-wins to
+arbitrary matched-update expressions and delete actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched: dict[str, Column] | None = None,
+    delete_cond: Column | None = None,
+) -> DataFrame:
+    """Apply ``source`` to ``target`` with MERGE semantics; both must
+    share the same non-key column set. Returns the merged snapshot."""
+    value_cols = [c for c in target.columns if c not in key_cols]
+    assert set(source.columns) == set(target.columns), (
+        "target/source schema mismatch: "
+        f"{sorted(target.columns)} vs {sorted(source.columns)}"
+    )
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col(f"s.{key_cols[0]}").isNotNull() & F.col(
+        f"t.{key_cols[0]}"
+    ).isNotNull()
+    source_only = F.col(f"t.{key_cols[0]}").isNull()
+    if delete_cond is not None:
+        # DELETE drops matched rows; a delete-flagged row for an
+        # absent key is a no-op (and must not be inserted either)
+        joined = joined.where(
+            ~(F.col(f"s.{key_cols[0]}").isNotNull() & delete_cond)
+        )
+    updates = dict(when_matched or {})
+    out_cols: list[Column] = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k)
+        for k in key_cols
+    ]
+    for c in value_cols:
+        matched_val = updates.get(c, F.col(f"s.{c}"))
+        out_cols.append(
+            F.when(matched, matched_val)
+            .when(source_only, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+    return joined.select(*out_cols)

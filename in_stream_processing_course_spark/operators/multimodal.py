@@ -242,3 +242,121 @@ def sample_frames(
             F.posexplode(frames).alias("frame_idx", "frame_bytes"),
         )
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def payload_simhash(
+    media: DataFrame, n_bits: int = 64, ngram: int = 4
+) -> DataFrame:
+    """Perceptual-hash-shaped near-dup fingerprint for BINARY payloads:
+    64-bit SimHash over the payload's byte ``ngram`` windows. Two
+    payloads differing in a few bytes land within a few Hamming bits
+    of each other — the binary-content analog of the image pHash
+    pipeline (with real codecs the same votes would come from DCT
+    coefficients; the banding/verify stages downstream are identical
+    either way, so the 100 TB plumbing is fully exercised without
+    PIL).
+
+    Arrow-batched ``mapInPandas`` with NumPy vectorization inside the
+    batch (sliding windows -> unique gram keys -> splitmix64 mix ->
+    per-bit votes) — no per-byte Python loop, no shuffle.
+    """
+    assert n_bits == 64, "phash is a single packed int64"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        bit_idx = np.arange(n_bits, dtype=np.uint64)
+
+        def one(b: bytes) -> int:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            if len(arr) < ngram:
+                arr = np.pad(arr, (0, ngram - len(arr)))
+            win = np.lib.stride_tricks.sliding_window_view(arr, ngram)
+            keys = win.astype(np.uint64) @ (
+                np.uint64(256) ** np.arange(ngram - 1, -1, -1, dtype=np.uint64)
+            )
+            keys = np.unique(keys)
+            # splitmix64 finalizer — a public-domain 64-bit mixer
+            z = (keys + np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            bits = (z[:, None] >> bit_idx) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for j in np.nonzero(votes >= 0)[0]:
+                packed |= np.uint64(1) << np.uint64(j)
+            return int(packed.astype(np.int64))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(one).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_candidates(
+    sig: DataFrame, bands: int = 4, max_hamming: int = 12
+) -> DataFrame:
+    """Banded Hamming-near candidate pairs over packed 64-bit
+    fingerprints — pure Column algebra after the fingerprint stage:
+    each hash explodes to ``bands`` 16-bit band keys (two near hashes
+    share at least one band whenever their differing bits miss one
+    band — the pigeonhole guarantee for <= bands-1 scattered diffs);
+    candidates come from a (band_id, band_key) equi-join (NO cross
+    product, same blocking discipline as text SimHash/MinHash), and
+    the exact Hamming check (`bit_count(a XOR b)`) runs only within
+    blocks."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), i * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    l = banded.select(
+        F.col("media_id").alias("a"),
+        F.col("phash").alias("ph_a"),
+        "band_id",
+        "band_key",
+    )
+    r = banded.select(
+        F.col("media_id").alias("b"),
+        F.col("phash").alias("ph_b"),
+        "band_id",
+        "band_key",
+    )
+    pairs = (
+        l.join(r, ["band_id", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.bit_count(
+            F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,254 @@
+"""Incremental-maintenance query family: SCD2 dimension history from
+a CDC change stream, mergeable materialized-view rollups, and the
+stream-stream interval join's batch twin.
+
+These are the 100 TB *maintenance* patterns — the queries that keep a
+curated table current without rescanning history. Each Spark query
+deliberately takes the INCREMENTAL path (apply changes in multiple
+batches, merge per-chunk partials) while its oracle takes the
+ONE-SHOT path (a single SQL pass over all the data); a hash match
+therefore proves batch-boundary invariance, not just row-level
+agreement.
+
+Reference scope: extension surface. The merge algebra mirrors the
+reference's IpStat monoid (Common.scala ``|+|``) lifted from
+streaming micro-batches to cross-job granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental import (
+    finalize_rollup,
+    merge_rollups,
+    partial_rollup,
+)
+from ..operators.scd import cdc_changes_from_events, scd2_apply
+from ..operators.projections import ensure_timestamp
+from ..sources.batch import load_table
+from ..streaming.interval_join import (
+    JOIN_WINDOW_SEC,
+    interval_join_view_click,
+    split_view_click,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+
+
+# epoch micros for 2024-01-16T00:00:00Z — mid-range of the generated
+# event log, so both application batches carry real transitions
+_SCD_CUTOFF_US = 1_705_363_200_000_000
+
+
+def scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension of each user's event_type, built the way a
+    nightly CDC job would: change records extracted once from the
+    event log, then applied in TWO separate ``scd2_apply`` batches
+    split at a mid-range cutoff (initial load + incremental merge).
+    The oracle derives the same history in one SQL pass — the hash
+    match pins ``apply(apply(∅,b1),b2) == one-shot`` batch-boundary
+    invariance on real data (the random-chunking property test lives
+    in tests/test_round6_ops.py).
+
+    Scale: each apply is one hash shuffle on user_id; the incremental
+    batch shuffles only post-cutoff transitions plus one open row per
+    key — never the closed history (see operators/scd.py)."""
+    changes = cdc_changes_from_events(_events(spark, sf_dir))
+    b1 = changes.where(F.col("ts") < _SCD_CUTOFF_US)
+    b2 = changes.where(F.col("ts") >= _SCD_CUTOFF_US)
+    dim1 = scd2_apply(None, b1, ["user_id"], ["event_type"])
+    dim2 = scd2_apply(dim1, b2, ["user_id"], ["event_type"])
+    return dim2.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "version",
+        "is_current",
+    ).orderBy("user_id", "version")
+
+
+# one-shot islands derivation; change extraction ordered (ts,
+# event_id) and versioning ordered (valid_from, event_type) — the
+# exact tie-breaks of cdc_changes_from_events / scd2_apply
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts_us FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(ts_us AS BIGINT) AS valid_from,
+       CAST(lead(ts_us) OVER w AS BIGINT) AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(ts_us) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)
+ORDER BY user_id, version
+"""
+
+
+# weekly chunk boundaries over the generated January 2024 log — the
+# "one partition arrives per job" arrival pattern
+_CHUNK_BOUNDS_SEC = [1704067200 + k * 7 * 86400 for k in range(1, 5)]
+
+
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily (day, event_type) value rollup maintained INCREMENTALLY:
+    the log is aggregated one weekly chunk at a time
+    (``partial_rollup``), the five bounded partials are merged with
+    the algebraic merge functions (``merge_rollups``), and avg is
+    finalized from the (sum, count) state. The oracle aggregates the
+    whole log in one pass; the hash match proves the merge algebra.
+
+    Scale: in production only the NEWEST chunk is scanned per job —
+    the standing rollup is |days x types|-sized. Here all chunks come
+    from one scan (Spark reuses the cached file listing); each partial
+    is a map-side-combined hash agg; the merge shuffles rollup-sized
+    data only."""
+    ev = _events(spark, sf_dir)
+    ts_sec = F.unix_timestamp("ts")
+    group = [
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start"),
+        F.col("event_type"),
+    ]
+    bounds = [float("-inf")] + _CHUNK_BOUNDS_SEC + [float("inf")]
+    partials = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = ev
+        if lo != float("-inf"):
+            chunk = chunk.where(ts_sec >= lo)
+        if hi != float("inf"):
+            chunk = chunk.where(ts_sec < hi)
+        partials.append(partial_rollup(chunk.select(*group, "value"),
+                                       ["day_start", "event_type"]))
+    merged = merge_rollups(partials, ["day_start", "event_type"])
+    return finalize_rollup(merged).orderBy("day_start", "event_type")
+
+
+ORACLE_INCREMENTAL_ROLLUP = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 4) AS sum_value,
+       round(round(SUM(value), 4) / COUNT(*), 4) AS avg_value,
+       round(MIN(value), 4) AS min_value,
+       round(MAX(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day_start, event_type
+"""
+
+
+def view_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: every (click,
+    view) pair per user with the view in the 6 hours at-or-before the
+    click. Identical builder as the streaming path (watermarks no-op
+    in batch) — Catalyst plans the equality key as a sort-merge join
+    with the range predicate as residual condition: ONE shuffle per
+    side, no nested-loop blowup, per-user match counts bounded by the
+    6-hour window."""
+    views, clicks = split_view_click(_events(spark, sf_dir))
+    return interval_join_view_click(views, clicks).orderBy(
+        "click_id", "view_id"
+    )
+
+
+ORACLE_INTERVAL_JOIN = f"""
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(v.ts) AS view_us
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts >= c.ts - INTERVAL {JOIN_WINDOW_SEC} SECOND
+ AND v.ts <= c.ts
+ORDER BY click_id, view_id
+"""
+
+
+# --- type-1 MERGE INTO (current-state CDC apply) ----------------------------
+
+
+def _user_profile(ev: DataFrame) -> DataFrame:
+    """Current-state profile per user: last event type (total
+    (ts, event_id) order), last event time, event count."""
+    us = F.unix_micros("ts")
+    return ev.groupBy("user_id").agg(
+        F.max_by(
+            "event_type", F.struct(us.alias("us"), F.col("event_id"))
+        ).alias("last_type"),
+        F.max(us).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def merge_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 MERGE INTO: the pre-cutoff user-profile snapshot merged
+    with the post-cutoff changeset — matched rows combine (last-writer
+    fields from the source, additive count), users whose newest
+    activity is an ``error`` event are DELETEd (churn), new users
+    insert. The oracle derives the post-merge snapshot in ONE pass
+    over the full log (per-user overall profile minus users whose
+    overall last event is a post-cutoff error) — a completely
+    different derivation, same fixpoint.
+
+    Scale: each profile is one map-side-combined hash agg; the merge
+    is one full-outer join on user_id (operators/merge.py) where the
+    changeset side is the small one — AQE broadcasts it, the 100 TB
+    snapshot never reshuffles."""
+    from ..operators.merge import merge_into
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    target = _user_profile(ev.where(us < _SCD_CUTOFF_US))
+    source = _user_profile(ev.where(us >= _SCD_CUTOFF_US))
+    merged = merge_into(
+        target,
+        source,
+        ["user_id"],
+        when_matched={
+            "last_type": F.col("s.last_type"),
+            "last_us": F.col("s.last_us"),
+            "n_events": F.col("t.n_events") + F.col("s.n_events"),
+        },
+        delete_cond=F.col("s.last_type") == "error",
+    )
+    return merged.select(
+        "user_id", "last_type", "last_us", "n_events"
+    ).orderBy("user_id")
+
+
+ORACLE_MERGE_PROFILES = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+ranked AS (
+  SELECT user_id, event_type, us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rn
+  FROM ev
+),
+prof AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MAX(us) AS BIGINT) AS last_us
+  FROM ev GROUP BY user_id
+),
+last AS (SELECT user_id, event_type AS last_type, us FROM ranked WHERE rn = 1)
+SELECT CAST(p.user_id AS BIGINT) AS user_id, l.last_type, p.last_us,
+       p.n_events
+FROM prof p JOIN last l USING (user_id)
+WHERE NOT (l.us >= {_SCD_CUTOFF_US} AND l.last_type = 'error')
+ORDER BY user_id
+"""

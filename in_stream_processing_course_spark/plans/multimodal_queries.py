@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     documents_as_media,
+    payload_simhash,
+    phash_candidates,
     extract_media_meta,
     fake_decode_meta,
     fake_resize_dims,
@@ -121,3 +123,16 @@ SELECT media_id,
        CAST(SUM(frame_len) AS BIGINT) AS total_frame_bytes
 FROM frames GROUP BY media_id ORDER BY media_id
 """
+
+
+def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload near-dup detection: 64-bit byte-ngram SimHash
+    fingerprints (mapInPandas + NumPy) -> 16-bit LSH bands -> in-block
+    exact Hamming verify (`bit_count(xor)`). The pHash pipeline shape
+    for image dedup, runnable without codecs because the fingerprint
+    is computed from payload bytes. Rows-only driver check (DuckDB
+    has no splitmix64/ngram machinery); the Hamming metric, banding
+    recall, and blocking (no cross product) are pinned in
+    tests/test_multimodal.py."""
+    sig = payload_simhash(_media(spark, sf_dir))
+    return phash_candidates(sig).orderBy("a", "b")

@@ -946,3 +946,125 @@ SELECT g.doc_id, g.split, g.quality_pass, g.exact_rep,
 FROM gated g LEFT JOIN sem ON sem.vec_id = g.doc_id
 ORDER BY g.doc_id
 """
+
+
+# --- near-dup-aware splitting (leakage audit + cluster-safe assign) ---------
+
+
+def _split_of(id_col: F.Column) -> F.Column:
+    """The deterministic md5-prefix split rule as a function of any id
+    column — shared by naive split, leakage audit, and cluster-safe
+    split so all three stay consistent."""
+    prefix = F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 4)
+    return (
+        F.when(prefix < _SPLIT_TRAIN_MAX, "train")
+        .when(prefix < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+
+
+def _sql_split_of(id_expr: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
+        f" < '{_SPLIT_TRAIN_MAX}' THEN 'train'"
+        f" WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
+        f" < '{_SPLIT_VAL_MAX}' THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit of the NAIVE per-document split: every
+    MinHash-LSH near-dup candidate pair whose two sides landed in
+    different splits — i.e. eval rows whose near-copy sits in train.
+    The per-row hash split ignores document similarity, so this set
+    is non-empty by construction; a 100 TB eval-integrity gate runs
+    exactly this query before every release. Cost: the LSH candidate
+    pipeline plus a scan-local split projection on each side — no new
+    shuffle beyond the band join."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    return (
+        cands.select(
+            "a",
+            "b",
+            _split_of(F.col("a")).alias("split_a"),
+            _split_of(F.col("b")).alias("split_b"),
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .orderBy("a", "b")
+    )
+
+
+def oracle_split_leakage(candidates_sql_body: str) -> str:
+    return f"""
+WITH cands AS MATERIALIZED ({candidates_sql_body})
+SELECT a, b,
+       {_sql_split_of('a')} AS split_a,
+       {_sql_split_of('b')} AS split_b
+FROM cands
+WHERE {_sql_split_of('a')} <> {_sql_split_of('b')}
+ORDER BY a, b
+"""
+
+
+def split_documents_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE split: hash the near-dup CLUSTER representative
+    (connected-component min over LSH candidate pairs) instead of the
+    document id, so every member of a near-dup cluster lands in the
+    same split — no eval example has a training near-copy. Singleton
+    docs hash their own id (coalesce), so the assignment rule remains
+    a pure function of (doc, pair table). The complement property
+    (zero leaked candidate pairs under THIS split) is pinned in
+    tests/test_round6_ops.py; the oracle recomputes the closure with
+    a recursive CTE. Cost: the cluster closure (|pairs|-sized) plus
+    one broadcast-size left join — the 100 TB path replaces the hash
+    join's small side with the component table, which is
+    near-dup-count-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    comp = connected_components(cands, "a", "b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("rep_id"),
+        )
+        .select(
+            "doc_id",
+            "rep_id",
+            _split_of(F.col("rep_id")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_split_cluster_safe(candidates_sql_body: str) -> str:
+    return f"""
+WITH RECURSIVE cands AS MATERIALIZED ({candidates_sql_body}),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM cands
+  UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS rep_id
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+)
+SELECT doc_id, rep_id, {_sql_split_of('rep_id')} AS split
+FROM assigned
+ORDER BY doc_id
+"""

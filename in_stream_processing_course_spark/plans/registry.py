@@ -449,3 +449,39 @@ register(
 register("bot_stats_approx_categories", bd.windowed_counts_approx)
 register("event_value_percentiles_approx", pq.event_value_percentiles_approx)
 register("approx_users_sketch_union", ev.approx_users_sketch_union)
+
+# --- incremental maintenance family (SCD2 / MV merge / interval join) -------
+# Spark takes the incremental path (multi-batch apply, per-chunk
+# partial merge); oracles take the one-shot path — hash matches prove
+# batch-boundary invariance, not just row agreement.
+from . import incremental_queries as iq  # noqa: E402
+
+register("scd2_user_type", iq.scd2_user_type, iq.ORACLE_SCD2)
+register(
+    "incremental_daily_rollup",
+    iq.incremental_daily_rollup,
+    iq.ORACLE_INCREMENTAL_ROLLUP,
+)
+register(
+    "view_click_interval_join",
+    iq.view_click_interval_join,
+    iq.ORACLE_INTERVAL_JOIN,
+)
+
+# --- near-dup-aware splitting (leakage audit + cluster-safe assign) ---------
+_CANDS_BODY = dq.ORACLE_MINHASH_CANDIDATES.strip().rsplit("ORDER BY", 1)[0]
+register(
+    "split_leakage_audit",
+    pq.split_leakage_audit,
+    pq.oracle_split_leakage(_CANDS_BODY),
+)
+register(
+    "split_documents_cluster_safe",
+    pq.split_documents_cluster_safe,
+    pq.oracle_split_cluster_safe(_CANDS_BODY),
+)
+register(
+    "merge_user_profiles", iq.merge_user_profiles, iq.ORACLE_MERGE_PROFILES
+)
+register("text_type_token_stats", tq.type_token_stats, tq.ORACLE_TYPE_TOKEN)
+register("media_phash_near_dups", mq.media_phash_near_dups)

@@ -766,3 +766,68 @@ def quality_calibration_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def type_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per (lang, source): token count,
+    vocabulary size (types), hapax legomena (terms seen once), and the
+    derived type-token / hapax ratios — the corpus-health dashboard a
+    curation run checks before training (low TTR => boilerplate/spam;
+    high hapax => OCR noise). All inputs are exact integer counts, so
+    the derived doubles are bit-identical across engines (single
+    division of exact ints) — no sorted-fold machinery needed.
+
+    Scale: explode -> two hash aggregates, both map-side combined; the
+    second groups |vocab|-sized data. No windows, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "source",
+        F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("term"),
+    )
+    per_term = toks.groupBy("lang", "source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_term.groupBy("lang", "source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("tf") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias(
+                "hapax_rate"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_TYPE_TOKEN = r"""
+WITH toks AS (
+  SELECT lang, source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS term
+  FROM documents
+),
+per_term AS (
+  SELECT lang, source, term, COUNT(*) AS tf
+  FROM toks GROUP BY lang, source, term
+)
+SELECT lang, source,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 6) AS ttr,
+       round(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS hapax_rate
+FROM per_term GROUP BY lang, source
+ORDER BY lang, source
+"""

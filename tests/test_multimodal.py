@@ -109,3 +109,69 @@ def test_frame_sampling_shapes(spark, media):
     assert all(r["count"] == 4 for r in counts)
     lens = frames.select(F.length("frame_bytes").alias("n")).collect()
     assert all(0 < r["n"] <= 32 for r in lens)
+
+
+# --- payload simhash / phash near-dups --------------------------------------
+
+
+def _phash_of(spark, payloads):
+    from in_stream_processing_course_spark.operators.multimodal import (
+        payload_simhash,
+    )
+
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, kind string, payload binary",
+    )
+    return {
+        r["media_id"]: r["phash"] for r in payload_simhash(media).collect()
+    }
+
+
+def _hamming(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_payload_simhash_locality(spark):
+    base = ("the quick brown fox jumps over the lazy dog " * 20).encode()
+    near = bytearray(base)
+    near[10] ^= 0xFF  # one corrupted byte
+    far = ("completely unrelated payload content entirely " * 20).encode()
+    h = _phash_of(spark, [base, bytes(base), bytes(near), far])
+    assert h[0] == h[1], "identical payloads must collide exactly"
+    assert _hamming(h[0], h[2]) <= 12, "one-byte edit stays Hamming-near"
+    assert _hamming(h[0], h[3]) > 12, "unrelated content is Hamming-far"
+
+
+def test_phash_candidates_find_planted_pair_and_block(spark):
+    from in_stream_processing_course_spark.operators.multimodal import (
+        payload_simhash,
+        phash_candidates,
+    )
+
+    # high-entropy base: many distinct grams, so a one-byte edit only
+    # perturbs ~4 of them (a repetitive payload has few unique grams
+    # and each carries a big vote share — edits would swing many bits)
+    base = " ".join(
+        f"token{i} unique piece {i * 37}" for i in range(120)
+    ).encode()
+    near = bytearray(base)
+    near[5] ^= 0x01
+    payloads = [base, bytes(near)] + [
+        " ".join(
+            f"filler{i}_{j} word {j * 17 + i}" for j in range(100)
+        ).encode()
+        for i in range(40)
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, kind string, payload binary",
+    )
+    sig = payload_simhash(media)
+    cands = phash_candidates(sig)
+    pairs = {(r["a"], r["b"]) for r in cands.collect()}
+    assert (0, 1) in pairs, "planted near-dup must be a candidate"
+    # blocking: the physical plan joins on band keys, never cross
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
