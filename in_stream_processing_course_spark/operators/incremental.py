@@ -77,12 +77,13 @@ def finalize_rollup(rollup: DataFrame) -> DataFrame:
         *[c for c in rollup.columns if c not in _STATE],
         F.col("n_events"),
         F.round("sum_value", 4).alias("sum_value"),
-        # divide the ALREADY-ROUNDED sum: both engines then divide
-        # bit-identical doubles, so the quotient (and its rounding)
-        # cannot diverge the way raw-accumulation-order quotients can
-        F.round(F.round("sum_value", 4) / F.col("n_events"), 4).alias(
-            "avg_value"
-        ),
+        # divide the ALREADY-ROUNDED sum and do NOT round the
+        # quotient: both engines divide bit-identical doubles (IEEE
+        # division is deterministic), whereas rounding the quotient
+        # hits engine-divergent decimal ties (307.03/8 = 38.37875
+        # rounds HALF_UP via BigDecimal in Spark but down via float
+        # scaling in DuckDB)
+        (F.round("sum_value", 4) / F.col("n_events")).alias("avg_value"),
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     )

@@ -140,7 +140,7 @@ SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        round(SUM(value), 4) AS sum_value,
-       round(round(SUM(value), 4) / COUNT(*), 4) AS avg_value,
+       round(SUM(value), 4) / COUNT(*) AS avg_value,
        round(MIN(value), 4) AS min_value,
        round(MAX(value), 4) AS max_value
 FROM events
@@ -251,4 +251,73 @@ SELECT CAST(p.user_id AS BIGINT) AS user_id, l.last_type, p.last_us,
 FROM prof p JOIN last l USING (user_id)
 WHERE NOT (l.us >= {_SCD_CUTOFF_US} AND l.last_type = 'error')
 ORDER BY user_id
+"""
+
+
+def temporal_join_events_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment: every purchase event joined
+    to the SCD2 user-type dimension VERSION that was valid at the
+    event's timestamp (``valid_from <= ts < valid_to``) — the
+    feature-store join that prevents label leakage (joining today's
+    attributes onto yesterday's training examples). Composes the SCD2
+    build (one shuffle) with a user_id equi-join carrying the
+    validity-range residual — sort-merge on the key, no nested loop;
+    per-key version counts are small by construction, and the
+    bucketized range-join rewrite (operators/range_join.py) is the
+    fallback if a key's history ever gets long.
+
+    Self-consistency makes the result easy to audit: the dimension is
+    derived from event-type transitions, so the version valid at a
+    purchase IS a 'purchase' run — but the join is the generic
+    temporal join, and the oracle replays it generically."""
+    ev = _events(spark, sf_dir)
+    dim = scd2_user_type(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("e_user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    joined = purchases.join(
+        dim,
+        (F.col("e_user_id") == dim.user_id)
+        & (F.col("ts_us") >= dim.valid_from)
+        & (dim.valid_to.isNull() | (F.col("ts_us") < dim.valid_to)),
+        "inner",
+    )
+    return joined.select(
+        "event_id",
+        F.col("e_user_id").alias("user_id"),
+        "ts_us",
+        F.col("event_type").alias("type_at_event"),
+        "version",
+    ).orderBy("event_id")
+
+
+ORACLE_TEMPORAL_JOIN = """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts_us FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+), dim AS (
+  SELECT user_id, event_type, ts_us AS valid_from,
+         lead(ts_us) OVER w AS valid_to,
+         row_number() OVER w AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)
+)
+SELECT e.event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       epoch_us(e.ts) AS ts_us,
+       d.event_type AS type_at_event,
+       CAST(d.version AS INT) AS version
+FROM events e JOIN dim d
+  ON e.user_id = d.user_id
+ AND epoch_us(e.ts) >= d.valid_from
+ AND (d.valid_to IS NULL OR epoch_us(e.ts) < d.valid_to)
+WHERE e.event_type = 'purchase'
+ORDER BY event_id
 """

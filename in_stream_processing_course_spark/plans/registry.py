@@ -485,3 +485,8 @@ register(
 )
 register("text_type_token_stats", tq.type_token_stats, tq.ORACLE_TYPE_TOKEN)
 register("media_phash_near_dups", mq.media_phash_near_dups)
+register(
+    "temporal_join_events_dim",
+    iq.temporal_join_events_dim,
+    iq.ORACLE_TEMPORAL_JOIN,
+)

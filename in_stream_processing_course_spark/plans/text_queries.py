@@ -801,10 +801,13 @@ def type_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "n_types",
             "n_hapax",
-            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
-            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias(
-                "hapax_rate"
-            ),
+            # UNROUNDED quotients: int->double conversion is exact and
+            # IEEE division deterministic, so both engines emit the
+            # same bits; rounding would reintroduce decimal-tie
+            # divergence (Spark BigDecimal HALF_UP vs DuckDB float
+            # scaling — see incremental rollup avg)
+            (F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+            (F.col("n_hapax") / F.col("n_types")).alias("hapax_rate"),
         )
         .orderBy("lang", "source")
     )
@@ -825,8 +828,8 @@ SELECT lang, source,
        CAST(SUM(tf) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_types,
        CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-       round(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 6) AS ttr,
-       round(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+       COUNT(*) / CAST(SUM(tf) AS DOUBLE) AS ttr,
+       SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
          AS hapax_rate
 FROM per_term GROUP BY lang, source
 ORDER BY lang, source

@@ -45,3 +45,33 @@ def read_events_on(spark: SparkSession, out_dir: str, day: str) -> DataFrame:
     return spark.read.parquet(out_dir).where(
         F.col("event_date") == F.lit(day).cast("date")
     )
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    corrected: DataFrame,
+    out_dir: str,
+) -> None:
+    """Surgical backfill: overwrite ONLY the partitions present in
+    ``corrected`` (a recomputed date range), leaving every other
+    day's directory untouched — the restatement path when late data
+    or a bug fix invalidates part of a 100 TB fact table. Uses
+    Spark's dynamic partition-overwrite mode: static overwrite would
+    truncate the WHOLE table (the classic backfill foot-gun); dynamic
+    replaces exactly the partitions the incoming frame writes.
+
+    The session conf is set per-write and restored — callers' global
+    overwrite semantics are not silently changed.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            corrected.repartition("event_date")
+            .sortWithinPartitions("user_id", "ts")
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -54,3 +54,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for the SQL surface."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Schema-evolution-tolerant scan: a long-lived 100 TB table
+    accumulates files written under DIFFERENT schema versions (new
+    columns appear; old files simply lack them). ``mergeSchema`` makes
+    the footer union the read schema (per-file reconciliation happens
+    in the scan — columns absent from a file surface as null), and
+    ``defaults`` backfills the nulls so downstream operators see one
+    stable contract instead of version-sniffing.
+
+    Cost note: schema merging lists every footer at planning time —
+    fine per-job, but persist the merged schema to the metastore once
+    a table stabilizes rather than re-merging each read.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (defaults or {}).items():
+        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df
