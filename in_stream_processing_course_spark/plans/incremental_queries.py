@@ -321,3 +321,174 @@ FROM events e JOIN dim d
 WHERE e.event_type = 'purchase'
 ORDER BY event_id
 """
+
+
+# --- declarative data-quality audit (publish gate) --------------------------
+
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-publish contract audit over orders and events: one
+    aggregate pass per table compiles every row-local expectation
+    (non-null, range, accepted values, uniqueness) into conditional
+    sums, plus one broadcast anti-join count for the orders->customer
+    referential check (operators/quality_checks.py). Output is the
+    audit table a publish gate reads — exact integer counts, so the
+    oracle replays every check in plain SQL."""
+    from ..operators.quality_checks import Check, audit_table
+
+    orders = load_table(spark, sf_dir, "orders", fan_out=False)
+    customer = load_table(spark, sf_dir, "customer", fan_out=False)
+    ev = _events(spark, sf_dir)
+    orders_audit = audit_table(
+        orders,
+        "orders",
+        [
+            Check("orderkey_unique", "unique", "o_orderkey"),
+            Check("custkey_not_null", "not_null", "o_custkey"),
+            Check(
+                "status_accepted", "accepted", "o_orderstatus",
+                values=("O", "F", "P"),
+            ),
+            Check(
+                "totalprice_range", "in_range", "o_totalprice",
+                lo=0.0, hi=1_000_000.0,
+            ),
+        ],
+        foreign_keys=[
+            ("custkey_in_customer", "o_custkey", customer, "c_custkey")
+        ],
+    )
+    events_audit = audit_table(
+        ev,
+        "events",
+        [
+            Check("event_id_unique", "unique", "event_id"),
+            Check("user_id_not_null", "not_null", "user_id"),
+            Check(
+                "event_type_accepted", "accepted", "event_type",
+                values=("click", "view", "purchase", "signup", "error"),
+            ),
+            Check("value_range", "in_range", "value", lo=0.0, hi=10_000.0),
+        ],
+    )
+    return orders_audit.unionByName(events_audit).orderBy(
+        "table_name", "check_name"
+    )
+
+
+ORACLE_QUALITY_AUDIT = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+              + SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS orderkey_unique,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS custkey_not_null,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS status_accepted,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL
+                        OR o_totalprice < 0 OR o_totalprice > 1000000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_range
+  FROM orders
+),
+ofk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(event_id) - COUNT(DISTINCT event_id)
+              + SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS event_id_unique,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS user_id_not_null,
+         CAST(SUM(CASE WHEN event_type IS NULL
+                        OR event_type NOT IN
+                           ('click','view','purchase','signup','error')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS event_type_accepted,
+         CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 10000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS value_range
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'orders' AS table_name, 'orderkey_unique' AS check_name,
+         n AS n_rows, orderkey_unique AS n_violations,
+         orderkey_unique = 0 AS passed FROM o
+  UNION ALL
+  SELECT 'orders', 'custkey_not_null', n, custkey_not_null,
+         custkey_not_null = 0 FROM o
+  UNION ALL
+  SELECT 'orders', 'status_accepted', n, status_accepted,
+         status_accepted = 0 FROM o
+  UNION ALL
+  SELECT 'orders', 'totalprice_range', n, totalprice_range,
+         totalprice_range = 0 FROM o
+  UNION ALL
+  SELECT 'orders', 'custkey_in_customer', o.n, ofk.v, ofk.v = 0
+  FROM o, ofk
+  UNION ALL
+  SELECT 'events', 'event_id_unique', n, event_id_unique,
+         event_id_unique = 0 FROM e
+  UNION ALL
+  SELECT 'events', 'user_id_not_null', n, user_id_not_null,
+         user_id_not_null = 0 FROM e
+  UNION ALL
+  SELECT 'events', 'event_type_accepted', n, event_type_accepted,
+         event_type_accepted = 0 FROM e
+  UNION ALL
+  SELECT 'events', 'value_range', n, value_range, value_range = 0 FROM e
+)
+ORDER BY table_name, check_name
+"""
+
+
+def partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/completeness monitor: per-day event row counts and
+    distinct users, each compared to the trailing-7-day average; a day
+    whose volume drops below half its trailing average is flagged —
+    the "did yesterday's load half-fail" alarm every scheduled
+    pipeline needs. One aggregate plus one ordered window over
+    |days| rows; quotients are unrounded (identical ints -> identical
+    doubles in both engines)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_start").rowsBetween(-7, -1)
+    trailing = F.avg("n_events").over(w)
+    return (
+        daily.select(
+            "day_start",
+            "n_events",
+            "n_users",
+            trailing.alias("trailing_avg"),
+            (
+                trailing.isNotNull()
+                & (F.col("n_events") < trailing * 0.5)
+            ).alias("is_anomalous"),
+        )
+        .orderBy("day_start")
+    )
+
+
+ORACLE_PARTITION_HEALTH = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT day_start, n_events, n_users,
+       AVG(n_events) OVER w AS trailing_avg,
+       COALESCE(n_events < AVG(n_events) OVER w * 0.5, FALSE) AS is_anomalous
+FROM daily
+WINDOW w AS (ORDER BY day_start ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+ORDER BY day_start
+"""

@@ -490,3 +490,9 @@ register(
     iq.temporal_join_events_dim,
     iq.ORACLE_TEMPORAL_JOIN,
 )
+register(
+    "data_quality_audit", iq.data_quality_audit, iq.ORACLE_QUALITY_AUDIT
+)
+register(
+    "partition_health", iq.partition_health, iq.ORACLE_PARTITION_HEALTH
+)

@@ -286,3 +286,76 @@ def test_merge_into_multi_batch_equals_one_shot(spark, sf_dir):
         part = source.where(F.col("user_id") % 3 == i)
         chunked = merge_into(chunked, part, ["user_id"], matched, delete)
     assert _sorted_rows(chunked) == oneshot
+
+
+# --- data-quality audit ------------------------------------------------------
+
+
+def test_audit_catches_planted_violations(spark):
+    from in_stream_processing_course_spark.operators.quality_checks import (
+        Check,
+        audit_table,
+    )
+
+    dirty = spark.createDataFrame(
+        [
+            (1, 10.0, "ok"),
+            (1, -5.0, "ok"),     # dup id + below range
+            (2, 20.0, "bogus"),  # unaccepted status
+            (None, 30.0, "ok"),  # null id (unique + not_null hit)
+            (3, None, "ok"),     # null value (range hit)
+        ],
+        "id long, value double, status string",
+    )
+    ref = spark.createDataFrame([(1,), (3,)], "k long")
+    audit = audit_table(
+        dirty,
+        "dirty",
+        [
+            Check("id_unique", "unique", "id"),
+            Check("id_not_null", "not_null", "id"),
+            Check("value_range", "in_range", "value", lo=0.0, hi=100.0),
+            Check("status_accepted", "accepted", "status", values=("ok",)),
+        ],
+        foreign_keys=[("id_in_ref", "id", ref, "k")],
+    )
+    got = {
+        r["check_name"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in audit.collect()
+    }
+    assert got["id_unique"] == (5, 2, False)       # 1 dup + 1 null
+    assert got["id_not_null"] == (5, 1, False)
+    assert got["value_range"] == (5, 2, False)     # -5 and null
+    assert got["status_accepted"] == (5, 1, False)
+    assert got["id_in_ref"] == (5, 1, False)       # id=2 not in ref
+
+
+def test_audit_clean_table_all_pass(spark, sf_dir):
+    from in_stream_processing_course_spark.plans.incremental_queries import (
+        data_quality_audit,
+    )
+
+    audit = data_quality_audit(spark, sf_dir)
+    assert all(r["passed"] for r in audit.collect())
+    assert audit.count() == 9
+
+
+def test_audit_is_single_pass_per_table(spark, sf_dir):
+    """The audit's physical plan must scan each fact table once for
+    its row-local checks (plus one per FK anti-join) — not once per
+    check branch."""
+    from in_stream_processing_course_spark.plans.incremental_queries import (
+        data_quality_audit,
+    )
+    import re
+
+    plan = (
+        data_quality_audit(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = len(re.findall(r"FileScan parquet|Scan parquet", plan))
+    # orders row-checks (1) + orders FK anti (1) + orders n_rows (1)
+    # + customer dim (1) + events row-checks (1) = 5
+    assert scans <= 5, f"audit fans out to {scans} scans"

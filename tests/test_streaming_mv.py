@@ -107,3 +107,95 @@ def test_maintainer_table_is_queryable_midstream(spark, tmp_path):
     } == {"click": 2, "view": 1, "purchase": 1}
     total = df.agg(F.sum("n_events")).collect()[0][0]
     assert total == 4
+
+
+# --- dead-letter quarantine --------------------------------------------------
+
+
+def test_quarantine_splits_clean_and_dirty(spark, tmp_path):
+    from in_stream_processing_course_spark.operators.quality_checks import (
+        Check,
+    )
+    from in_stream_processing_course_spark.streaming.quarantine import (
+        QuarantineSink,
+    )
+
+    checks = [
+        Check("value_range", "in_range", "value", lo=0.0, hi=100.0),
+        Check("type_accepted", "accepted", "event_type",
+              values=("click", "view")),
+    ]
+    sink = QuarantineSink(
+        str(tmp_path / "main"), str(tmp_path / "dlq"), checks
+    )
+    rows = [
+        (1, "click", 10.0),       # clean
+        (2, "view", -1.0),        # range violation
+        (3, "bogus", 5.0),        # accepted violation
+        (4, "bogus", 200.0),      # both violations
+        (5, "view", None),        # null value -> range violation
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    sink(batch, 0)
+    main = spark.read.parquet(str(tmp_path / "main"))
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert {r["event_id"] for r in main.collect()} == {1}
+    failed = {r["event_id"]: r["failed_checks"] for r in dlq.collect()}
+    assert failed[2] == "value_range"
+    assert failed[3] == "type_accepted"
+    assert failed[4] == "value_range,type_accepted"
+    assert failed[5] == "value_range"
+    assert "failed_checks" not in main.columns
+
+
+def test_quarantine_streaming_end_to_end(spark, tmp_path):
+    """Drip two micro-batches through readStream; both sinks append
+    per batch and nothing is lost: main + dlq row counts == input."""
+    import json as _json
+    import time as _time
+
+    from in_stream_processing_course_spark.operators.quality_checks import (
+        Check,
+    )
+    from in_stream_processing_course_spark.streaming.quarantine import (
+        QuarantineSink,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_foreach_batch,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    chunks = [
+        [(1, "click", 1.0), (2, "view", -3.0)],
+        [(3, "view", 2.0), (4, "bad", 4.0)],
+    ]
+    for i, chunk in enumerate(chunks):
+        with open(in_dir / f"c{i}.json", "w") as f:
+            for eid, et, v in chunk:
+                f.write(_json.dumps(
+                    {"event_id": eid, "event_type": et, "value": v}) + "\n")
+        _time.sleep(1.1)
+    checks = [
+        Check("value_range", "in_range", "value", lo=0.0, hi=100.0),
+        Check("type_accepted", "accepted", "event_type",
+              values=("click", "view")),
+    ]
+    sink = QuarantineSink(str(tmp_path / "main"), str(tmp_path / "dlq"),
+                          checks)
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").json(str(in_dir))
+    run_stream_foreach_batch(stream, sink, output_mode="append")
+    main_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(str(tmp_path / "main")).collect()
+    }
+    dlq_ids = {
+        r["event_id"]
+        for r in spark.read.parquet(str(tmp_path / "dlq")).collect()
+    }
+    assert main_ids == {1, 3}
+    assert dlq_ids == {2, 4}

@@ -91,6 +91,8 @@ AUDITED = [
     "merge_user_profiles",
     "split_leakage_audit",
     "text_type_token_stats",
+    "data_quality_audit",
+    "partition_health",
     # split_documents_cluster_safe shares dedup_clusters' ExistingRDD
     # caveat (connected-components localCheckpoint)
     # pagerank_customer_supplier / dedup_clusters: localCheckpoint per
