@@ -49,27 +49,31 @@ def merge_into(
         "target/source schema mismatch: "
         f"{sorted(target.columns)} vs {sorted(source.columns)}"
     )
-    t = target.alias("t")
-    s = source.alias("s")
+    # presence MARKERS, not key-null tests: the join is null-safe, so
+    # a NULL key is a legal value — testing t.<key> IS NULL would
+    # misread a target-only NULL-key row as an insert (wiping its
+    # values to NULL) and a matched NULL-key pair as source-only
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
     joined = t.join(s, cond, "full_outer")
-    matched = F.col(f"s.{key_cols[0]}").isNotNull() & F.col(
-        f"t.{key_cols[0]}"
-    ).isNotNull()
-    source_only = F.col(f"t.{key_cols[0]}").isNull()
+    t_present = F.col("t._t_present").isNotNull()
+    s_present = F.col("s._s_present").isNotNull()
+    matched = t_present & s_present
+    source_only = s_present & ~t_present
     if delete_cond is not None:
         # DELETE drops matched rows; a delete-flagged row for an
         # absent key is a no-op (and must not be inserted either)
-        joined = joined.where(
-            ~(F.col(f"s.{key_cols[0]}").isNotNull() & delete_cond)
-        )
+        joined = joined.where(~(s_present & delete_cond))
     updates = dict(when_matched or {})
     out_cols: list[Column] = [
-        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k)
+        F.when(t_present, F.col(f"t.{k}")).otherwise(F.col(f"s.{k}")).alias(k)
         for k in key_cols
     ]
     for c in value_cols:
-        matched_val = updates.get(c, F.col(f"s.{c}"))
+        # SQL MERGE semantics: an omitted column KEEPS the target
+        # value on matched rows (UPDATE SET only touches listed cols)
+        matched_val = updates.get(c, F.col(f"t.{c}"))
         out_cols.append(
             F.when(matched, matched_val)
             .when(source_only, F.col(f"s.{c}"))

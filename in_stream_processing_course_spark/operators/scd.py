@@ -24,7 +24,10 @@ closed history is the big side and it is never shuffled for merging —
 only re-versioned, and callers that persist ``version`` can skip that
 pass entirely (``renumber=False``).
 
-Contract: change timestamps must be at or after the dimension's
+Contract: at most ONE change per (key, ts) — two versions cannot
+share a ``valid_from`` instant; ``cdc_changes_from_events``
+guarantees this by keeping the last same-tick transition. And
+change timestamps must be at or after the dimension's
 current high-watermark (each key's open ``valid_from``); late changes
 that rewrite closed history are a restatement, not a merge — recompute
 from the bronze log instead. Equivalence ``apply(apply(d, b1), b2) ==
@@ -101,10 +104,19 @@ def cdc_changes_from_events(
     """Extract CDC change records from an append-only event log: the
     first event per key plus every event whose ``attr`` differs from
     the key's previous event — i.e. the transition stream that drives
-    ``scd2_apply``. One shuffle (the per-key lag window)."""
+    ``scd2_apply``. Guarantees AT MOST ONE change per (key, ts) — the
+    scd2_apply contract: when several transitions share one timestamp
+    tick (an A,B,A flip-flop within the log's time resolution), the
+    LAST one (by event_id) wins, because SCD2 versions are keyed by
+    ``valid_from`` and two versions cannot occupy the same instant.
+    Both windows share the per-key partitioning — one shuffle."""
     w = Window.partitionBy(key).orderBy("ts", "event_id")
+    trans = events.withColumn("_prev", F.lag(attr).over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr))
+    )
+    wt = Window.partitionBy(key, "ts").orderBy(F.col("event_id").desc())
     return (
-        events.withColumn("_prev", F.lag(attr).over(w))
-        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
+        trans.withColumn("_rn", F.row_number().over(wt))
+        .where(F.col("_rn") == 1)
         .select(key, attr, F.unix_micros(F.col("ts")).alias("ts"))
     )

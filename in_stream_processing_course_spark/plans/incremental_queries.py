@@ -72,27 +72,50 @@ def scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
-# one-shot islands derivation; change extraction ordered (ts,
-# event_id) and versioning ordered (valid_from, event_type) — the
-# exact tie-breaks of cdc_changes_from_events / scd2_apply
-ORACLE_SCD2 = """
-WITH ordered AS (
-  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+# one-shot islands derivation mirroring cdc_changes_from_events'
+# exact pipeline: transitions in (ts, event_id) order -> last
+# transition per (user, ts) tick -> re-suppress adjacent duplicates
+# (a collapsed tick can equal the previous state) -> islands. The
+# shared CTE body is reused by the temporal-join oracle.
+_SQL_SCD2_DIM_CTES = """
+ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev
   FROM events
-), changes AS (
-  SELECT user_id, event_type, ts_us FROM ordered
+), trans AS (
+  SELECT user_id, event_type, ts_us, event_id FROM ordered
   WHERE prev IS NULL OR prev <> event_type
+), collapsed AS (
+  SELECT user_id, event_type, ts_us FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+                                 ORDER BY event_id DESC) AS rn
+    FROM trans
+  ) WHERE rn = 1
+), changes AS (
+  SELECT user_id, event_type, ts_us FROM (
+    SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us) AS prev2
+    FROM collapsed
+  ) WHERE prev2 IS NULL OR prev2 <> event_type
+), dim AS (
+  SELECT user_id, event_type, ts_us AS valid_from,
+         lead(ts_us) OVER w AS valid_to,
+         row_number() OVER w AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
 )
+"""
+
+ORACLE_SCD2 = f"""
+WITH {_SQL_SCD2_DIM_CTES}
 SELECT CAST(user_id AS BIGINT) AS user_id,
        event_type,
-       CAST(ts_us AS BIGINT) AS valid_from,
-       CAST(lead(ts_us) OVER w AS BIGINT) AS valid_to,
-       CAST(row_number() OVER w AS INT) AS version,
-       (lead(ts_us) OVER w IS NULL) AS is_current
-FROM changes
-WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       CAST(version AS INT) AS version,
+       (valid_to IS NULL) AS is_current
+FROM dim
 ORDER BY user_id, version
 """
 
@@ -293,22 +316,8 @@ def temporal_join_events_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-ORACLE_TEMPORAL_JOIN = """
-WITH ordered AS (
-  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev
-  FROM events
-), changes AS (
-  SELECT user_id, event_type, ts_us FROM ordered
-  WHERE prev IS NULL OR prev <> event_type
-), dim AS (
-  SELECT user_id, event_type, ts_us AS valid_from,
-         lead(ts_us) OVER w AS valid_to,
-         row_number() OVER w AS version
-  FROM changes
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_type)
-)
+ORACLE_TEMPORAL_JOIN = f"""
+WITH {_SQL_SCD2_DIM_CTES}
 SELECT e.event_id,
        CAST(e.user_id AS BIGINT) AS user_id,
        epoch_us(e.ts) AS ts_us,

@@ -785,6 +785,31 @@ _SPLIT_TRAIN_MAX = "e000"
 _SPLIT_VAL_MAX = "f000"
 
 
+def _split_of(id_col: F.Column) -> F.Column:
+    """The deterministic md5-prefix split rule as a function of any id
+    column — THE single Python definition (naive split, curation
+    manifest, leakage audit, and cluster-safe split all call it, so
+    the rule cannot drift between them)."""
+    prefix = F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 4)
+    return (
+        F.when(prefix < _SPLIT_TRAIN_MAX, "train")
+        .when(prefix < _SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+
+
+def _sql_split_of(id_expr: str) -> str:
+    """The same rule for oracles — the single SQL definition."""
+    return (
+        f"CASE WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
+        f" < '{_SPLIT_TRAIN_MAX}' THEN 'train'"
+        f" WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
+        f" < '{_SPLIT_VAL_MAX}' THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+
 def split_documents_train_val_test(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -794,14 +819,7 @@ def split_documents_train_val_test(
     scan. Pushes down as pure projection + broadcast-free window over
     a 3-value key — trivially scale-safe."""
     docs = load_table(spark, sf_dir, "documents")
-    prefix = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
-    )
-    split = (
-        F.when(prefix < _SPLIT_TRAIN_MAX, "train")
-        .when(prefix < _SPLIT_VAL_MAX, "val")
-        .otherwise("test")
-    )
+    split = _split_of(F.col("doc_id"))
     w = Window.partitionBy("split")
     return (
         docs.select("doc_id", F.col("n_chars"), split.alias("split"))
@@ -817,12 +835,7 @@ def split_documents_train_val_test(
 
 ORACLE_SPLIT_TVT = f"""
 WITH assigned AS (
-  SELECT doc_id, n_chars,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_TRAIN_MAX}'
-                THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_VAL_MAX}'
-                THEN 'val'
-              ELSE 'test' END AS split
+  SELECT doc_id, n_chars, {_sql_split_of('doc_id')} AS split
   FROM documents
 )
 SELECT doc_id, split,
@@ -872,14 +885,7 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("semantic_keep"),
         )
     )
-    prefix = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
-    )
-    split = (
-        F.when(prefix < _SPLIT_TRAIN_MAX, "train")
-        .when(prefix < _SPLIT_VAL_MAX, "val")
-        .otherwise("test")
-    )
+    split = _split_of(F.col("doc_id"))
     rn = F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
     gated = docs.select(
         "doc_id",
@@ -929,11 +935,7 @@ sem AS (
 ),
 gated AS (
   SELECT doc_id,
-         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_TRAIN_MAX}'
-                THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_VAL_MAX}'
-                THEN 'val'
-              ELSE 'test' END AS split,
+         {_sql_split_of('doc_id')} AS split,
          ({quality_sql} >= 0.5) AS quality_pass,
          (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
            AS exact_rep
@@ -949,28 +951,6 @@ ORDER BY g.doc_id
 
 
 # --- near-dup-aware splitting (leakage audit + cluster-safe assign) ---------
-
-
-def _split_of(id_col: F.Column) -> F.Column:
-    """The deterministic md5-prefix split rule as a function of any id
-    column — shared by naive split, leakage audit, and cluster-safe
-    split so all three stay consistent."""
-    prefix = F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 4)
-    return (
-        F.when(prefix < _SPLIT_TRAIN_MAX, "train")
-        .when(prefix < _SPLIT_VAL_MAX, "val")
-        .otherwise("test")
-    )
-
-
-def _sql_split_of(id_expr: str) -> str:
-    return (
-        f"CASE WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
-        f" < '{_SPLIT_TRAIN_MAX}' THEN 'train'"
-        f" WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
-        f" < '{_SPLIT_VAL_MAX}' THEN 'val'"
-        f" ELSE 'test' END"
-    )
 
 
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,16 +12,22 @@ changed rows; this maintainer instead owns a QUERYABLE TABLE on
 shared storage, survives checkpoint loss (the table IS the state),
 and lets batch readers hit it mid-stream.
 
-Write discipline: distributed staged write + rename swap (the
-sinks/compaction.py / upsert.py pattern) — no collect, no
-coalesce(1); a failed batch leaves the table untouched and the
-checkpoint retries the merge. Re-delivered batches are the one
-at-least-once hazard for ADDITIVE aggregates: a retry after a
-completed swap would double-count, so the maintainer records the last
-applied ``batch_id`` inside the table directory and skips batches it
-has already merged — the standard transactional-sink idempotence
-trick (the reference's DStream course does the same with Kafka
-offsets committed alongside results).
+Commit protocol (the miniature of what Delta/Iceberg do with a
+transaction log): each batch writes a NEW version directory
+(distributed — no collect, no coalesce(1)) and then atomically swaps
+a ``CURRENT`` pointer file (``os.replace``) to it. The pointer swap
+is the single commit point:
+
+- crash before the swap → pointer still names the last complete
+  version; the checkpoint replays the batch and re-merges from it —
+  the table is never absent and never half-written (the old
+  move-directories-around design had a window where the table
+  vanished mid-swap and a replay silently reinitialized it);
+- replayed batch AFTER a successful swap → the pointer records the
+  committed batch id, so the replay is skipped (idempotence ledger
+  and commit are the same atomic write — no ledger-vs-data gap);
+- failed/superseded version directories are swept opportunistically
+  on the next batch (they are invisible — nothing points at them).
 
 Equivalence (final streamed rollup == one-shot batch aggregate over
 all input) is pinned in tests/test_streaming_mv.py.
@@ -33,7 +39,6 @@ import os
 import shutil
 import uuid
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.incremental import merge_rollups, partial_rollup
@@ -41,40 +46,40 @@ from ..operators.incremental import merge_rollups, partial_rollup
 
 class RollupMaintainer:
     """foreachBatch target maintaining a (group_cols -> partial state)
-    rollup parquet table at ``path``."""
+    rollup under ``path`` as pointer-committed version directories."""
 
     def __init__(self, path: str, group_cols: list[str]) -> None:
         self.path = path
         self.group_cols = group_cols
 
-    # -- idempotence ledger ---------------------------------------------------
+    # -- pointer (= commit record + idempotence ledger) ----------------------
 
-    def _ledger_path(self) -> str:
-        return f"{self.path}._applied_batch"
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, "CURRENT")
 
-    def _last_applied(self) -> int:
+    def _current(self) -> tuple[int, str] | None:
+        """(last committed batch_id, version dir name) or None."""
         try:
-            with open(self._ledger_path()) as f:
-                return int(f.read().strip())
+            with open(self._pointer_path()) as f:
+                batch_s, vdir = f.read().strip().split("\n")
+                return int(batch_s), vdir
         except (FileNotFoundError, ValueError):
-            return -1
+            return None
 
     # -- current table --------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.path)
-        except AnalysisException as exc:
-            get_cond = getattr(exc, "getCondition", None) or exc.getErrorClass
-            if (get_cond() or "") == "PATH_NOT_FOUND":
-                return None
-            raise
+        cur = self._current()
+        if cur is None:
+            return None
+        return spark.read.parquet(os.path.join(self.path, cur[1]))
 
     # -- the foreachBatch body ------------------------------------------------
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= self._last_applied():
-            return  # replayed batch after successful swap: skip
+        cur = self._current()
+        if cur is not None and batch_id <= cur[0]:
+            return  # replayed batch after its commit: skip
         spark = batch_df.sparkSession
         partial = partial_rollup(batch_df, self.group_cols)
         current = self.read(spark)
@@ -83,23 +88,25 @@ class RollupMaintainer:
             if current is None
             else merge_rollups([current, partial], self.group_cols)
         )
-        stage = f"{self.path}._stage_{batch_id}_{uuid.uuid4().hex[:8]}"
-        merged.write.parquet(stage)
-        if os.path.exists(self.path):
-            old = f"{self.path}._old_{uuid.uuid4().hex[:8]}"
-            shutil.move(self.path, old)
-            shutil.move(stage, self.path)
-            shutil.rmtree(old)
-        else:
-            shutil.move(stage, self.path)
-        # ledger write AFTER the swap: a crash between swap and ledger
-        # re-merges on retry — prevented by writing the ledger first?
-        # No: ledger-first would SKIP a batch whose swap then failed
-        # (data loss). Ledger-after means the crash window re-applies
-        # one batch; the swap is the commit point, and the ledger file
-        # is fsync'd tiny, so the window is a single rename wide. A
-        # table format (Delta/Iceberg) closes it with txn metadata.
-        tmp = f"{self._ledger_path()}.{uuid.uuid4().hex[:8]}"
+        os.makedirs(self.path, exist_ok=True)
+        vdir = f"v_{batch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(os.path.join(self.path, vdir))
+        # atomic commit: content written first, pointer swapped last
+        tmp = os.path.join(self.path, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, self._ledger_path())
+            f.write(f"{batch_id}\n{vdir}")
+        os.replace(tmp, self._pointer_path())
+        self._sweep(keep=vdir)
+
+    def _sweep(self, keep: str) -> None:
+        """Best-effort GC of superseded/failed version dirs and stale
+        pointer temps — everything except the committed version."""
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            try:
+                if name.startswith("v_") and name != keep:
+                    shutil.rmtree(full, ignore_errors=True)
+                elif name.startswith(".ptr_"):
+                    os.remove(full)
+            except OSError:
+                pass  # a reader may hold it open; next batch retries

@@ -13,17 +13,23 @@ the generalization of the reference's P2 invalid-JSON drop
 (ImplStructured.scala flatMap decoder), which throws bad rows away;
 at 100 TB/day you keep them.
 
-Both writes are plain parquet appends via foreachBatch; the batch-id
-dedup ledger pattern (streaming/mv_maintenance.py) is unnecessary
-because appends under a checkpoint are already exactly-once per
-batch directory — a replayed batch overwrites its own files.
+Exactly-once: each batch writes to its OWN subdirectory
+(``batch_<id>``) in overwrite mode, so an at-least-once replay after
+a crash — including a crash between the clean and quarantine writes —
+overwrites exactly its previous (possibly partial) output instead of
+appending duplicates. Readers take the union of batch directories via
+``QuarantineSink.read`` (``recursiveFileLookup``); this is the same
+idempotence Spark's native file sink gets from its _spark_metadata
+log, done with directory naming because foreachBatch writes are
+outside that log.
 """
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.quality_checks import Check
@@ -69,8 +75,19 @@ class QuarantineSink:
             "failed_checks"
         )
         dirty = annotated.where(F.col("failed_checks") != "")
-        clean.write.mode("append").parquet(self.main_path)
-        dirty.write.mode("append").parquet(self.dlq_path)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(self.main_path, f"batch_{batch_id}")
+        )
+        dirty.write.mode("overwrite").parquet(
+            os.path.join(self.dlq_path, f"batch_{batch_id}")
+        )
+
+    @staticmethod
+    def read(spark: SparkSession, path: str) -> DataFrame:
+        """Union of all batch directories under ``path``."""
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            path
+        )
 
 
 def union_checks_violated(df: DataFrame, checks: list[Check]) -> DataFrame:

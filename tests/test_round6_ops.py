@@ -359,3 +359,76 @@ def test_audit_is_single_pass_per_table(spark, sf_dir):
     # orders row-checks (1) + orders FK anti (1) + orders n_rows (1)
     # + customer dim (1) + events row-checks (1) = 5
     assert scans <= 5, f"audit fans out to {scans} scans"
+
+
+def test_merge_into_null_keys_and_omitted_columns(spark):
+    """Null-safe keys: a target-only NULL-key row survives intact, a
+    matched NULL-key pair takes matched (not insert) semantics; and an
+    omitted when_matched column keeps the TARGET value (SQL MERGE
+    UPDATE SET semantics)."""
+    from in_stream_processing_course_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(None, "keepme", 1), (7, "seven", 70)],
+        "k long, v string, n long",
+    )
+    # batch A: no NULL-key row -> target's NULL-key row must pass through
+    source_a = spark.createDataFrame(
+        [(7, "SEVEN", 7)], "k long, v string, n long"
+    )
+    out_a = merge_into(
+        target, source_a, ["k"],
+        when_matched={"n": F.col("t.n") + F.col("s.n")},  # v omitted
+    )
+    rows_a = {tuple(r) for r in out_a.collect()}
+    assert (None, "keepme", 1) in rows_a, "target-only NULL key wiped"
+    assert (7, "seven", 77) in rows_a, "omitted col must keep target value"
+    # batch B: NULL-key row on both sides -> matched semantics
+    source_b = spark.createDataFrame(
+        [(None, "ignored", 100)], "k long, v string, n long"
+    )
+    out_b = merge_into(
+        target, source_b, ["k"],
+        when_matched={"n": F.col("t.n") + F.col("s.n")},
+    )
+    rows_b = {tuple(r) for r in out_b.collect()}
+    assert (None, "keepme", 101) in rows_b, "NULL==NULL must match"
+
+
+def test_cdc_collapses_same_tick_flipflop(spark):
+    """Several transitions inside one (key, ts) tick collapse to the
+    last one; a collapse that lands back on the previous state is
+    suppressed downstream — operator and oracle agree by contract."""
+    rows = [
+        # (event_id, user_id, event_type, ts_us)
+        (1, 1, "a", 100),
+        (2, 1, "b", 200),  # -> b
+        (3, 1, "a", 200),  # same tick flip-flop: last wins -> a
+        (4, 1, "c", 300),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, us long"
+    ).withColumn("ts", F.timestamp_micros("us"))
+    changes = cdc_changes_from_events(ev)
+    got = sorted(
+        (r["ts"], r["event_type"]) for r in changes.collect()
+    )
+    # tick 200 collapses to 'a' which equals the prior state -> it
+    # still appears here (re-suppression is scd2_apply's job) but at
+    # most ONE change per tick
+    assert got == [(100, "a"), (200, "a"), (300, "c")]
+    dim = scd2_apply(
+        None,
+        changes.select("user_id", "event_type", "ts"),
+        ["user_id"],
+        ["event_type"],
+    )
+    versions = _sorted_rows(
+        dim.select("user_id", "event_type", "valid_from", "valid_to",
+                   "version", "is_current")
+    )
+    # a@100 .. c@300: the no-op tick-200 'a' is suppressed
+    assert versions == [
+        (1, "a", 100, 300, 1, False),
+        (1, "c", 300, None, 2, True),
+    ]

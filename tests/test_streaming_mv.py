@@ -101,7 +101,7 @@ def test_maintainer_table_is_queryable_midstream(spark, tmp_path):
         ),
         0,
     )
-    df = spark.read.parquet(str(tmp_path / "mv"))
+    df = maintainer.read(spark)  # batch readers follow the CURRENT pointer
     assert {
         r["event_type"]: r["n_events"] for r in df.collect()
     } == {"click": 2, "view": 1, "purchase": 1}
@@ -139,8 +139,8 @@ def test_quarantine_splits_clean_and_dirty(spark, tmp_path):
         rows, "event_id long, event_type string, value double"
     )
     sink(batch, 0)
-    main = spark.read.parquet(str(tmp_path / "main"))
-    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    main = QuarantineSink.read(spark, str(tmp_path / "main"))
+    dlq = QuarantineSink.read(spark, str(tmp_path / "dlq"))
     assert {r["event_id"] for r in main.collect()} == {1}
     failed = {r["event_id"]: r["failed_checks"] for r in dlq.collect()}
     assert failed[2] == "value_range"
@@ -191,11 +191,79 @@ def test_quarantine_streaming_end_to_end(spark, tmp_path):
     run_stream_foreach_batch(stream, sink, output_mode="append")
     main_ids = {
         r["event_id"]
-        for r in spark.read.parquet(str(tmp_path / "main")).collect()
+        for r in QuarantineSink.read(
+            spark, str(tmp_path / "main")
+        ).collect()
     }
     dlq_ids = {
         r["event_id"]
-        for r in spark.read.parquet(str(tmp_path / "dlq")).collect()
+        for r in QuarantineSink.read(spark, str(tmp_path / "dlq")).collect()
     }
     assert main_ids == {1, 3}
     assert dlq_ids == {2, 4}
+
+
+def test_mv_crash_before_commit_preserves_table(spark, tmp_path):
+    """A version directory written WITHOUT a pointer swap (crash
+    between write and commit) is invisible: readers still see the last
+    committed version, and the replayed batch re-merges correctly and
+    sweeps the orphan."""
+    import os
+
+    maintainer = RollupMaintainer(str(tmp_path / "mv"), ["event_type"])
+    b0 = spark.createDataFrame(_ROWS[:3], _SCHEMA).select(
+        "event_type", "value"
+    )
+    maintainer(b0, 0)
+    committed = sorted(tuple(r) for r in maintainer.read(spark).collect())
+    # simulate a crash: batch 1's data lands but the pointer never swaps
+    b1 = spark.createDataFrame(_ROWS[3:], _SCHEMA).select(
+        "event_type", "value"
+    )
+    orphan = os.path.join(str(tmp_path / "mv"), "v_1_deadbeef")
+    partial_rollup(b1, ["event_type"]).write.parquet(orphan)
+    assert sorted(
+        tuple(r) for r in maintainer.read(spark).collect()
+    ) == committed, "uncommitted version must be invisible"
+    # checkpoint replays batch 1 -> full merge, orphan swept
+    maintainer(b1, 1)
+    batch_all = spark.createDataFrame(_ROWS, _SCHEMA).select(
+        "event_type", "value"
+    )
+    expected = sorted(
+        tuple(r)
+        for r in finalize_rollup(
+            partial_rollup(batch_all, ["event_type"])
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in finalize_rollup(maintainer.read(spark)).collect()
+    )
+    assert got == expected
+    assert not os.path.exists(orphan), "orphan version dir not swept"
+
+
+def test_quarantine_replayed_batch_is_idempotent(spark, tmp_path):
+    """An at-least-once redelivery of a batch (crash before the
+    checkpoint commit, even mid-write) must not duplicate rows in
+    either sink — the per-batch overwrite directories absorb it."""
+    from in_stream_processing_course_spark.operators.quality_checks import (
+        Check,
+    )
+    from in_stream_processing_course_spark.streaming.quarantine import (
+        QuarantineSink,
+    )
+
+    checks = [Check("value_range", "in_range", "value", lo=0.0, hi=100.0)]
+    sink = QuarantineSink(
+        str(tmp_path / "main"), str(tmp_path / "dlq"), checks
+    )
+    batch = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", -3.0)],
+        "event_id long, event_type string, value double",
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # replay
+    main = QuarantineSink.read(spark, str(tmp_path / "main"))
+    dlq = QuarantineSink.read(spark, str(tmp_path / "dlq"))
+    assert main.count() == 1 and dlq.count() == 1
