@@ -46,6 +46,7 @@ INCREMENTAL_FAMILY = [
     "merge_user_profiles",
     "view_click_interval_join",
     "temporal_join_events_dim",
+    "profile_change_feed",
 ]
 
 

@@ -31,6 +31,8 @@ arbitrary matched-update expressions and delete actions.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -81,3 +83,61 @@ def merge_into(
             .alias(c)
         )
     return joined.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """The inverse of :func:`merge_into` — diff two keyed snapshots
+    into a CDC change feed: one row per differing key with ``action``
+    ∈ {insert, update, delete} and the NEW values (old values for
+    deletes, so downstream consumers can log what vanished). This is
+    how a pipeline without native CDC *generates* the change stream
+    that drives merges elsewhere: diff yesterday's snapshot against
+    today's, ship the (small) feed, not the table.
+
+    Same single full-outer join shape as merge_into (one shuffle per
+    side, presence markers for NULL-key safety); unchanged keys are
+    dropped by the row-equality filter, so the output is
+    |changes|-sized. Round trip ``merge_into(old, diff) == new`` is
+    property-tested in tests/test_round6_ops.py; the registry query
+    (``profile_change_feed``) hash-checks the diff itself against a
+    one-shot SQL derivation."""
+    value_cols = [c for c in old.columns if c not in key_cols]
+    assert set(new.columns) == set(old.columns)
+    o = old.withColumn("_o_present", F.lit(True)).alias("o")
+    n = new.withColumn("_n_present", F.lit(True)).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    o_present = F.col("o._o_present").isNotNull()
+    n_present = F.col("n._n_present").isNotNull()
+    same_values = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            for c in value_cols
+        ],
+        F.lit(True),
+    )
+    action = (
+        F.when(~o_present, F.lit("insert"))
+        .when(~n_present, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    out_side = F.when(n_present, F.lit("n")).otherwise(F.lit("o"))
+    cols = [
+        F.when(out_side == "n", F.col(f"n.{k}"))
+        .otherwise(F.col(f"o.{k}"))
+        .alias(k)
+        for k in key_cols
+    ] + [
+        F.when(out_side == "n", F.col(f"n.{c}"))
+        .otherwise(F.col(f"o.{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return joined.where(
+        ~(o_present & n_present & same_values)
+    ).select(*cols, action.alias("action"))

@@ -501,3 +501,69 @@ FROM daily
 WINDOW w AS (ORDER BY day_start ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 ORDER BY day_start
 """
+
+
+def profile_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed GENERATION: diff the pre-cutoff user-profile snapshot
+    against the full-log snapshot (operators/merge.snapshot_diff) —
+    one row per user whose profile changed, with action
+    insert/update/delete and the post-change values. The inverse of
+    merge_user_profiles; round-trip ``merge_into(old, diff) == new``
+    is property-tested in tests/test_round6_ops.py. The oracle
+    derives the same feed with a full-outer SQL join over two
+    aggregate CTEs. (No deletes arise here — profiles only grow — so
+    the delete path is covered by the pytest round-trip instead.)"""
+    from ..operators.merge import snapshot_diff
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    old = _user_profile(ev.where(us < _SCD_CUTOFF_US))
+    new = _user_profile(ev)
+    return snapshot_diff(old, new, ["user_id"]).orderBy("user_id")
+
+
+ORACLE_CHANGE_FEED = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+ranked_old AS (
+  SELECT user_id, event_type, us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rn
+  FROM ev WHERE us < {_SCD_CUTOFF_US}
+),
+prof_old AS (
+  SELECT s.user_id, l.event_type AS last_type,
+         CAST(s.last_us AS BIGINT) AS last_us,
+         CAST(s.n_events AS BIGINT) AS n_events
+  FROM (SELECT user_id, MAX(us) AS last_us, COUNT(*) AS n_events
+        FROM ranked_old GROUP BY user_id) s
+  JOIN ranked_old l ON l.user_id = s.user_id AND l.rn = 1
+),
+ranked_new AS (
+  SELECT user_id, event_type, us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rn
+  FROM ev
+),
+prof_new AS (
+  SELECT s.user_id, l.event_type AS last_type,
+         CAST(s.last_us AS BIGINT) AS last_us,
+         CAST(s.n_events AS BIGINT) AS n_events
+  FROM (SELECT user_id, MAX(us) AS last_us, COUNT(*) AS n_events
+        FROM ranked_new GROUP BY user_id) s
+  JOIN ranked_new l ON l.user_id = s.user_id AND l.rn = 1
+)
+SELECT CAST(COALESCE(n.user_id, o.user_id) AS BIGINT) AS user_id,
+       COALESCE(n.last_type, o.last_type) AS last_type,
+       COALESCE(n.last_us, o.last_us) AS last_us,
+       COALESCE(n.n_events, o.n_events) AS n_events,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS action
+FROM prof_old o FULL OUTER JOIN prof_new n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.last_type <> n.last_type OR o.last_us <> n.last_us
+   OR o.n_events <> n.n_events
+ORDER BY user_id
+"""

@@ -496,3 +496,6 @@ register(
 register(
     "partition_health", iq.partition_health, iq.ORACLE_PARTITION_HEALTH
 )
+register(
+    "profile_change_feed", iq.profile_change_feed, iq.ORACLE_CHANGE_FEED
+)

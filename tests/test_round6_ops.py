@@ -432,3 +432,72 @@ def test_cdc_collapses_same_tick_flipflop(spark):
         (1, "a", 100, 300, 1, False),
         (1, "c", 300, None, 2, True),
     ]
+
+
+def test_snapshot_diff_round_trip(spark):
+    """merge_into(old, diff(old, new)) == new for random snapshot
+    pairs including inserts, updates, deletes, NULL keys, and NULL
+    values — diff and merge are exact inverses."""
+    from in_stream_processing_course_spark.operators.merge import (
+        merge_into,
+        snapshot_diff,
+    )
+
+    rng = random.Random(23)
+    schema = "k long, v string, n long"
+    for trial in range(3):
+        keys = list(range(10)) + [None]
+        old_rows = [
+            (k, rng.choice(["a", "b", None]), rng.randrange(5))
+            for k in keys
+            if rng.random() < 0.7
+        ]
+        new_rows = [
+            (k, rng.choice(["a", "b", "c", None]), rng.randrange(5))
+            for k in keys
+            if rng.random() < 0.7
+        ]
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        diff = snapshot_diff(old, new, ["k"])
+        feed = diff.cache()
+        # apply the feed: upserts for insert/update, delete action
+        merged = merge_into(
+            old,
+            feed.drop("action"),
+            ["k"],
+            when_matched={
+                "v": F.col("s.v"),
+                "n": F.col("s.n"),
+            },
+            delete_cond=F.lit(False),
+        )
+        # deletes applied via anti-join on the delete keys
+        del_keys = feed.where(F.col("action") == "delete").select("k")
+        merged = merged.join(del_keys, ["k"], "left_anti")
+        got = {tuple(r) for r in merged.collect()}
+        want = {tuple(r) for r in new.collect()}
+        assert got == want, f"trial {trial}: {got ^ want}"
+        feed.unpersist()
+
+
+def test_snapshot_diff_actions(spark):
+    from in_stream_processing_course_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    feed = {
+        (r["k"]): (r["v"], r["action"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert feed == {
+        1: ("a", "delete"),   # old values surface for deletes
+        2: ("B", "update"),
+        4: ("d", "insert"),
+    }  # key 3 unchanged -> absent

@@ -93,6 +93,7 @@ AUDITED = [
     "text_type_token_stats",
     "data_quality_audit",
     "partition_health",
+    "profile_change_feed",
     # split_documents_cluster_safe shares dedup_clusters' ExistingRDD
     # caveat (connected-components localCheckpoint)
     # pagerank_customer_supplier / dedup_clusters: localCheckpoint per
