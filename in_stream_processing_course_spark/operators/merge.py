@@ -126,17 +126,11 @@ def snapshot_diff(
         .when(~n_present, F.lit("delete"))
         .otherwise(F.lit("update"))
     )
-    out_side = F.when(n_present, F.lit("n")).otherwise(F.lit("o"))
     cols = [
-        F.when(out_side == "n", F.col(f"n.{k}"))
-        .otherwise(F.col(f"o.{k}"))
-        .alias(k)
-        for k in key_cols
-    ] + [
-        F.when(out_side == "n", F.col(f"n.{c}"))
+        F.when(n_present, F.col(f"n.{c}"))
         .otherwise(F.col(f"o.{c}"))
         .alias(c)
-        for c in value_cols
+        for c in key_cols + value_cols
     ]
     return joined.where(
         ~(o_present & n_present & same_values)

@@ -25,6 +25,8 @@ from ..operators.incremental import (
     merge_rollups,
     partial_rollup,
 )
+from ..operators.merge import merge_into, snapshot_diff
+from ..operators.quality_checks import Check, audit_table
 from ..operators.scd import cdc_changes_from_events, scd2_apply
 from ..operators.projections import ensure_timestamp
 from ..sources.batch import load_table
@@ -57,6 +59,13 @@ def scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each apply is one hash shuffle on user_id; the incremental
     batch shuffles only post-cutoff transitions plus one open row per
     key — never the closed history (see operators/scd.py)."""
+    return _scd2_dim(spark, sf_dir).orderBy("user_id", "version")
+
+
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-batch SCD2 build WITHOUT the presentation sort — the
+    form downstream joins consume (a global orderBy before a join is
+    a wasted range-exchange; only the registry query sorts)."""
     changes = cdc_changes_from_events(_events(spark, sf_dir))
     b1 = changes.where(F.col("ts") < _SCD_CUTOFF_US)
     b2 = changes.where(F.col("ts") >= _SCD_CUTOFF_US)
@@ -69,7 +78,7 @@ def scd2_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "version",
         "is_current",
-    ).orderBy("user_id", "version")
+    )
 
 
 # one-shot islands derivation mirroring cdc_changes_from_events'
@@ -231,8 +240,6 @@ def merge_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one full-outer join on user_id (operators/merge.py) where the
     changeset side is the small one — AQE broadcasts it, the 100 TB
     snapshot never reshuffles."""
-    from ..operators.merge import merge_into
-
     ev = _events(spark, sf_dir)
     us = F.unix_micros("ts")
     target = _user_profile(ev.where(us < _SCD_CUTOFF_US))
@@ -294,7 +301,7 @@ def temporal_join_events_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase IS a 'purchase' run — but the join is the generic
     temporal join, and the oracle replays it generically."""
     ev = _events(spark, sf_dir)
-    dim = scd2_user_type(spark, sf_dir)
+    dim = _scd2_dim(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         F.col("user_id").alias("e_user_id"),
@@ -343,8 +350,6 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     referential check (operators/quality_checks.py). Output is the
     audit table a publish gate reads — exact integer counts, so the
     oracle replays every check in plain SQL."""
-    from ..operators.quality_checks import Check, audit_table
-
     orders = load_table(spark, sf_dir, "orders", fan_out=False)
     customer = load_table(spark, sf_dir, "customer", fan_out=False)
     ev = _events(spark, sf_dir)
@@ -513,8 +518,6 @@ def profile_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives the same feed with a full-outer SQL join over two
     aggregate CTEs. (No deletes arise here — profiles only grow — so
     the delete path is covered by the pytest round-trip instead.)"""
-    from ..operators.merge import snapshot_diff
-
     ev = _events(spark, sf_dir)
     us = F.unix_micros("ts")
     old = _user_profile(ev.where(us < _SCD_CUTOFF_US))

@@ -27,7 +27,6 @@ outside that log.
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,11 +87,3 @@ class QuarantineSink:
         return spark.read.option("recursiveFileLookup", "true").parquet(
             path
         )
-
-
-def union_checks_violated(df: DataFrame, checks: list[Check]) -> DataFrame:
-    """Convenience: rows violating ANY of the checks (the dirty set)."""
-    cond = reduce(
-        lambda a, b: a | b, [c.violation_expr() == 1 for c in checks]
-    )
-    return df.where(cond)

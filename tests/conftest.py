@@ -17,3 +17,21 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def drip_json_chunks(tmp_path, chunks) -> str:
+    """Write each chunk (a list of row dicts) as one JSON-lines file,
+    sleeping between files so the file stream source orders
+    micro-batches by mtime. Shared by the streaming equivalence tests.
+    """
+    import json
+    import time
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, chunk in enumerate(chunks):
+        with open(in_dir / f"c{i}.json", "w") as f:
+            for row in chunk:
+                f.write(json.dumps(row) + "\n")
+        time.sleep(1.1)
+    return str(in_dir)

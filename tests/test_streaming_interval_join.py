@@ -6,10 +6,9 @@ course lacks — SURVEY §2.6)."""
 
 from __future__ import annotations
 
-import json
-import time
-
 from pyspark.sql import functions as F
+
+from tests.conftest import drip_json_chunks
 
 from in_stream_processing_course_spark.plans.events_queries import (
     SESSION_GAP,
@@ -41,20 +40,17 @@ _SCHEMA = "event_id long, user_id long, event_type string, time long"
 
 
 def _write_chunks(tmp_path, chunks):
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    for i, chunk in enumerate(chunks):
-        with open(in_dir / f"c{i}.json", "w") as f:
-            for eid, uid, etype, t in chunk:
-                f.write(
-                    json.dumps(
-                        {"event_id": eid, "user_id": uid,
-                         "event_type": etype, "time": t}
-                    )
-                    + "\n"
-                )
-        time.sleep(1.1)  # file-source orders micro-batches by mtime
-    return str(in_dir)
+    return drip_json_chunks(
+        tmp_path,
+        [
+            [
+                {"event_id": eid, "user_id": uid,
+                 "event_type": etype, "time": t}
+                for eid, uid, etype, t in chunk
+            ]
+            for chunk in chunks
+        ],
+    )
 
 
 def _with_ts(df):

@@ -4,10 +4,9 @@ replayed-batch idempotence."""
 
 from __future__ import annotations
 
-import json
-import time
-
 from pyspark.sql import functions as F
+
+from tests.conftest import drip_json_chunks
 
 from in_stream_processing_course_spark.operators.incremental import (
     finalize_rollup,
@@ -32,19 +31,16 @@ _ROWS = [
 
 
 def _write_chunks(tmp_path, chunks):
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    for i, chunk in enumerate(chunks):
-        with open(in_dir / f"c{i}.json", "w") as f:
-            for eid, etype, v in chunk:
-                f.write(
-                    json.dumps(
-                        {"event_id": eid, "event_type": etype, "value": v}
-                    )
-                    + "\n"
-                )
-        time.sleep(1.1)
-    return str(in_dir)
+    return drip_json_chunks(
+        tmp_path,
+        [
+            [
+                {"event_id": eid, "event_type": etype, "value": v}
+                for eid, etype, v in chunk
+            ]
+            for chunk in chunks
+        ],
+    )
 
 
 def test_streamed_rollup_matches_batch(spark, tmp_path):
@@ -153,9 +149,6 @@ def test_quarantine_splits_clean_and_dirty(spark, tmp_path):
 def test_quarantine_streaming_end_to_end(spark, tmp_path):
     """Drip two micro-batches through readStream; both sinks append
     per batch and nothing is lost: main + dlq row counts == input."""
-    import json as _json
-    import time as _time
-
     from in_stream_processing_course_spark.operators.quality_checks import (
         Check,
     )
@@ -166,18 +159,15 @@ def test_quarantine_streaming_end_to_end(spark, tmp_path):
         run_stream_foreach_batch,
     )
 
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    chunks = [
-        [(1, "click", 1.0), (2, "view", -3.0)],
-        [(3, "view", 2.0), (4, "bad", 4.0)],
-    ]
-    for i, chunk in enumerate(chunks):
-        with open(in_dir / f"c{i}.json", "w") as f:
-            for eid, et, v in chunk:
-                f.write(_json.dumps(
-                    {"event_id": eid, "event_type": et, "value": v}) + "\n")
-        _time.sleep(1.1)
+    in_dir = drip_json_chunks(
+        tmp_path,
+        [
+            [{"event_id": 1, "event_type": "click", "value": 1.0},
+             {"event_id": 2, "event_type": "view", "value": -3.0}],
+            [{"event_id": 3, "event_type": "view", "value": 2.0},
+             {"event_id": 4, "event_type": "bad", "value": 4.0}],
+        ],
+    )
     checks = [
         Check("value_range", "in_range", "value", lo=0.0, hi=100.0),
         Check("type_accepted", "accepted", "event_type",

@@ -4,10 +4,9 @@ continuity, and no-op suppression."""
 
 from __future__ import annotations
 
-import json
-import time
-
 from pyspark.sql import functions as F
+
+from tests.conftest import drip_json_chunks
 
 from in_stream_processing_course_spark.operators.scd import scd2_apply
 from in_stream_processing_course_spark.streaming.runner import (
@@ -35,20 +34,17 @@ _SCHEMA = "event_id long, user_id long, event_type string, time long"
 
 
 def _write_chunks(tmp_path, chunks):
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    for i, chunk in enumerate(chunks):
-        with open(in_dir / f"c{i}.json", "w") as f:
-            for eid, uid, etype, t in chunk:
-                f.write(
-                    json.dumps(
-                        {"event_id": eid, "user_id": uid,
-                         "event_type": etype, "time": t}
-                    )
-                    + "\n"
-                )
-        time.sleep(1.1)
-    return str(in_dir)
+    return drip_json_chunks(
+        tmp_path,
+        [
+            [
+                {"event_id": eid, "user_id": uid,
+                 "event_type": etype, "time": t}
+                for eid, uid, etype, t in chunk
+            ]
+            for chunk in chunks
+        ],
+    )
 
 
 def _batch_expected(spark):
