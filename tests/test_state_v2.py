@@ -13,7 +13,11 @@ import pytest
 # the transformWithState Python runner speaks protobuf to the JVM; in
 # environments without a working google.protobuf the query crashes at
 # init, so these tests gate on it (the v1 applyInPandasWithState
-# operator remains the fully-tested default path)
+# operator remains the fully-tested default path). Re-validated
+# 2026-08-14: a live end-to-end run fails in
+# transform_with_state_driver_worker with "ImportError: cannot import
+# name 'descriptor' from 'google.protobuf'" — the gate is the runtime
+# requirement, not caution.
 pytest.importorskip("google.protobuf.descriptor")
 
 from in_stream_processing_course_spark.sources import generator as gen
