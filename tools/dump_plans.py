@@ -94,6 +94,7 @@ AUDITED = [
     "data_quality_audit",
     "partition_health",
     "profile_change_feed",
+    "temporal_join_events_dim",
     # split_documents_cluster_safe shares dedup_clusters' ExistingRDD
     # caveat (connected-components localCheckpoint)
     # pagerank_customer_supplier / dedup_clusters: localCheckpoint per
