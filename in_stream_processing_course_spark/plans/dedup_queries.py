@@ -1300,3 +1300,85 @@ SELECT d.doc_id, d.degree,
 FROM deg d LEFT JOIN per_node p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
 """
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PRIORITIZED cluster dedup: resolve MinHash-LSH
+    candidate pairs to near-dup clusters (connected components) and
+    keep each cluster's HIGHEST-QUALITY member (ties break to the
+    smallest doc_id) instead of the arbitrary min-id representative —
+    "keep the best copy, not the first copy", which is what a real
+    curation run wants when mirrors and excerpts differ in quality.
+    One max_by per cluster + a broadcast-sized join of the winners
+    back to members; everything upstream reuses the standard
+    candidate/closure machinery."""
+    from ..functions.text import quality_score_col
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    comp = connected_components(cands, "a", "b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    clustered = (
+        docs.select(
+            "doc_id", quality_score_col(F.col("text")).alias("quality")
+        )
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            "quality",
+        )
+    )
+    best = clustered.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd"))
+        ).alias("best_id")
+    )
+    return (
+        clustered.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("doc_id") == F.col("best_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_keep_best_quality(candidates_sql_body: str) -> str:
+    return f"""
+WITH RECURSIVE cands AS MATERIALIZED ({candidates_sql_body}),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM cands
+  UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+clustered AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+         {_SQL_QUALITY} AS quality
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+best AS (
+  SELECT cluster_id, doc_id AS best_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM clustered
+  ) WHERE rn = 1
+)
+SELECT cl.doc_id, cl.cluster_id, cl.quality,
+       (cl.doc_id = b.best_id) AS keep
+FROM clustered cl JOIN best b USING (cluster_id)
+ORDER BY cl.doc_id
+"""

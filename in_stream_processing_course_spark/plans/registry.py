@@ -499,3 +499,8 @@ register(
 register(
     "profile_change_feed", iq.profile_change_feed, iq.ORACLE_CHANGE_FEED
 )
+register(
+    "dedup_keep_best_quality",
+    dq.dedup_keep_best_quality,
+    dq.oracle_keep_best_quality(_CANDS_BODY),
+)

@@ -501,3 +501,25 @@ def test_snapshot_diff_actions(spark):
         2: ("B", "update"),
         4: ("d", "insert"),
     }  # key 3 unchanged -> absent
+
+
+def test_keep_best_quality_invariants(spark, sf_dir):
+    """Exactly one keeper per cluster, and no cluster member outranks
+    its keeper under (quality desc, doc_id asc)."""
+    from in_stream_processing_course_spark.plans.dedup_queries import (
+        dedup_keep_best_quality,
+    )
+
+    rows = dedup_keep_best_quality(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) > 1 for v in by_cluster.values()) > 0, (
+        "fixture has no multi-doc clusters; invariant test is vacuous"
+    )
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, f"cluster {cid}"
+        k = keepers[0]
+        best = min(members, key=lambda m: (-m["quality"], m["doc_id"]))
+        assert k["doc_id"] == best["doc_id"]
