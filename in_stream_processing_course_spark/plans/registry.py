@@ -504,3 +504,4 @@ register(
     dq.dedup_keep_best_quality,
     dq.oracle_keep_best_quality(_CANDS_BODY),
 )
+register("customer_rfm_segments", rel.customer_rfm_segments, rel.ORACLE_RFM)

@@ -2025,3 +2025,66 @@ ORDER BY node_type, entity_key"""
 
 ORACLE_PAGERANK = _pagerank_oracle()
 
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics cube: per
+    customer recency (last order date), frequency (order count),
+    monetary (exact-decimal lifetime spend), each quartiled with
+    ntile(4) over a custkey-tie-broken total order, concatenated into
+    the 'RFM' segment code (recency quartile 1 = most recent). Three
+    window passes over the |customers|-sized rollup — the scan-side
+    aggregate is the only event-scale work; ntile over an aggregate
+    this bounded is cheap at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        ).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    return (
+        per_cust.select(
+            F.col("o_custkey").alias("custkey"),
+            "last_order",
+            "frequency",
+            "monetary",
+            F.ntile(4).over(w_r).alias("r_q"),
+            F.ntile(4).over(w_f).alias("f_q"),
+            F.ntile(4).over(w_m).alias("m_q"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("", F.col("r_q"), F.col("f_q"), F.col("m_q")),
+        )
+        .orderBy("custkey")
+    )
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(MAX(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+           AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, last_order, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS INT) AS r_q,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INT) AS m_q,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS VARCHAR)
+         AS segment
+FROM per_cust
+ORDER BY custkey
+"""
