@@ -190,3 +190,60 @@ def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     assert {k: (v["view_id"], v["view_us"]) for k, v in rows.items()} == {
         k: (v["view_id"], v["view_us"]) for k, v in brows.items()
     }
+
+
+def test_interval_join_state_survives_restart(spark, tmp_path):
+    """T6 for the stream-stream join: a view ingested before a full
+    stop must still match a click that arrives after restart — the
+    join state lives in the checkpointed state store, and the file
+    sink output across both runs is exactly the batch twin (no dupes,
+    no loss)."""
+    import time
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_file(name, rows):
+        with open(in_dir / name, "w") as f:
+            for eid, uid, etype, t in rows:
+                f.write(
+                    f'{{"event_id": {eid}, "user_id": {uid}, '
+                    f'"event_type": "{etype}", "time": {t}}}\n'
+                )
+        time.sleep(1.1)
+
+    def start_query():
+        stream = _with_ts(
+            spark.readStream.schema(_SCHEMA).option(
+                "maxFilesPerTrigger", "1"
+            ).json(str(in_dir))
+        )
+        views, clicks = split_view_click(stream)
+        joined = interval_join_view_click(views, clicks)
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: a view and one matched click
+    write_file("a.json", [(1, 7, "view", 1000), (2, 7, "click", 1200)])
+    start_query()
+    # full stop; new data arrives while the engine is down
+    write_file("b.json", [(3, 7, "click", 1500), (4, 8, "click", 1600)])
+    # run 2: fresh query object, same checkpoint — state must carry
+    start_query()
+
+    got = sorted(
+        (r["click_id"], r["view_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # click 2 matched in run 1; click 3 matched AFTER restart against
+    # the view ingested BEFORE the stop; click 4 has no view
+    assert got == [(2, 1), (3, 1)]
