@@ -257,3 +257,53 @@ def test_quarantine_replayed_batch_is_idempotent(spark, tmp_path):
     main = QuarantineSink.read(spark, str(tmp_path / "main"))
     dlq = QuarantineSink.read(spark, str(tmp_path / "dlq"))
     assert main.count() == 1 and dlq.count() == 1
+
+
+def test_mv_survives_streaming_restart(spark, tmp_path):
+    """T6 for the maintainer: stop the stream, add data, restart with
+    the same checkpoint — the pointer-committed rollup continues from
+    its last version and converges to the one-shot aggregate."""
+    import json as js
+    import time as tm
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    maintainer = RollupMaintainer(str(tmp_path / "mv"), ["event_type"])
+
+    def write_file(name, rows):
+        with open(in_dir / name, "w") as f:
+            for eid, etype, v in rows:
+                f.write(js.dumps(
+                    {"event_id": eid, "event_type": etype, "value": v}
+                ) + "\n")
+        tm.sleep(1.1)
+
+    def run_once():
+        stream = spark.readStream.schema(_SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).json(str(in_dir))
+        run_stream_foreach_batch(
+            stream.select("event_type", "value"),
+            maintainer,
+            checkpoint_dir=ckpt,
+        )
+
+    write_file("a.json", _ROWS[:3])
+    run_once()
+    write_file("b.json", _ROWS[3:])  # arrives while the engine is down
+    run_once()
+
+    batch = spark.createDataFrame(_ROWS, _SCHEMA).select(
+        "event_type", "value"
+    )
+    expected = sorted(
+        tuple(r)
+        for r in finalize_rollup(
+            partial_rollup(batch, ["event_type"])
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in finalize_rollup(maintainer.read(spark)).collect()
+    )
+    assert got == expected
