@@ -649,3 +649,46 @@ def approx_users_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return typed.unionByName(total).orderBy("event_type")
+
+
+def user_growth_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many users appeared for the
+    FIRST time (min event date per user) and the cumulative user base
+    to date — the new-vs-returning curve every product dashboard
+    leads with. Two hash aggregates (per-user min, per-day count)
+    plus one |days|-row cumulative window; all exact integers."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+        ).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day_start")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day_start",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    ).orderBy("day_start")
+
+
+ORACLE_USER_GROWTH = """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(MIN(epoch(date_trunc('day', ts))) AS BIGINT) AS first_day
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day_start, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT day_start, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day_start
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM daily ORDER BY day_start
+"""

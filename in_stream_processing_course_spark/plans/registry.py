@@ -505,3 +505,4 @@ register(
     dq.oracle_keep_best_quality(_CANDS_BODY),
 )
 register("customer_rfm_segments", rel.customer_rfm_segments, rel.ORACLE_RFM)
+register("user_growth_accrual", ev.user_growth_accrual, ev.ORACLE_USER_GROWTH)

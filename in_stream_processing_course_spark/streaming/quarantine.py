@@ -55,8 +55,10 @@ def with_failed_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
 
 class QuarantineSink:
     """foreachBatch target splitting each micro-batch into a clean
-    append (``main_path``) and a quarantine append (``dlq_path``,
-    rows + failed_checks)."""
+    write under ``main_path`` and a quarantine write under
+    ``dlq_path`` (rows + failed_checks) — each batch into its own
+    ``batch_<id>`` overwrite directory (replay-idempotent; read the
+    union via :meth:`read`)."""
 
     def __init__(
         self, main_path: str, dlq_path: str, checks: list[Check]
