@@ -692,3 +692,52 @@ SELECT day_start, new_users,
          AS cumulative_users
 FROM daily ORDER BY day_start
 """
+
+
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session lengths in 5-minute buckets (duration =
+    last event − first event, gap-closed sessions via the native
+    session_window): the engagement histogram behind "how long do
+    users actually stay". Session rollup (one shuffle) -> scan-local
+    bucket projection -> one tiny aggregate; all exact integers."""
+    ev = _events(spark, sf_dir)
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", SESSION_GAP).alias("w")
+    ).agg(
+        F.unix_timestamp(F.min("ts")).alias("first_ev"),
+        F.unix_timestamp(F.max("ts")).alias("last_ev"),
+    )
+    bucket = (
+        F.floor((F.col("last_ev") - F.col("first_ev")) / 300) * 300
+    ).cast("long")
+    return (
+        sessions.groupBy(bucket.alias("duration_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("duration_bucket")
+    )
+
+
+ORACLE_SESSION_DURATION = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_SEC} SECOND
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, sid,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_ev,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_ev
+  FROM grouped GROUP BY user_id, sid
+)
+SELECT CAST(floor((last_ev - first_ev) / 300.0) * 300 AS BIGINT)
+         AS duration_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sessions GROUP BY 1 ORDER BY duration_bucket
+"""

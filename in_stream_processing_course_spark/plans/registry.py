@@ -506,3 +506,11 @@ register(
 )
 register("customer_rfm_segments", rel.customer_rfm_segments, rel.ORACLE_RFM)
 register("user_growth_accrual", ev.user_growth_accrual, ev.ORACLE_USER_GROWTH)
+register(
+    "market_basket_pairs", rel.market_basket_pairs, rel.ORACLE_MARKET_BASKET
+)
+register(
+    "session_duration_histogram",
+    ev.session_duration_histogram,
+    ev.ORACLE_SESSION_DURATION,
+)

@@ -2088,3 +2088,71 @@ SELECT custkey, last_order, frequency, monetary,
 FROM per_cust
 ORDER BY custkey
 """
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-50 part pairs by the
+    number of orders containing both (support), with each part's
+    individual order count alongside — the input table for lift/
+    confidence rules. The pair join is blocked on o_orderkey (a
+    per-basket self-join, quadratic only in basket size — bounded by
+    line count per order, never corpus size), then one hash aggregate
+    on the pair key; deterministic top-k tie-break on the pair ids."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    l = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    r = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        l.join(r, "ok")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    part_counts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        pairs.join(
+            part_counts.select(
+                F.col("pk").alias("p1"), F.col("n_orders").alias("p1_orders")
+            ),
+            "p1",
+        )
+        .join(
+            part_counts.select(
+                F.col("pk").alias("p2"), F.col("n_orders").alias("p2_orders")
+            ),
+            "p2",
+        )
+        .select("p1", "p2", "support", "p1_orders", "p2_orders")
+        .orderBy(F.col("support").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+ORACLE_MARKET_BASKET = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+pc AS (
+  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM li GROUP BY 1
+)
+SELECT p.p1, p.p2, p.support,
+       c1.n_orders AS p1_orders, c2.n_orders AS p2_orders
+FROM pairs p
+JOIN pc c1 ON c1.pk = p.p1
+JOIN pc c2 ON c2.pk = p.p2
+ORDER BY support DESC, p1, p2
+LIMIT 50
+"""
