@@ -514,3 +514,13 @@ register(
     ev.session_duration_histogram,
     ev.ORACLE_SESSION_DURATION,
 )
+register(
+    "events_weekday_seasonal_anomalies",
+    ts.events_weekday_seasonal_anomalies,
+    ts.ORACLE_WEEKDAY_SEASONAL,
+)
+register(
+    "event_transition_matrix",
+    ts.event_transition_matrix,
+    ts.ORACLE_TRANSITION_MATRIX,
+)

@@ -1114,3 +1114,100 @@ SELECT event_type,
          AS chi2_contribution
 FROM m ORDER BY event_type
 """
+
+
+def events_weekday_seasonal_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-aware volume anomalies: each (day, event_type)
+    count compared to the average for its WEEKDAY x type cell (a
+    Monday is judged against Mondays — the trailing-average monitor in
+    partition_health flags weekends instead). ratio and the <0.5 flag
+    come from unrounded integer-derived doubles, so both engines emit
+    identical bits. Two hash aggregates + one broadcast-sized join of
+    the 7 x |types| baseline."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_start"),
+        F.dayofweek(F.col("ts")).alias("weekday"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    baseline = daily.groupBy("weekday", "event_type").agg(
+        F.sum("n_events").alias("cell_total"),
+        F.count(F.lit(1)).alias("cell_days"),
+    )
+    joined = daily.join(baseline, ["weekday", "event_type"])
+    expected = F.col("cell_total") / F.col("cell_days")
+    return joined.select(
+        "day_start",
+        "weekday",
+        "event_type",
+        "n_events",
+        expected.alias("weekday_avg"),
+        (F.col("n_events") / expected).alias("ratio"),
+        (F.col("n_events") < expected * 0.5).alias("is_anomalous"),
+    ).orderBy("day_start", "event_type")
+
+
+ORACLE_WEEKDAY_SEASONAL = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         CAST(dayofweek(ts) + 1 AS INT) AS weekday,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3
+),
+baseline AS (
+  SELECT weekday, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS cell_total,
+         CAST(COUNT(*) AS BIGINT) AS cell_days
+  FROM daily GROUP BY 1, 2
+)
+SELECT d.day_start, d.weekday, d.event_type, d.n_events,
+       b.cell_total / CAST(b.cell_days AS DOUBLE) AS weekday_avg,
+       d.n_events / (b.cell_total / CAST(b.cell_days AS DOUBLE)) AS ratio,
+       d.n_events < (b.cell_total / CAST(b.cell_days AS DOUBLE)) * 0.5
+         AS is_anomalous
+FROM daily d JOIN baseline b USING (weekday, event_type)
+ORDER BY day_start, event_type
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-flow (Markov) transition counts: for each user, the
+    per-(ts, event_id)-ordered event sequence yields (prev_type,
+    next_type) adjacent pairs; counts plus the per-prev-type row
+    share. One lag window (user shuffle) + one hash aggregate; shares
+    are unrounded integer-derived doubles."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wt)).alias("share"),
+    ).orderBy("prev_type", "next_type")
+
+
+ORACLE_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS share
+FROM pairs ORDER BY prev_type, next_type
+"""
