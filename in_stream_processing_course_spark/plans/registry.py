@@ -524,3 +524,11 @@ register(
     ts.event_transition_matrix,
     ts.ORACLE_TRANSITION_MATRIX,
 )
+register(
+    "customer_pareto_curve", rel.customer_pareto_curve, rel.ORACLE_PARETO
+)
+register(
+    "customer_order_gap_stats",
+    rel.customer_order_gap_stats,
+    rel.ORACLE_ORDER_GAPS,
+)

@@ -2156,3 +2156,113 @@ JOIN pc c2 ON c2.pk = p.p2
 ORDER BY support DESC, p1, p2
 LIMIT 50
 """
+
+
+def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked by
+    exact-decimal lifetime spend, with each prefix's cumulative share
+    of total revenue and the top-decile flag — "how true is 80/20
+    here". All money prefix sums stay DECIMAL (order-stable) and only
+    the final share divides two identically-derived doubles; the rank
+    windows run over the customers-sized rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    order_w = Window.orderBy(F.col("spend_dec").desc(), F.col("o_custkey"))
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    ranked = per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders",
+        F.col("spend_dec").cast("double").alias("spend"),
+        F.row_number().over(order_w).alias("rank"),
+        F.sum("spend_dec").over(run_w).cast("double").alias("_run"),
+        F.sum("spend_dec").over(all_w).cast("double").alias("_tot"),
+        F.count(F.lit(1)).over(all_w).alias("_n"),
+    )
+    return ranked.select(
+        "custkey",
+        "n_orders",
+        "spend",
+        "rank",
+        (F.col("_run") / F.col("_tot")).alias("cum_share"),
+        (F.col("rank") * 10 <= F.col("_n")).alias("is_top_decile"),
+    ).orderBy("rank")
+
+
+ORACLE_PARETO = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT custkey, n_orders,
+         CAST(spend_dec AS DOUBLE) AS spend,
+         CAST(row_number() OVER w AS INT) AS rank,
+         CAST(SUM(spend_dec) OVER (ORDER BY spend_dec DESC, custkey
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS run,
+         CAST(SUM(spend_dec) OVER () AS DOUBLE) AS tot,
+         COUNT(*) OVER () AS n
+  FROM per_cust
+  WINDOW w AS (ORDER BY spend_dec DESC, custkey)
+)
+SELECT custkey, n_orders, spend, rank,
+       run / tot AS cum_share,
+       rank * 10 <= n AS is_top_decile
+FROM ranked ORDER BY rank
+"""
+
+
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence profile: per customer with 2+ orders, the
+    count, min/max/avg gap (days) between consecutive orders — the
+    recency model's input table. One lag window (customer shuffle) +
+    one hash aggregate; avg is an unrounded integer-derived
+    quotient."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = (
+        orders.select(
+            "o_custkey",
+            ((day - F.lag(day).over(w)) / 86400).cast("long").alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            (F.sum("gap_days") / F.count(F.lit(1))).alias("avg_gap"),
+        )
+        .orderBy("custkey")
+    )
+
+
+ORACLE_ORDER_GAPS = """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST((epoch(CAST(o_orderdate AS TIMESTAMP))
+               - epoch(lag(CAST(o_orderdate AS TIMESTAMP))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey))) / 86400
+              AS BIGINT) AS gap_days
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+       SUM(gap_days) / CAST(COUNT(*) AS DOUBLE) AS avg_gap
+FROM seq WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY custkey
+"""
