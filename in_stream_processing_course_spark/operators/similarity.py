@@ -253,3 +253,63 @@ def ivf_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+PRINCIPAL_SCHEMA = "label int, n long, explained_ratio double, top_dim int, top_weight double"
+
+
+def label_principal_directions(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    iters: int = 50,
+) -> DataFrame:
+    """Per-group model fitting via GROUPED-MAP ``applyInPandas`` — the
+    one pandas-API shape the engine had not yet needed (mapInPandas is
+    per-partition, applyInPandasWithState is streaming): each label's
+    embeddings arrive as ONE pandas frame and a deterministic power
+    iteration fits the principal direction; emitted per label are the
+    top eigenvalue's share of total variance and the dominant
+    coordinate of the eigenvector (sign-normalized so the output is
+    orientation-stable). This is the embarrassingly-parallel per-key
+    fit pattern (per-tenant models, per-category calibrations): one
+    shuffle on the group key, each fit local to an executor; groups
+    must fit in memory — sample or sketch groups that do not.
+
+    Eigen-decomposition is not SQL-expressible, so the registry entry
+    is rows-only; the variance-maximization and determinism
+    invariants are pinned in tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n, d = X.shape
+        Xc = X - X.mean(axis=0)
+        total_var = float((Xc ** 2).sum()) / max(n, 1)
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            w = Xc.T @ (Xc @ v)
+            norm = np.linalg.norm(w)
+            if norm == 0.0:
+                break
+            v = w / norm
+        lam = float(v @ (Xc.T @ (Xc @ v))) / max(n, 1)
+        # orientation convention: dominant coordinate positive
+        top_dim = int(np.argmax(np.abs(v)))
+        if v[top_dim] < 0:
+            v = -v
+        return pd.DataFrame(
+            {
+                "label": [int(pdf[label_col].iloc[0])],
+                "n": [n],
+                "explained_ratio": [
+                    lam / total_var if total_var > 0 else 0.0
+                ],
+                "top_dim": [top_dim],
+                "top_weight": [float(v[top_dim])],
+            }
+        )
+
+    return emb.groupBy(label_col).applyInPandas(fit, PRINCIPAL_SCHEMA)

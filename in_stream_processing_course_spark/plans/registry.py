@@ -532,3 +532,4 @@ register(
     rel.customer_order_gap_stats,
     rel.ORACLE_ORDER_GAPS,
 )
+register("embedding_principal_direction", sq.embedding_principal_direction)

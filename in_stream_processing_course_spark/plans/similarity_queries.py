@@ -329,3 +329,15 @@ SELECT vec_id, label,
 FROM embeddings, mat
 ORDER BY vec_id
 """
+
+
+def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label principal component of the embedding cloud
+    (operators/similarity.label_principal_directions) — grouped-map
+    applyInPandas fitting, one model per label in parallel. Rows-only
+    driver check (eigen-decomposition is not SQL-expressible); the
+    variance-maximization invariant is pytest-pinned."""
+    from ..operators.similarity import label_principal_directions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_principal_directions(emb).orderBy("label")

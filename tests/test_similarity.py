@@ -93,3 +93,43 @@ def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
         for r in multiprobe_topk(emb, probes, 5).collect()
     }
     assert len(exact & multi) >= len(exact & single)
+
+
+def test_principal_direction_maximizes_variance(spark, sf_dir):
+    """The fitted per-label direction must (a) be deterministic across
+    runs, (b) explain a sane variance share, and (c) beat 10 random
+    unit directions at capturing variance — the property that makes it
+    the principal component."""
+    import numpy as np
+
+    from in_stream_processing_course_spark.operators.similarity import (
+        label_principal_directions,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out1 = {
+        r["label"]: (r["explained_ratio"], r["top_dim"], r["top_weight"])
+        for r in label_principal_directions(emb).collect()
+    }
+    out2 = {
+        r["label"]: (r["explained_ratio"], r["top_dim"], r["top_weight"])
+        for r in label_principal_directions(emb).collect()
+    }
+    assert out1 == out2, "per-group fit must be deterministic"
+    assert len(out1) >= 2
+    for label, (ratio, top_dim, top_weight) in out1.items():
+        assert 0.0 < ratio <= 1.0 + 1e-9
+        assert top_weight > 0  # orientation convention
+    # variance comparison on one label, locally
+    label0 = sorted(out1)[0]
+    rows = emb.where(F.col("label") == label0).collect()
+    X = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    Xc = X - X.mean(axis=0)
+    total = (Xc ** 2).sum() / len(X)
+    fitted_var = out1[label0][0] * total
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        v = rng.normal(size=X.shape[1])
+        v /= np.linalg.norm(v)
+        rand_var = float(((Xc @ v) ** 2).sum()) / len(X)
+        assert fitted_var >= rand_var - 1e-9
