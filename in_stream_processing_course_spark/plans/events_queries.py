@@ -741,3 +741,42 @@ SELECT CAST(floor((last_ev - first_ev) / 300.0) * 300 AS BIGINT)
        CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM sessions GROUP BY 1 ORDER BY duration_bucket
 """
+
+
+def events_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational health: per-day error share (error events / all
+    events) with counts — the SLO line every on-call dashboard plots.
+    One conditional-sum aggregate; the share is an unrounded
+    integer-derived quotient (bit-identical across engines)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias(
+                "day_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "day_start",
+            "n_events",
+            "n_errors",
+            (F.col("n_errors") / F.col("n_events")).alias("error_rate"),
+        )
+        .orderBy("day_start")
+    )
+
+
+ORACLE_ERROR_RATE = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS error_rate
+FROM events GROUP BY 1 ORDER BY day_start
+"""

@@ -533,3 +533,6 @@ register(
     rel.ORACLE_ORDER_GAPS,
 )
 register("embedding_principal_direction", sq.embedding_principal_direction)
+register(
+    "events_error_rate_daily", ev.events_error_rate_daily, ev.ORACLE_ERROR_RATE
+)
