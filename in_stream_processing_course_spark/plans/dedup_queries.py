@@ -1382,3 +1382,62 @@ SELECT cl.doc_id, cl.cluster_id, cl.quality,
 FROM clustered cl JOIN best b USING (cluster_id)
 ORDER BY cl.doc_id
 """
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-savings ledger exact dedup produces: per source,
+    total documents/bytes vs the bytes that survive keeping ONE copy
+    per md5(text), and the redundant remainder — the number a 100 TB
+    curation run reports to justify itself. One hash aggregate on the
+    content key, one on source; all exact integers with an unrounded
+    savings ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h"), "source").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.sum("n_chars").alias("bytes_all"),
+        F.min("n_chars").alias("bytes_one"),
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum("bytes_all").alias("total_bytes"),
+            F.sum("bytes_one").alias("kept_bytes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            "total_bytes",
+            "kept_bytes",
+            (F.col("total_bytes") - F.col("kept_bytes")).alias(
+                "redundant_bytes"
+            ),
+            (
+                (F.col("total_bytes") - F.col("kept_bytes"))
+                / F.col("total_bytes")
+            ).alias("savings_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_SAVINGS = """
+WITH groups AS (
+  SELECT md5(text) AS h, source,
+         CAST(COUNT(*) AS BIGINT) AS copies,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes_all,
+         CAST(MIN(n_chars) AS BIGINT) AS bytes_one
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(bytes_all) AS BIGINT) AS total_bytes,
+       CAST(SUM(bytes_one) AS BIGINT) AS kept_bytes,
+       CAST(SUM(bytes_all) - SUM(bytes_one) AS BIGINT) AS redundant_bytes,
+       (SUM(bytes_all) - SUM(bytes_one))
+         / CAST(SUM(bytes_all) AS DOUBLE) AS savings_ratio
+FROM groups GROUP BY source ORDER BY source
+"""

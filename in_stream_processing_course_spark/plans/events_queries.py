@@ -780,3 +780,35 @@ SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
          / CAST(COUNT(*) AS DOUBLE) AS error_rate
 FROM events GROUP BY 1 ORDER BY day_start
 """
+
+
+def events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal usage profile: event counts per (hour-of-day, type)
+    with each hour's share of its type's total — the 24-row
+    seasonality fingerprint behind load forecasting and the weekday
+    monitor's hourly sibling. One aggregate + a types-sized window;
+    unrounded integer-derived shares."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "hour_of_day",
+        "event_type",
+        "n_events",
+        (F.col("n_events") / F.sum("n_events").over(wt)).alias("share"),
+    ).orderBy("hour_of_day", "event_type")
+
+
+ORACLE_HOUR_PROFILE = """
+WITH counts AS (
+  SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_of_day, event_type, n_events,
+       n_events / CAST(SUM(n_events) OVER (PARTITION BY event_type)
+                       AS DOUBLE) AS share
+FROM counts ORDER BY hour_of_day, event_type
+"""

@@ -536,3 +536,11 @@ register("embedding_principal_direction", sq.embedding_principal_direction)
 register(
     "events_error_rate_daily", ev.events_error_rate_daily, ev.ORACLE_ERROR_RATE
 )
+register(
+    "dedup_savings_report", dq.dedup_savings_report, dq.ORACLE_DEDUP_SAVINGS
+)
+register(
+    "events_hour_of_day_profile",
+    ev.events_hour_of_day_profile,
+    ev.ORACLE_HOUR_PROFILE,
+)
