@@ -1441,3 +1441,56 @@ SELECT source,
          / CAST(SUM(bytes_all) AS DOUBLE) AS savings_ratio
 FROM groups GROUP BY source ORDER BY source
 """
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape of the near-dup problem: how many clusters exist at each
+    size (singletons included) — the first chart a dedup audit draws
+    (a heavy tail means boilerplate mills; all-singletons means the
+    thresholds are too tight). Component sizes from the LSH closure,
+    then two tiny aggregates."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_candidates(
+        docs, "doc_id", "text", _NUM_HASHES, _BANDS, _SHINGLE_K
+    )
+    comp = connected_components(cands, "a", "b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    clusters = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(F.coalesce("component", "doc_id").alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    return (
+        clusters.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
+
+
+def oracle_cluster_size_histogram(candidates_sql_body: str) -> str:
+    return f"""
+WITH RECURSIVE cands AS MATERIALIZED ({candidates_sql_body}),
+edges AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM cands
+  UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+clusters AS (
+  SELECT CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS size
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+  GROUP BY 1
+)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM clusters GROUP BY size ORDER BY size
+"""

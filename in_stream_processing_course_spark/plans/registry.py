@@ -544,3 +544,11 @@ register(
     ev.events_hour_of_day_profile,
     ev.ORACLE_HOUR_PROFILE,
 )
+register(
+    "nation_trade_matrix", rel.nation_trade_matrix, rel.ORACLE_TRADE_MATRIX
+)
+register(
+    "dedup_cluster_size_histogram",
+    dq.dedup_cluster_size_histogram,
+    dq.oracle_cluster_size_histogram(_CANDS_BODY),
+)

@@ -2266,3 +2266,67 @@ SELECT o_custkey AS custkey,
 FROM seq WHERE gap_days IS NOT NULL
 GROUP BY 1 ORDER BY custkey
 """
+
+
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation x customer-nation trade matrix — TPC-H
+    q7's shape generalized from one nation pair to all of them:
+    discounted lineitem revenue grouped by both endpoint nations. The
+    fact joins shuffle once each on their keys, both nation dims
+    broadcast, money stays exact DECIMAL to the final double cast;
+    output is |nations|²-bounded."""
+    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer", fan_out=False)
+    supplier = load_table(spark, sf_dir, "supplier", fan_out=False)
+    nation = load_table(spark, sf_dir, "nation", fan_out=False)
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cust_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nk"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    return (
+        li.join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(supp_nation, F.col("s_nationkey") == F.col("s_nk"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(cust_nation, F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("disc_price").cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+ORACLE_TRADE_MATRIX = f"""
+WITH {_ORACLE_LI_MONEY}
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue
+FROM li
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+ORDER BY supp_nation, cust_nation
+"""
