@@ -552,3 +552,8 @@ register(
     dq.dedup_cluster_size_histogram,
     dq.oracle_cluster_size_histogram(_CANDS_BODY),
 )
+register(
+    "text_doc_length_percentiles",
+    tq.doc_length_percentiles,
+    tq.ORACLE_DOC_LENGTH_PCT,
+)

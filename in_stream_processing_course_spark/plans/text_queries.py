@@ -834,3 +834,62 @@ SELECT lang, source,
 FROM per_term GROUP BY lang, source
 ORDER BY lang, source
 """
+
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 document length per (lang, source) via
+    rank-selection (element at ceil(p*n) under the (n_chars, doc_id)
+    total order) — the truncation-threshold picker, portable across
+    engines because rank selection avoids percentile-interpolation
+    arithmetic (same discipline as the event-value percentile
+    profile). One window pass + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang", "source"))
+        .alias("n"),
+    )
+
+    def at(p: float) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
+                F.col("n_chars"),
+            )
+        )
+
+    return (
+        ranked.groupBy("lang", "source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            at(0.5).alias("p50_chars"),
+            at(0.9).alias("p90_chars"),
+            at(0.99).alias("p99_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_DOC_LENGTH_PCT = """
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+)
+SELECT lang, source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p90_chars,
+       CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                     THEN n_chars END) AS BIGINT) AS p99_chars
+FROM ranked GROUP BY lang, source ORDER BY lang, source
+"""
