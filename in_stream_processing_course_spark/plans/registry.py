@@ -557,3 +557,8 @@ register(
     tq.doc_length_percentiles,
     tq.ORACLE_DOC_LENGTH_PCT,
 )
+register(
+    "orders_weekly_priority_mix",
+    rel.orders_weekly_priority_mix,
+    rel.ORACLE_WEEKLY_PRIORITY,
+)

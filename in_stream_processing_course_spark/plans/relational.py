@@ -2330,3 +2330,44 @@ JOIN nation nc ON nc.n_nationkey = c.c_nationkey
 GROUP BY 1, 2
 ORDER BY supp_nation, cust_nation
 """
+
+
+def orders_weekly_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix by week: counts per (week, priority) with
+    each priority's share of the week — the mix-shift chart that
+    catches a silent SLA change upstream. Epoch-anchored weekly
+    buckets (same convention as weekly revenue growth), one aggregate
+    + a weeks-sized share window, unrounded integer quotients."""
+    orders = load_table(spark, sf_dir, "orders")
+    week = (
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            / (7 * 86400)
+        )
+        * (7 * 86400)
+    ).cast("long")
+    counts = orders.groupBy(
+        week.alias("week_start"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    ww = Window.partitionBy("week_start")
+    return counts.select(
+        "week_start",
+        "o_orderpriority",
+        "n_orders",
+        (F.col("n_orders") / F.sum("n_orders").over(ww)).alias("share"),
+    ).orderBy("week_start", "o_orderpriority")
+
+
+ORACLE_WEEKLY_PRIORITY = """
+WITH counts AS (
+  SELECT CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)) / 604800) * 604800
+              AS BIGINT) AS week_start,
+         o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT week_start, o_orderpriority, n_orders,
+       n_orders / CAST(SUM(n_orders) OVER (PARTITION BY week_start)
+                       AS DOUBLE) AS share
+FROM counts ORDER BY week_start, o_orderpriority
+"""
