@@ -625,6 +625,70 @@ ORDER BY doc_id, copy_id
 _N_SHARDS = 8
 
 
+# doc_id range width for the two-pass prefix-rank sub-buckets: within
+# one token count, doc_ids are dealt in ascending order, and a bucket
+# of ``floor(doc_id / W)`` is a CONTIGUOUS slice of that order — so
+# (n_tokens desc, bucket asc) ranges tile the global total order and
+# local ranks + carried offsets reproduce the single-window rank
+# exactly. W bounds the rows any one window task sorts.
+_SHARD_RANK_BUCKET = 1024
+
+
+def _balanced_shard_assignments(docs: DataFrame) -> DataFrame:
+    """Per-document shard via distributed two-pass prefix ranks.
+
+    Pass 1 (distributed): local ``row_number`` within
+    ``(n_tokens, doc_id DIV W)`` groups — each group is a contiguous
+    run of the global order ``(n_tokens desc, doc_id asc)``, so the
+    local rank is the global rank minus the count of rows in all
+    earlier groups. Pass 2 (tiny): group counts roll up twice —
+    per-group prefix offsets within a token count (partitioned
+    window), then token-count-level offsets over the DISTINCT token
+    counts (the only unpartitioned window, dimension-sized: bounded by
+    max document length, not corpus size). global_rank = kt_offset +
+    in-kt offset + local rank; the round-robin modulo is invariant to
+    how the rank was assembled."""
+    docs = docs.withColumn(
+        "_bkt", (F.col("doc_id") / F.lit(_SHARD_RANK_BUCKET)).cast("long")
+    )
+    lw = Window.partitionBy("n_tokens", "_bkt").orderBy("doc_id")
+    local = docs.withColumn("_lrn", F.row_number().over(lw).cast("long"))
+
+    grp = docs.groupBy("n_tokens", "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    # offsets of each bucket within its token count: partitioned window
+    in_kt = Window.partitionBy("n_tokens").orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # offsets of each token count in the global (desc) order: the sole
+    # unpartitioned window, over |distinct n_tokens| rows only
+    per_kt = grp.groupBy("n_tokens").agg(F.sum("_n").alias("_nt"))
+    kt_w = Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    kt_off = per_kt.select(
+        "n_tokens",
+        F.coalesce(F.sum("_nt").over(kt_w), F.lit(0)).alias("_kt_off"),
+    )
+    grp_off = (
+        grp.withColumn(
+            "_in_kt_off", F.coalesce(F.sum("_n").over(in_kt), F.lit(0))
+        )
+        .join(F.broadcast(kt_off), "n_tokens")
+        .select(
+            "n_tokens",
+            "_bkt",
+            (F.col("_kt_off") + F.col("_in_kt_off")).alias("_off"),
+        )
+    )
+    return local.join(grp_off, ["n_tokens", "_bkt"]).select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("_off") + F.col("_lrn") - 1) % _N_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+
+
 def shard_documents_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment — the write-side partitioner for
     training shards: order documents by token count (descending, doc_id
@@ -633,23 +697,19 @@ def shard_documents_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     document. Emits the per-shard totals the writer would use to name
     and size its output files.
 
-    The global rank is one total-order window (the per-shard rollup
-    reuses nothing heavier); at 100 TB the same dealing runs per
-    partition-range with rank offsets carried in (two-pass prefix
-    ranks), which the round-robin arithmetic admits unchanged."""
+    The rank is assembled by :func:`_balanced_shard_assignments` as
+    distributed two-pass prefix ranks — local ranks in contiguous
+    ``(n_tokens, doc_id DIV W)`` ranges plus carried offsets from a
+    dimension-sized rollup — so no corpus-scale rows ever pass through
+    a single-partition window; the only total-order window runs over
+    the distinct token counts. Same output, exact to the hash, as the
+    one-window form (``tests/test_plans.py`` pins the plan shape)."""
     from ..functions import text as tx
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tx.token_count_col(F.col("text")).alias("n_tokens")
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-    assigned = docs.select(
-        "doc_id",
-        "n_tokens",
-        ((F.row_number().over(w) - 1) % _N_SHARDS).cast("long").alias(
-            "shard"
-        ),
-    )
+    assigned = _balanced_shard_assignments(docs)
     return (
         assigned.groupBy("shard")
         .agg(

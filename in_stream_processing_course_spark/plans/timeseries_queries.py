@@ -292,11 +292,16 @@ def sessions_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary span makes each day's max reflect concurrency CARRIED IN
     at day start — a session spanning midnight counts toward every day
     it covers, and covered days with no boundaries of their own still
-    appear. The global running sum is a single-partition window over
-    the deduplicated boundary set — already reduced to ~2 rows per
-    session plus one per day; at 100 TB the same sweep runs per coarse
-    time range with per-range carry-ins (two-pass prefix sum), which
-    this grouping structure admits without changing semantics.
+    appear.
+
+    The prefix sum is distributed two-pass, never a global window over
+    the boundary set: pass 1 runs the running sum WITHIN each day
+    (partitioned window on ``t DIV 86400``); pass 2 rolls each day's
+    net total into a carried offset over the DAYS only (the sole
+    unpartitioned window — dimension-sized: one row per calendar day,
+    regardless of corpus scale), broadcast-joined back so
+    ``active = day_carry + local_prefix``. Identical to the global
+    sweep to the hash; ``tests/test_plans.py`` pins the plan shape.
     """
     s = sessionize_events(spark, sf_dir)
     deltas = s.select(
@@ -311,16 +316,33 @@ def sessions_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((F.col("day") * 86400).alias("t"), F.lit(0).alias("d"))
     )
-    net = deltas.unionAll(probes).groupBy("t").agg(F.sum("d").alias("net"))
-    w = (
-        Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    net = (
+        deltas.unionAll(probes)
+        .groupBy("t")
+        .agg(F.sum("d").alias("net"))
+        .withColumn("day", F.expr("t DIV 86400"))
     )
-    active = net.select(
-        "t", F.sum("net").over(w).alias("active")
+    local_w = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = net.withColumn("local_prefix", F.sum("net").over(local_w))
+    day_w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        net.groupBy("day")
+        .agg(F.sum("net").alias("day_net"))
+        .select(
+            "day",
+            F.coalesce(F.sum("day_net").over(day_w), F.lit(0)).alias(
+                "day_carry"
+            ),
+        )
+    )
+    active = local.join(F.broadcast(carry), "day").select(
+        "day",
+        (F.col("day_carry") + F.col("local_prefix")).alias("active"),
     )
     return (
-        active.groupBy(F.expr("(t DIV 86400) * 86400").alias("day_start"))
+        active.groupBy((F.col("day") * 86400).alias("day_start"))
         .agg(F.max("active").alias("peak_concurrency"))
         .orderBy("day_start")
     )

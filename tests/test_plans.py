@@ -300,3 +300,36 @@ def test_runtime_bloom_filter_injected(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def _logical_descendants(node):
+    """Depth-first walk of a Catalyst logical plan via py4j."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _logical_descendants(children.apply(i))
+
+
+@pytest.mark.parametrize(
+    "name", ["shard_documents_balanced", "sessions_concurrency_daily"]
+)
+def test_prefix_rank_windows_are_partitioned(spark, name):
+    """The two-pass prefix-rank/prefix-sum rewrites must never move
+    corpus-scale rows through a single-partition window: every
+    UNPARTITIONED Window in the optimized plan has to sit above an
+    Aggregate (a dimension-sized rollup — distinct token counts /
+    calendar days), while the per-range heavy lifting runs in
+    partitioned windows."""
+    plan = QUERIES[name](spark, SF)._jdf.queryExecution().optimizedPlan()
+    windows = [
+        n for n in _logical_descendants(plan) if n.nodeName() == "Window"
+    ]
+    assert windows, "expected Window operators in the plan"
+    unpartitioned = [n for n in windows if n.partitionSpec().isEmpty()]
+    for node in unpartitioned:
+        assert any(
+            d.nodeName() == "Aggregate" for d in _logical_descendants(node)
+        ), f"{name}: unpartitioned Window over non-aggregated input"
+    assert any(
+        not n.partitionSpec().isEmpty() for n in windows
+    ), f"{name}: expected a partitioned window doing the per-range work"
