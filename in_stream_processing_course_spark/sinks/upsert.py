@@ -44,12 +44,23 @@ class KeyedUpsertSink:
         ttl_sec: int | None = None,
         if_not_exists: bool = False,
         now_fn: Callable[[], float] = time.time,
+        n_partitions: int | None = None,
     ) -> None:
         self.path = path
         self.key_cols = key_cols
         self.ttl_sec = ttl_sec
         self.if_not_exists = if_not_exists
         self.now_fn = now_fn
+        # When set, the table is laid out as n hash-of-key directory
+        # partitions (`kpart=<k>/`) and a micro-batch rewrites ONLY the
+        # partitions its keys hash into — per-trigger I/O becomes
+        # O(touched keys' partitions), not O(table). A key's partition
+        # is a pure function of the key, so merge semantics (upsert /
+        # ifNotExists) are unchanged: colliding keys always land in the
+        # same partition. TTL expiry stays a read-side filter for
+        # untouched partitions (their expired rows compact away the
+        # next time their partition is touched).
+        self.n_partitions = n_partitions
 
     # -- helpers ------------------------------------------------------------
 
@@ -75,6 +86,22 @@ class KeyedUpsertSink:
         cutoff = self.now_fn() - self.ttl_sec
         return df.where(F.col("detected_at") >= F.lit(cutoff))
 
+    def _merge(self, current: DataFrame | None, incoming: DataFrame) -> DataFrame:
+        """MERGE semantics shared by both layouts: last-writer-wins
+        upsert, or insert-only-when-absent under ``if_not_exists``."""
+        if current is None:
+            return incoming
+        current = self._apply_ttl(current)
+        if self.if_not_exists:
+            incoming = incoming.join(
+                current.select(*self.key_cols), self.key_cols, "left_anti"
+            )
+            return current.unionByName(incoming)
+        kept = current.join(
+            incoming.select(*self.key_cols), self.key_cols, "left_anti"
+        )
+        return kept.unionByName(incoming)
+
     # -- the foreachBatch body ------------------------------------------------
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -83,23 +110,11 @@ class KeyedUpsertSink:
         incoming = batch_df.dropDuplicates(self.key_cols).withColumn(
             "detected_at", F.lit(float(now))
         )
+        if self.n_partitions is not None:
+            self._partitioned_rewrite(spark, incoming, batch_id)
+            return
         current = self._read_current(spark)
-        if current is not None:
-            current = self._apply_ttl(current)
-            if self.if_not_exists:
-                # keep existing rows; only genuinely new keys enter
-                incoming = incoming.join(
-                    current.select(*self.key_cols), self.key_cols, "left_anti"
-                )
-                merged = current.unionByName(incoming)
-            else:
-                # last-writer-wins upsert
-                kept = current.join(
-                    incoming.select(*self.key_cols), self.key_cols, "left_anti"
-                )
-                merged = kept.unionByName(incoming)
-        else:
-            merged = incoming
+        merged = self._merge(current, incoming)
         # Stage the merged table to a sibling temp dir DISTRIBUTED (the
         # executors write parquet in parallel straight from the join
         # plan — nothing ever funnels through the driver), then
@@ -121,10 +136,62 @@ class KeyedUpsertSink:
         else:
             shutil.move(stage, self.path)
 
+    def _partitioned_rewrite(
+        self, spark: SparkSession, incoming: DataFrame, batch_id: int
+    ) -> None:
+        """Rewrite only the hash partitions the batch touches.
+
+        The batch's distinct partition ids are at most ``n_partitions``
+        integers (driver-side collect is bounded by the layout, not the
+        data); current rows load with a partition filter on ``kpart`` —
+        directory pruning, untouched partition files are never opened —
+        and the merged result stages to a temp dir partitioned the same
+        way before each touched ``kpart=<k>`` directory is swapped in.
+        Untouched partitions stay byte-identical (pinned by test). A
+        failed batch leaves every live partition untouched; checkpoint
+        retry re-runs the MERGE idempotently, as in the whole-table
+        path."""
+        kp = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_partitions)).cast(
+            "int"
+        )
+        incoming = incoming.withColumn("kpart", kp)
+        touched = sorted(
+            r[0] for r in incoming.select("kpart").distinct().collect()
+        )
+        if not touched:
+            return
+        current = self._read_current(spark)
+        if current is not None:
+            current = current.where(F.col("kpart").isin([int(k) for k in touched]))
+        merged = self._merge(current, incoming)
+        stage = f"{self.path}._stage_{batch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.partitionBy("kpart").parquet(stage)
+        os.makedirs(self.path, exist_ok=True)
+        for k in touched:
+            src = os.path.join(stage, f"kpart={int(k)}")
+            dst = os.path.join(self.path, f"kpart={int(k)}")
+            if not os.path.exists(src):
+                # merge emitted nothing for this partition (e.g. every
+                # row TTL-expired and the batch's keys were all dropped
+                # by ifNotExists): the partition is now empty
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                continue
+            if os.path.exists(dst):
+                old = f"{self.path}._old_{int(k)}_{uuid.uuid4().hex[:8]}"
+                shutil.move(dst, old)
+                shutil.move(src, dst)
+                shutil.rmtree(old)
+            else:
+                shutil.move(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+
     def read(self, spark: SparkSession, apply_ttl: bool = True) -> DataFrame:
         df = self._read_current(spark)
         if df is None:
             return spark.createDataFrame([], "struct<>")
+        if "kpart" in df.columns:
+            df = df.drop("kpart")
         return self._apply_ttl(df) if apply_ttl else df
 
 

@@ -82,6 +82,7 @@ def start_bot_detection(
     if_not_exists: bool = True,
     trigger_seconds: str | None = None,
     available_now: bool = False,
+    sink_partitions: int | None = None,
 ):
     """Wire a streaming action source to the keyed verdict sink
     (K1/K2 semantics: key = bot_ip, ifNotExists, 10-min TTL;
@@ -96,7 +97,13 @@ def start_bot_detection(
         )
         keys = ["bot_ip"]
     sink = KeyedUpsertSink(
-        sink_path, keys, ttl_sec=ttl_sec, if_not_exists=if_not_exists
+        sink_path,
+        keys,
+        ttl_sec=ttl_sec,
+        if_not_exists=if_not_exists,
+        # bound per-trigger I/O to touched hash partitions when the
+        # verdict key space is large (sinks/upsert.py)
+        n_partitions=sink_partitions,
     )
     writer = (
         verdicts.writeStream.foreachBatch(sink)
