@@ -13,11 +13,11 @@ import pytest
 # the transformWithState Python runner speaks protobuf to the JVM; in
 # environments without a working google.protobuf the query crashes at
 # init, so these tests gate on it (the v1 applyInPandasWithState
-# operator remains the fully-tested default path). Re-validated
-# 2026-08-14: a live end-to-end run fails in
-# transform_with_state_driver_worker with "ImportError: cannot import
-# name 'descriptor' from 'google.protobuf'" — the gate is the runtime
-# requirement, not caution.
+# operator remains the fully-tested default path). conftest's
+# _ensure_protobuf_fallback un-gates this on hosts that carry a
+# pure-Python protobuf inside the Google Cloud SDK bundle (2026-08-14:
+# both tests run live end-to-end through the real state transport on
+# this host); the skip remains the behavior on hosts with neither.
 pytest.importorskip("google.protobuf.descriptor")
 
 from in_stream_processing_course_spark.sources import generator as gen
