@@ -82,3 +82,54 @@ def test_kafka_stream_builder_requires_connector(spark):
 
     with pytest.raises(Exception, match="kafka"):
         kafka_action_stream(spark, "b:9092")
+
+
+@pytest.mark.kafka_live
+@pytest.mark.skipif(
+    "ISP_KAFKA_BOOTSTRAP" not in __import__("os").environ,
+    reason="no live broker: set ISP_KAFKA_BOOTSTRAP=host:port (and put "
+    "org.apache.spark:spark-sql-kafka-0-10 on the classpath) to run the "
+    "round-trip smoke (VERDICT r3 item 8)",
+)
+def test_kafka_live_round_trip(spark, tmp_path):
+    """One real round-trip through the production S1/K6 path: a batch
+    of wire-format actions produced to a topic via the kafka writer
+    options, then consumed by ``kafka_action_stream`` (earliest) into a
+    memory sink and projected through the same payload cast the
+    streaming pipeline uses. Self-contained: uses a uuid topic so
+    reruns don't cross-contaminate (brokers default to topic
+    auto-create)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from in_stream_processing_course_spark.sources.stream import (
+        kafka_action_stream,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_to_memory,
+    )
+
+    bootstrap = os.environ["ISP_KAFKA_BOOTSTRAP"]
+    topic = f"isp-smoke-{uuid.uuid4().hex[:12]}"
+    wire = [
+        ("ip-1", json.dumps({"time": 1, "categoryId": "1001", "ip": "ip-1", "action": "click"})),
+        ("ip-2", json.dumps({"time": 2, "categoryId": "1002", "ip": "ip-2", "action": "view"})),
+    ]
+    (
+        spark.createDataFrame(wire, "key string, value string")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    stream = kafka_action_stream(
+        spark, bootstrap, topic=topic, starting_offsets="earliest"
+    )
+    table = run_stream_to_memory(
+        stream, output_mode="append", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    got = {(r["key"], r["value"]) for r in table.collect()}
+    assert got == set(wire)
