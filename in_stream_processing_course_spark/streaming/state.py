@@ -207,13 +207,20 @@ def prereduce_log_records(
     identical to the raw path (pinned by test).
 
     WHEN TO USE: only when per-partition (key, bucket) multiplicity is
-    well above 1 — hot keys, coarse slides, firehose rates. The
-    combiner adds a second Python/Arrow stage per batch; measured on
-    the bench workload (uniform users, ~1 event per partition-local
-    bucket — nothing to combine) it costs ~25% wall, which is why
-    ``keyed_history_verdicts`` defaults to the raw path. On a bot-heavy
-    feed (the reference's 172.20.* population emits every 2 s into
-    30 s buckets) the shrink is ~15x per bot key.
+    well above 1 — hot keys, coarse slides, firehose rates — AND the
+    shuffle actually crosses a network. The combiner adds a second
+    Python/Arrow stage per batch; measured on the uniform bench
+    workload (~1 event per partition-local bucket — nothing to
+    combine) it costs ~25% wall, which is why
+    ``keyed_history_verdicts`` defaults to the raw path. bench.py's
+    ``prereduce_bot_heavy`` A/B measures the bot-heavy regime (the
+    reference's 172.20.* population, one action per 2 s into 30 s
+    buckets): a 13x shuffle-row shrink, yet still ~15% wall COST in
+    local mode, because a single-JVM shuffle is an in-memory copy —
+    there is no network to save. The wall win appears on a real
+    cluster where per-row shuffle cost includes serialization +
+    network + state-store I/O; the shrink factor is the number that
+    transfers.
     """
 
     def combine(it):
