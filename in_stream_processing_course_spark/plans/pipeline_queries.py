@@ -743,6 +743,65 @@ ORDER BY shard
 """
 
 
+# --- deterministic epoch shuffle ---------------------------------------------
+
+_EPOCH_SEED = "epoch-3"
+_EPOCH_SHARDS = 16
+
+
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the training loader's
+    permutation, materialized as (doc_id, shard, pos) without ever
+    running a global sort: the order key is md5(seed || doc_id)
+    (content-addressed, so epoch N's permutation is reproducible on
+    any engine or partitioning and uncorrelated with epoch N+1's),
+    the shard is the key's top hex nibbles mod ``_EPOCH_SHARDS``, and
+    pos is a PARTITIONED row_number within the shard ordered by the
+    same key. Readers that drain shards round-robin see a uniform
+    random permutation of the corpus; no unpartitioned window, one
+    hash shuffle on the shard key, scale-safe at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(
+        F.concat(F.lit(_EPOCH_SEED + ":"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    staged = docs.select(
+        "doc_id",
+        key.alias("_key"),
+        (
+            F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+            % _EPOCH_SHARDS
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_key", "doc_id")
+    return (
+        staged.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH staged AS (
+  SELECT doc_id,
+         md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS k,
+         ('0x' || substr(md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)),
+                         1, 4))::BIGINT % {_EPOCH_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos
+FROM staged
+ORDER BY shard, pos
+"""
+
+
 # --- semantic dedup (SemDeDup-shaped keep/drop decision) --------------------
 
 # cosine threshold for "semantically duplicate" within a cluster

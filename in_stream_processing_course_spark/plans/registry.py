@@ -336,6 +336,11 @@ register(
     pq.shard_documents_balanced,
     pq.ORACLE_SHARD_BALANCED,
 )
+register(
+    "epoch_shuffle_manifest",
+    pq.epoch_shuffle_manifest,
+    pq.ORACLE_EPOCH_SHUFFLE,
+)
 register("text_chunks", pq.text_chunks, pq.ORACLE_CHUNKS)
 register(
     "sample_k_per_user", pq.sample_k_per_user, pq.ORACLE_SAMPLE_K_PER_USER

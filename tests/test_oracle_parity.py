@@ -22,3 +22,28 @@ def test_all_queries_run(spark, sf_dir):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_committed_sweep_evidence_is_current():
+    """The committed PARITY_SWEEP_* evidence must cover the registry it
+    claims to: the latest sweep file's "(N registered)" count has to
+    equal len(QUERIES), so registering a query without re-running the
+    full sweep (tools/parity_sweep.py) fails CI instead of silently
+    shipping stale evidence (round-3 verdict item 3)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sweeps = sorted(
+        root.glob("PARITY_SWEEP_r*_sf*.txt"),
+        key=lambda p: int(re.search(r"_r(\d+)_", p.name).group(1)),
+    )
+    assert sweeps, "no committed PARITY_SWEEP evidence file"
+    latest = sweeps[-1]
+    m = re.search(r"\((\d+) registered\)", latest.read_text())
+    assert m, f"{latest.name}: no '(N registered)' summary line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"{latest.name} covers {m.group(1)} queries but the registry has "
+        f"{len(QUERIES)} — re-run tools/parity_sweep.py and commit the "
+        "refreshed evidence together with the registry change"
+    )

@@ -302,3 +302,45 @@ def test_simhash_bucket_cap_bounds_degenerate_buckets(spark):
     assert pairs == {(100, 101)}
     uncapped = dd.simhash_dedup_candidates(docs).collect()
     assert len(uncapped) == 45 + 1
+
+
+def test_two_pass_prefix_rank_equals_single_window(spark):
+    """_balanced_shard_assignments (the distributed two-pass prefix
+    rank behind shard_documents_balanced) must reproduce the plain
+    global-window rank EXACTLY on adversarial inputs: heavy token-count
+    ties, doc_ids straddling the _SHARD_RANK_BUCKET boundaries, sparse
+    and dense id ranges."""
+    import random
+
+    from pyspark.sql import Window
+
+    from in_stream_processing_course_spark.plans.pipeline_queries import (
+        _N_SHARDS,
+        _SHARD_RANK_BUCKET,
+        _balanced_shard_assignments,
+    )
+
+    rng = random.Random(7)
+    B = _SHARD_RANK_BUCKET
+    rows = []
+    # dense run straddling a bucket boundary, all tied on n_tokens
+    rows += [(B - 8 + i, 50) for i in range(16)]
+    # sparse ids across many buckets with few distinct token counts
+    rows += [(rng.randrange(0, 40 * B), rng.choice([1, 2, 50, 999])) for _ in range(400)]
+    # unique token counts (no ties at all)
+    rows += [(100 * B + i, 10_000 + i) for i in range(20)]
+    rows = list({r[0]: r for r in rows}.values())  # unique doc_id
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in _balanced_shard_assignments(docs).collect()
+    }
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    want = {
+        r["doc_id"]: (r["rn"] - 1) % _N_SHARDS
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    assert got == want

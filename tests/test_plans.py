@@ -311,7 +311,12 @@ def _logical_descendants(node):
 
 
 @pytest.mark.parametrize(
-    "name", ["shard_documents_balanced", "sessions_concurrency_daily"]
+    "name",
+    [
+        "shard_documents_balanced",
+        "sessions_concurrency_daily",
+        "epoch_shuffle_manifest",
+    ],
 )
 def test_prefix_rank_windows_are_partitioned(spark, name):
     """The two-pass prefix-rank/prefix-sum rewrites must never move

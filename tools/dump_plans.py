@@ -23,7 +23,23 @@ from in_stream_processing_course_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
 
-AUDITED = [
+# Iterative queries that EXECUTE during DataFrame construction
+# (connected-components / pagerank rounds localCheckpoint per round, so
+# the final explain shows ExistingRDD scans, not the real per-round
+# plan): audited via docstrings + the sf0.1 spot-check table instead.
+ITERATIVE_EXCLUDED = {
+    "curation_end_to_end": "connected-components rounds (localCheckpoint)",
+    "dedup_keep_best_quality": "connected-components rounds",
+    "dedup_cluster_size_histogram": "connected-components rounds",
+    "dedup_clusters": "connected-components rounds",
+    "semantic_dedup_keep": "connected-components rounds",
+    "curation_manifest": "connected-components rounds",
+    "split_documents_cluster_safe": "connected-components rounds",
+    "split_leakage_audit": "builds on split_documents_cluster_safe",
+    "pagerank_customer_supplier": "5 pagerank rounds (localCheckpoint)",
+}
+
+_LEGACY_AUDITED = [
     "bot_stats_sliding",
     "bot_stats_two_level",
     "bot_classified_totals",
@@ -95,12 +111,15 @@ AUDITED = [
     "partition_health",
     "profile_change_feed",
     "temporal_join_events_dim",
-    # split_documents_cluster_safe shares dedup_clusters' ExistingRDD
-    # caveat (connected-components localCheckpoint)
-    # pagerank_customer_supplier / dedup_clusters: localCheckpoint per
-    # round truncates lineage, so the final explain shows ExistingRDD
-    # scans — plan facts live in the operator docstrings instead
 ]
+
+# the audit covers EVERY registered query (VERDICT r3 item 5): the
+# legacy hand-picked order first (stable diffs round-over-round), then
+# every remaining registered name alphabetically, minus the documented
+# iterative exclusions
+AUDITED = [
+    n for n in _LEGACY_AUDITED if n not in ITERATIVE_EXCLUDED
+] + sorted(set(QUERIES) - set(_LEGACY_AUDITED) - set(ITERATIVE_EXCLUDED))
 
 
 def physical(df) -> str:
@@ -151,10 +170,12 @@ def main() -> None:
     # engine itself always runs with AQE on — session.py.)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     lines = [
-        "# PLANS — physical-plan audit of the headline queries",
+        "# PLANS — physical-plan audit of every registered query",
         "",
         "Generated by `tools/dump_plans.py` from `.explain('formatted')` at"
-        f" `{SF}`. Scale-relevant facts per query: parquet scan count,"
+        f" `{SF}` — {len(AUDITED)} of {len(QUERIES)} registered queries"
+        f" ({len(ITERATIVE_EXCLUDED)} iterative queries excluded, listed at"
+        " the end). Scale-relevant facts per query: parquet scan count,"
         " hash-shuffle count (`Exchange hashpartitioning`), single-split"
         " fan-out repartitions, scans with non-empty `PushedFilters`,"
         " per-scan `ReadSchema` column counts (pruning), join strategies"
@@ -187,7 +208,28 @@ def main() -> None:
         "  broadcasts (q15-style max joins, tfidf's corpus-size join)",
         "  and bounded-dimension crosses (the hour-spine x event-type",
         "  grid in events_hourly_gapfill: calendar x enum, never",
-        "  data-sized).",
+        "  data-sized). Adjudicated YES rows, all verified against the",
+        "  optimized logical plan: knn_brute_force / text_tfidf /",
+        "  events_hourly_gapfill / events_hourly_interpolated /",
+        "  data_quality_audit (legacy, see above);",
+        "  approx_users_sketch_union, events_value_trend,",
+        "  quality_calibration_approx, tpch_q11, tpch_q22 join a 1-row",
+        "  aggregate scalar (sketch union / regression moments / quantile",
+        "  array / thresholds); knn_ivf crosses the probe queries with the",
+        "  BROADCAST k-centroid table (bounded by k, never data-sized).",
+        "",
+        "## Excluded from the table (iterative: explain shows only the",
+        "final round's lineage-truncated plan)",
+        "",
+        "| query | why |",
+        "|---|---|",
+    ] + [
+        f"| {name} | {why} |" for name, why in sorted(ITERATIVE_EXCLUDED.items())
+    ] + [
+        "",
+        "Their per-round plan contract is pinned by tests instead",
+        "(`test_near_dup_queries_have_no_cross_product`, the CC operator's",
+        "one-shuffle-per-round docstring + unit tests).",
         "",
         "## Heavy-query spot check at sf0.1 (local[32], noop sink, single pass)",
         "",
