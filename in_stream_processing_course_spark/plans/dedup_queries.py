@@ -1494,3 +1494,103 @@ clusters AS (
 SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM clusters GROUP BY size ORDER BY size
 """
+
+
+# --- winnowed fingerprints (MOSS-style k-gram window minima) -----------------
+
+# word k-grams hashed, then the minimum hash in every sliding window of
+# w consecutive grams becomes a fingerprint: winnowing's guarantee is
+# that any shared run of >= w + k - 1 tokens between two documents
+# shares at least one selected fingerprint — a DETERMINISTIC detection
+# bound MinHash (probabilistic) and full-shingle indexing (k^-1 of the
+# volume) don't give. Schleimer/Wilkerson/Aiken, SIGMOD'03 (public).
+_WIN_K = 3
+_WIN_W = 4
+# quadratic-blowup guard, same discipline as minhash/simhash bucket
+# caps: fingerprints shared by more than this many docs (boilerplate
+# phrases) are dropped before the self-join
+_WIN_MAX_BUCKET = 50
+
+
+def dedup_winnowed_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via winnowed fingerprints: docs sharing any
+    selected fingerprint pair up, scored by how many they share.
+
+    Scale shape: selection is pure Column algebra per document (ordered
+    k-gram hashes -> window minima -> distinct), ~1/w of the shingle
+    volume enters the index; candidates come from ONE groupBy-free
+    equi-self-join on the fingerprint key with the over-common
+    fingerprints capped first — no cross product (plan-pinned with the
+    other near-dup families)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    n = F.size(toks)
+    g_idx = F.sequence(F.lit(1), F.greatest(n - (_WIN_K - 1), F.lit(1)))
+    grams = F.transform(
+        g_idx, lambda i: F.array_join(F.slice(toks, i, _WIN_K), " ")
+    )
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    w_idx = F.sequence(
+        F.lit(1), F.greatest(F.size(hs) - (_WIN_W - 1), F.lit(1))
+    )
+    fps = F.array_distinct(
+        F.transform(w_idx, lambda i: F.array_min(F.slice(hs, i, _WIN_W)))
+    )
+    fp = docs.select(F.col("doc_id"), F.explode(fps).alias("fp"))
+    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    fp = (
+        fp.join(sizes, "fp")
+        .where(F.col("_n") <= _WIN_MAX_BUCKET)
+        .drop("_n")
+        .localCheckpoint(eager=False)
+    )
+    l, r = fp.alias("l"), fp.hint("shuffle_hash").alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("a", "b")
+    )
+
+
+_SQL_WINNOW_FPS = (
+    f"list_distinct(list_transform("
+    f" generate_series(1, greatest(len(hs) - {_WIN_W - 1}, 1)),"
+    f" i -> list_aggregate(list_slice(hs, i, i + {_WIN_W - 1}), 'min')))"
+)
+
+ORACLE_WINNOWED = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(
+             generate_series(1, greatest(len({_SQL_TOKENS}) - {_WIN_K - 1}, 1)),
+             i -> array_to_string(list_slice({_SQL_TOKENS}, i,
+                                             i + {_WIN_K - 1}), ' ')),
+           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hs
+  FROM documents
+), fp0 AS (
+  SELECT doc_id, unnest({_SQL_WINNOW_FPS}) AS fp FROM hashed
+), fp AS (
+  SELECT doc_id, fp FROM fp0
+  WHERE fp IN (SELECT fp FROM fp0 GROUP BY fp
+               HAVING COUNT(*) <= {_WIN_MAX_BUCKET})
+)
+SELECT l.doc_id AS a, r.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY a, b
+ORDER BY a, b
+"""

@@ -743,6 +743,41 @@ ORDER BY shard
 """
 
 
+# --- global priority sample (exact-k without replacement) --------------------
+
+_PRIORITY_K = 500
+
+
+def sample_documents_priority_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample WITHOUT replacement over the whole corpus
+    (the audit/eval draw: "give me exactly 500 random documents,
+    reproducibly"): every doc gets a content-addressed priority
+    md5(doc_id) and the k smallest win. Complements the per-group
+    quota sampler (:func:`sample_k_per_user`) and the rate-based
+    stratified sampler (md5-gate — Bernoulli, not exact-k).
+
+    Scale: orderBy(priority).limit(k) plans as TakeOrderedAndProject —
+    each partition keeps its local top-k and only k rows per partition
+    merge; no global sort, no corpus-wide shuffle. Deterministic on
+    any engine/partitioning (ties impossible: the tiebreak doc_id is
+    unique and the priority is a pure function of it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (
+        docs.select("doc_id", "source", h.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(_PRIORITY_K)
+    )
+
+
+ORACLE_PRIORITY_K = f"""
+SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {_PRIORITY_K}
+"""
+
+
 # --- deterministic epoch shuffle ---------------------------------------------
 
 _EPOCH_SEED = "epoch-3"

@@ -341,6 +341,16 @@ register(
     pq.epoch_shuffle_manifest,
     pq.ORACLE_EPOCH_SHUFFLE,
 )
+register(
+    "sample_documents_priority_k",
+    pq.sample_documents_priority_k,
+    pq.ORACLE_PRIORITY_K,
+)
+register(
+    "dedup_winnowed_candidates",
+    dq.dedup_winnowed_candidates,
+    dq.ORACLE_WINNOWED,
+)
 register("text_chunks", pq.text_chunks, pq.ORACLE_CHUNKS)
 register(
     "sample_k_per_user", pq.sample_k_per_user, pq.ORACLE_SAMPLE_K_PER_USER

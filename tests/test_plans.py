@@ -66,6 +66,7 @@ def test_q5_broadcasts_only_bounded_dims(spark):
         "dedup_embedding_cosine",
         "dedup_incremental_new_docs",
         "knn_lsh_bucketed",
+        "dedup_winnowed_candidates",
     ],
 )
 def test_near_dup_queries_have_no_cross_product(spark, name):
@@ -338,3 +339,12 @@ def test_prefix_rank_windows_are_partitioned(spark, name):
     assert any(
         not n.partitionSpec().isEmpty() for n in windows
     ), f"{name}: expected a partitioned window doing the per-range work"
+
+
+def test_priority_sample_is_top_k_not_global_sort(spark):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (local
+    top-k per partition, merge k rows) — a refactor that materializes
+    a global Sort over the corpus breaks the operator's reason to
+    exist."""
+    plan = _physical(QUERIES["sample_documents_priority_k"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
