@@ -106,3 +106,44 @@ def test_v2_matches_v1_verdicts(rocksdb_spark, tmp_path):
     v2 = run(keyed_history_verdicts_v2, "ckpt_a")
     v1 = run(keyed_history_verdicts, "ckpt_b")
     assert v1 == v2 and len(v1) == 2
+
+
+def test_v2_state_survives_checkpoint_restart(rocksdb_spark, tmp_path):
+    """T6/T8 through the REAL transformWithStateInPandas transport:
+    drain batch 1, stop, drop a second file, restart on the same
+    checkpoint — the restarted query must process only the new file
+    (one emission) and merge run-1 state into it (8 categories -> bot),
+    proving the v2 ValueState + timers round-trip RocksDB across query
+    restarts, not just across micro-batches within one run."""
+    spark = rocksdb_spark
+    b1 = gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+    b2 = [
+        gen.Action(a.time + 60, f"cat{int(a.category_id[3:]) + 4}", a.ip, a.action)
+        for a in gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+    ]
+    in_dir = _write(tmp_path, "b1.json", b1)
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_foreach_batch,
+    )
+
+    def drain():
+        rows: list[tuple] = []
+        lr = actions_to_log_records(read_action_stream(spark, in_dir))
+        run_stream_foreach_batch(
+            keyed_history_verdicts_v2(lr),
+            lambda df, _bid: rows.extend(
+                (r["categories_count"], r["is_bot"], r["reason"])
+                for r in df.collect()
+            ),
+            "update",
+            checkpoint_dir=ckpt,
+        )
+        return rows
+
+    assert drain() == [(4, False, "clear")]
+    _write(tmp_path, "b2.json", b2)
+    # restart on the same checkpoint: only the new file processes, and
+    # it merges onto run-1's persisted state
+    assert drain() == [(8, True, "categories")]

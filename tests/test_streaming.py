@@ -735,3 +735,36 @@ def test_upsert_sink_partitioned_ttl_and_if_not_exists(spark, tmp_path):
     clock["now"] = 1650.0  # 1.2.3.4 (t=1000) expired; 5.6.7.8 (t=1100) live
     table = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
     assert table == {("5.6.7.8", "clicks/views")}
+
+
+def test_streaming_partitioned_sink_end_to_end(spark, tmp_path):
+    """start_bot_detection(sink_partitions=4): the full structured
+    pipeline writing through the hash-partitioned sink layout — the
+    kpart=<k> directories appear on disk and reads are identical to
+    the whole-table path."""
+    import os
+
+    from in_stream_processing_course_spark.streaming.pipeline import (
+        start_bot_detection,
+    )
+
+    actions = gen.category_hopper("bot", 120, 8, interval=30)
+    in_dir = write_actions(tmp_path, "a.json", actions)
+    sink_path = str(tmp_path / "bots_p")
+    q = start_bot_detection(
+        read_action_stream(spark, in_dir),
+        sink_path,
+        str(tmp_path / "ckpt"),
+        mode="structured",
+        available_now=True,
+        sink_partitions=4,
+    )
+    q.awaitTermination(120)
+    table = {
+        (r["bot_ip"], r["reason"])
+        for r in KeyedUpsertSink(
+            sink_path, ["bot_ip"], n_partitions=4
+        ).read(spark).collect()
+    }
+    assert table == {("bot", "categories")}
+    assert any(d.startswith("kpart=") for d in os.listdir(sink_path))
