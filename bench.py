@@ -204,6 +204,70 @@ def bench_prereduce_ab(spark) -> dict[str, float | int]:
     return out
 
 
+def bench_stateful_v2_stream(spark) -> tuple[int, float] | None:
+    """Same drip through the Spark-4 transformWithStateInPandas port
+    (streaming/state_v2.py) — the v1-vs-v2 state-API throughput
+    contrast. Needs google.protobuf (compat fallback) and the RocksDB
+    state store provider; returns None where the transport can't run
+    so the JSON field is simply absent there."""
+    import shutil
+    import tempfile
+
+    from in_stream_processing_course_spark.compat import (
+        ensure_protobuf_fallback,
+    )
+
+    if not ensure_protobuf_fallback():
+        return None
+    from in_stream_processing_course_spark.sources.stream import (
+        read_action_stream,
+    )
+    from in_stream_processing_course_spark.streaming.pipeline import (
+        actions_to_log_records,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        await_drained,
+    )
+    from in_stream_processing_course_spark.streaming.state_v2 import (
+        keyed_history_verdicts_v2,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    root = tempfile.mkdtemp(prefix="bench_state_v2_")
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        in_dir, n_rows = _drip_workload(root)
+        lr = actions_to_log_records(
+            read_action_stream(spark, in_dir, max_files_per_trigger=1)
+        )
+        verdicts = keyed_history_verdicts_v2(lr)
+        start = time.perf_counter()
+        query = (
+            verdicts.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drained(query, timeout_sec=600)
+        elapsed = time.perf_counter() - start
+    except Exception as exc:  # transport unavailable -> field absent
+        print(f"v2 state bench unavailable: {exc}", file=sys.stderr)
+        return None
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+        shutil.rmtree(root, ignore_errors=True)
+    return n_rows, elapsed
+
+
 def bench_stateful_stream(spark) -> tuple[int, float]:
     """T3 state-path throughput (VERDICT r2 item 5): drip a generated
     botgen workload through the file source in 8 micro-batches
@@ -254,6 +318,14 @@ def bench_stateful_stream(spark) -> tuple[int, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # must run BEFORE the JVM starts: Spark's python workers read
+    # PYTHONPATH from the JVM's environment, so a fallback installed
+    # after getOrCreate() is invisible to the v2 state transport
+    from in_stream_processing_course_spark.compat import (
+        ensure_protobuf_fallback,
+    )
+
+    ensure_protobuf_fallback()
     # shuffle partitions track DATA size, not core count: at sf0.1 a
     # 32-partition shuffle stage is dominated by task scheduling (the
     # per-partition payload is KBs), and cores stay busy anyway because
@@ -314,6 +386,7 @@ def main() -> None:
     state_rows, state_sec = bench_stateful_stream(spark)
     win_rows, win_sec = bench_windowed_stream(spark)
     prereduce_ab = bench_prereduce_ab(spark)
+    v2 = bench_stateful_v2_stream(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -332,6 +405,11 @@ def main() -> None:
                 ),
                 "incremental_queries": incr_timings,
                 "prereduce_bot_heavy": prereduce_ab,
+                **(
+                    {"stateful_pipeline_v2_rows_per_sec": round(v2[0] / v2[1])}
+                    if v2
+                    else {}
+                ),
             }
         )
     )

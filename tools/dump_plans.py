@@ -240,6 +240,7 @@ def main() -> None:
         "| query | wall | dominated by |",
         "|---|---|---|",
         "| curation_manifest | 13.9s | blocked cosine pair join (SemDeDup-quadratic within label block — bounded by block size at scale) |",
+        "| dedup_winnowed_candidates | 5.2s | per-doc gram hashing (md5+conv per k-gram; window minima already reduced to two zip_with passes — 25.7s before) |",
         "| semantic_dedup_keep | 12.8s | same pair join |",
         "| dedup_clusters | 9.2s | per-round fixed cost of iterative CC (count action + localCheckpoint per round), not data volume |",
         "| curation_end_to_end | 6.9s | quality filter + LSH + CC composition |",
