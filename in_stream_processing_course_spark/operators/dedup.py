@@ -376,14 +376,18 @@ def simhash_table(
     # composing them Column-by-Column costs ~400 py4j round-trips,
     # which measured ~1.4 s of driver-side DataFrame-construction
     # latency alone (execution of the same plan: 0.15 s)
+    # vote accumulators as plain 0/1 bit-count sums (cheaper per token
+    # row than the equivalent ±1 CASE): +1/-1 vote sum > 0 over n
+    # tokens  <=>  2 * bitcount > n, so the fingerprint is unchanged
     def vote(i: int) -> str:
-        return f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+        return f"sum(shiftright(h, {i}) & 1)"
 
     votes = toks.groupBy(id_col).agg(
-        F.expr("array(" + ", ".join(vote(i) for i in range(n_bits)) + ") AS votes")
+        F.expr("count(1) AS n"),
+        F.expr("array(" + ", ".join(vote(i) for i in range(n_bits)) + ") AS votes"),
     )
     fingerprint = " + ".join(
-        f"(CASE WHEN votes[{i}] > 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN 2 * votes[{i}] > n THEN {1 << i} ELSE 0 END)"
         for i in range(n_bits)
     )
     return votes.select(
