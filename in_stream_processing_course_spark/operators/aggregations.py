@@ -59,7 +59,7 @@ def ip_window_counts(
     key: str = "ip",
     ts: str = "time",
     approx: bool = True,
-    rsd: float = 0.01,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """A2 variant — distinct-category COUNT only. ``approx=True`` uses
     HLL (bounded state at scale); exact uses collect_set+size.

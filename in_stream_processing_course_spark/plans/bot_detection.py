@@ -115,10 +115,14 @@ def windowed_stats_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def windowed_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 at 100 TB — HyperLogLog distinct-category counts
-    (``approx_count_distinct``, rsd 1%) instead of exact collect_set:
+    (``approx_count_distinct``, rsd 5%) instead of exact collect_set:
     bounded sketch state per (ip, window) rather than a full string
-    set. No oracle (HLL estimates are engine-specific); the driver
-    records the rows-only check, and the exact variant
+    set. rsd 5% keeps the HLL at ~2^9 registers (~512 B/group); the
+    1% setting costs 2^14 registers (~16 KB/group) and measured 16.6s
+    vs 1.9s for the EXACT sliding query at sf0.1 — precision beyond
+    the bot gate's needs (the category limit is 5) paid for 32x the
+    sketch state. No oracle (HLL estimates are engine-specific); the
+    driver records the rows-only check, and the exact variant
     (bot_stats_sliding) is the correctness anchor.
     """
     out = ip_window_counts(

@@ -239,6 +239,7 @@ def main() -> None:
         "",
         "| query | wall | dominated by |",
         "|---|---|---|",
+        "| dedup_fuzzy_part_names | 15.1s | 8M in-block threshold-levenshtein pairs (brand blocking + length band + banded DP; was 25.3s with the unbounded DP) |",
         "| curation_manifest | 13.9s | blocked cosine pair join (SemDeDup-quadratic within label block — bounded by block size at scale) |",
         "| dedup_winnowed_candidates | 5.2s | per-doc gram hashing (md5+conv per k-gram; window minima already reduced to two zip_with passes — 25.7s before) |",
         "| semantic_dedup_keep | 12.8s | same pair join |",
