@@ -312,10 +312,19 @@ def embedding_cosine_pairs(
     are the skew risk (quadratic in block size), so blocks should be
     bounded (shard ids, LSH buckets) — AQE splits stragglers.
     """
-    from ..functions.vectors import cosine_col
+    from ..functions.vectors import dot_col, norm_col
 
+    # norms precomputed per ROW, not per pair: inside a block of m
+    # vectors the join evaluates m^2/2 cosines, and recomputing both
+    # operand norms there makes each one three O(d) interpreted folds
+    # instead of one fold + one multiply. Same doubles (identical fold
+    # on identical data), so the 6-dp rounded cosine — and the oracle
+    # hash — are unchanged.
     b = df.select(
-        F.col(id_col), F.col(blocking).alias("_block"), F.col(vec_col).alias("_v")
+        F.col(id_col),
+        F.col(blocking).alias("_block"),
+        F.col(vec_col).alias("_v"),
+        norm_col(F.col(vec_col)).alias("_n"),
     )
     # shuffle-hash over broadcast: see minhash_candidates
     l, r = b.alias("l"), b.hint("shuffle_hash").alias("r")
@@ -328,7 +337,11 @@ def embedding_cosine_pairs(
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.round(cosine_col(F.col("l._v"), F.col("r._v")), 6).alias("cosine"),
+            F.round(
+                dot_col(F.col("l._v"), F.col("r._v"))
+                / (F.col("l._n") * F.col("r._n")),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import (
-    cosine_col,
+    dot_col,
     l2_normalize_col,
+    norm_col,
     sign_bucket_col,
     sqdist_col,
 )
@@ -76,16 +77,29 @@ def brute_force_topk(
     embarrassingly parallel. Cosine rounded to 6 dp for deterministic
     rank ties (tie-break on neighbor id).
     """
+    # norms precomputed per side (one fold per row, not three per
+    # scored pair); same doubles -> same 6-dp cosine and rank order
     p = probes.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        norm_col(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        norm_col(F.col(vec_col)).alias("_vn"),
     )
     scored = (
         c.join(F.broadcast(p), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("_q"), F.col("_v")), 6))
-        .drop("_q", "_v")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("_q"), F.col("_v"))
+                / (F.col("_qn") * F.col("_vn")),
+                6,
+            ),
+        )
+        .drop("_q", "_v", "_qn", "_vn")
     )
     return _ranked_topk(scored, k)
 
@@ -105,18 +119,27 @@ def bucketed_topk(
     p = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_q"),
+        norm_col(F.col(vec_col)).alias("_qn"),
         sign_bucket_col(F.col(vec_col), n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_v"),
+        norm_col(F.col(vec_col)).alias("_vn"),
         sign_bucket_col(F.col(vec_col), n_bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(p), ["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("_q"), F.col("_v")), 6))
-        .drop("_q", "_v", "bucket")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("_q"), F.col("_v"))
+                / (F.col("_qn") * F.col("_vn")),
+                6,
+            ),
+        )
+        .drop("_q", "_v", "_qn", "_vn", "bucket")
     )
     return _ranked_topk(scored, k)
 
@@ -145,6 +168,7 @@ def multiprobe_topk(
     p = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_q"),
+        norm_col(F.col(vec_col)).alias("_qn"),
         F.explode(
             F.transform(flips, lambda m: base.bitwiseXOR(m).cast("int"))
         ).alias("bucket"),
@@ -152,13 +176,21 @@ def multiprobe_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_v"),
+        norm_col(F.col(vec_col)).alias("_vn"),
         sign_bucket_col(F.col(vec_col), n_bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(p), ["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_col(F.col("_q"), F.col("_v")), 6))
-        .drop("_q", "_v", "bucket")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("_q"), F.col("_v"))
+                / (F.col("_qn") * F.col("_vn")),
+                6,
+            ),
+        )
+        .drop("_q", "_v", "_qn", "_vn", "bucket")
     )
     return _ranked_topk(scored, k)
 
@@ -212,7 +244,9 @@ def ivf_topk(
         ).fit(with_vec)
         if full_key:
             _ivf_cache_put(full_key, model)
-    assigned = model.transform(with_vec).select(id_col, vec_col, "_cell")
+    assigned = model.transform(with_vec).select(
+        id_col, vec_col, norm_col(F.col(vec_col)).alias("_vn"), "_cell"
+    )
 
     # cell centroids as a small broadcastable table
     centroids = spark.createDataFrame(
@@ -226,6 +260,7 @@ def ivf_topk(
     p = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_q"),
+        norm_col(F.col(vec_col)).alias("_qn"),
         l2_normalize_col(F.col(vec_col)).alias("_nq"),
     )
     probe_cells = (
@@ -240,7 +275,7 @@ def ivf_topk(
             ),
         )
         .where(F.col("_r") <= n_probe)
-        .select("query_id", "_q", "_cell")
+        .select("query_id", "_q", "_qn", "_cell")
     )
 
     scored = (
@@ -249,7 +284,11 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine_col(F.col("_q"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(
+                dot_col(F.col("_q"), F.col(vec_col))
+                / (F.col("_qn") * F.col("_vn")),
+                6,
+            ).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)

@@ -240,10 +240,10 @@ def main() -> None:
         "| query | wall | dominated by |",
         "|---|---|---|",
         "| dedup_fuzzy_part_names | 15.1s | 8M in-block threshold-levenshtein pairs (brand blocking + length band + banded DP; was 25.3s with the unbounded DP) |",
-        "| curation_manifest | 13.9s | blocked cosine pair join (SemDeDup-quadratic within label block — bounded by block size at scale) |",
+        "| curation_manifest | 11.6s | blocked cosine pair join (SemDeDup-quadratic within label block — bounded by block size at scale; norms now precomputed per row) |",
         "| dedup_winnowed_candidates | 5.2s | per-doc gram hashing (md5+conv per k-gram; window minima already reduced to two zip_with passes — 25.7s before) |",
-        "| semantic_dedup_keep | 12.8s | same pair join |",
-        "| dedup_clusters | 9.2s | per-round fixed cost of iterative CC (count action + localCheckpoint per round), not data volume |",
+        "| semantic_dedup_keep | 8.7s | same pair join |",
+        "| dedup_clusters | 1.7s | per-round fixed cost of iterative CC (count action + localCheckpoint per round), not data volume |",
         "| curation_end_to_end | 6.9s | quality filter + LSH + CC composition |",
         "| pagerank_customer_supplier | 6.1s | 5 fixed iterations x (join + groupBy-sum + localCheckpoint) |",
         "| everything else tested | <= 2.6s | scan-shaped |",
