@@ -205,6 +205,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     cache_key: str | None = None,
+    fit_sample: int = 20_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
     k-means cells, search only the ``n_probe`` cells nearest each query
@@ -219,8 +220,13 @@ def ivf_topk(
 
     The k-means fit (pyspark.ml, seeded -> deterministic) is the
     offline index build; pass ``cache_key`` to reuse it across
-    invocations over the same corpus instead of refitting. At 100 TB it
-    trains on a sample and the assignment pass is one scan. Candidate
+    invocations over the same corpus instead of refitting. The fit
+    trains on at most ``fit_sample`` vectors — a content-addressed
+    deterministic draw (smallest md5(id), a distributed top-k, never a
+    full sort) — while the ASSIGNMENT pass still covers every row:
+    centroid quality converges long before corpus size, so the index
+    build cost is bounded regardless of scale (the docstring's 100 TB
+    claim, made real). Candidate
     generation is an equi-join on the cell id — the same
     no-cross-product discipline as the LSH variants — scanning
     ~n_probe/n_lists of the corpus per query. Recall depends on
@@ -236,12 +242,15 @@ def ivf_topk(
         F.col(vec_col),
         array_to_vector(l2_normalize_col(F.col(vec_col))).alias("_nv"),
     )
-    full_key = cache_key and f"{cache_key}:{n_lists}:{seed}"
+    full_key = cache_key and f"{cache_key}:{n_lists}:{seed}:{fit_sample}"
     model = _ivf_cache_get(full_key) if full_key else None
     if model is None:
+        fit_set = with_vec.orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+        ).limit(fit_sample)
         model = KMeans(
             k=n_lists, seed=seed, featuresCol="_nv", predictionCol="_cell"
-        ).fit(with_vec)
+        ).fit(fit_set)
         if full_key:
             _ivf_cache_put(full_key, model)
     assigned = model.transform(with_vec).select(

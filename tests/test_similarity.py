@@ -47,7 +47,7 @@ def test_ivf_cache_is_bounded_lru(spark, sf_dir):
     # the oldest keys were evicted, the newest survive
     surviving = set(sim._IVF_INDEX_CACHE)
     expect = {
-        f"corpus-{i}:4:42"
+        f"corpus-{i}:4:42:20000"
         for i in range(n_corpora - sim._IVF_CACHE_MAX, n_corpora)
     }
     assert surviving == expect
@@ -56,7 +56,7 @@ def test_ivf_cache_is_bounded_lru(spark, sf_dir):
     oldest = f"corpus-{n_corpora - sim._IVF_CACHE_MAX}"
     ivf_topk(emb, probes, 2, n_lists=4, cache_key=oldest).count()
     ivf_topk(emb, probes, 2, n_lists=4, cache_key="corpus-extra").count()
-    assert f"{oldest}:4:42" in sim._IVF_INDEX_CACHE
+    assert f"{oldest}:4:42:20000" in sim._IVF_INDEX_CACHE
     emb.unpersist()
     sim._IVF_INDEX_CACHE.clear()
 
