@@ -626,9 +626,17 @@ def approx_users_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate against the exact count.
     """
     ev = _events(spark, sf_dir)
-    per_type = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users_exact"),
-        F.hll_sketch_agg("user_id").alias("_sk"),
+    # materialized once: BOTH output branches (per-type rows and the
+    # ALL union row) read per_type, and AQE never reuses the exchange
+    # across them — without this the distinct-agg over events runs
+    # twice (same discipline as the LSH band tables)
+    per_type = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.hll_sketch_agg("user_id").alias("_sk"),
+        )
+        .localCheckpoint(eager=False)
     )
     typed = per_type.select(
         "event_type",

@@ -27,6 +27,14 @@ def main() -> int:
     filters = sys.argv[2:]
     spark = get_spark("scale-smoke", shuffle_partitions="16")
     spark.sparkContext.setLogLevel("FATAL")
+    # untimed warmup so the alphabetically-first query doesn't absorb
+    # JVM/codegen/footer startup into its row
+    try:
+        QUERIES["hourly_event_counts"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
     timings: list[tuple[float, str, str]] = []
     failed: list[str] = []
     t0 = time.perf_counter()
