@@ -47,3 +47,28 @@ def test_committed_sweep_evidence_is_current():
         f"{len(QUERIES)} — re-run tools/parity_sweep.py and commit the "
         "refreshed evidence together with the registry change"
     )
+
+
+def test_committed_scale_smoke_is_current():
+    """Same freshness discipline for the sf0.1 scale-smoke evidence
+    (tools/scale_smoke.py): the committed file must cover the full
+    registry and report zero failures."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    smokes = sorted(
+        root.glob("SCALE_SMOKE_r*_sf*.txt"),
+        key=lambda p: int(re.search(r"_r(\d+)_", p.name).group(1)),
+    )
+    assert smokes, "no committed SCALE_SMOKE evidence file"
+    text = smokes[-1].read_text()
+    m = re.search(r"(\d+) failures / (\d+) run \((\d+) registered\)", text)
+    assert m, f"{smokes[-1].name}: no summary line"
+    n_fail, n_run, n_reg = map(int, m.groups())
+    assert n_fail == 0, f"{smokes[-1].name} records {n_fail} failures"
+    assert n_run == n_reg == len(QUERIES), (
+        f"{smokes[-1].name} covers {n_run}/{n_reg} but the registry has "
+        f"{len(QUERIES)} — re-run tools/scale_smoke.py with the registry "
+        "change"
+    )
