@@ -344,3 +344,36 @@ def test_two_pass_prefix_rank_equals_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_winnowing_detection_guarantee(spark):
+    """Winnowing's deterministic bound (Schleimer/Wilkerson/Aiken):
+    with word k-grams and window w, any two documents sharing a run of
+    >= w + k - 1 consecutive tokens MUST share at least one selected
+    fingerprint. Two docs built around a common 6-token run (k=3, w=4)
+    are found; two docs with disjoint vocabulary are not."""
+    import in_stream_processing_course_spark.plans.dedup_queries as dq
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    run = "alpha beta gamma delta epsilon zeta"  # w + k - 1 = 6 tokens
+    rows = [
+        (1, f"one two three {run} four five"),
+        (2, f"six seven {run} eight nine ten"),
+        (3, "completely different words entirely unrelated text here"),
+        (4, "another disjoint vocabulary document nothing shared at all"),
+    ]
+
+    import unittest.mock as mock
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(
+        dq, "load_table", lambda _s, _d, _t: docs
+    ):
+        pairs = {
+            (r["a"], r["b"])
+            for r in dq.dedup_winnowed_candidates(spark, "unused").collect()
+        }
+    assert (1, 2) in pairs, "docs sharing a 6-token run must pair up"
+    assert not any(3 in p or 4 in p for p in pairs), (
+        "disjoint-vocabulary docs must not pair"
+    )

@@ -768,3 +768,38 @@ def test_streaming_partitioned_sink_end_to_end(spark, tmp_path):
     }
     assert table == {("bot", "categories")}
     assert any(d.startswith("kpart=") for d in os.listdir(sink_path))
+
+
+def test_upsert_sink_partitioned_corrupt_partition_fails_loudly(spark, tmp_path):
+    """Fault isolation for the partitioned layout: a corrupt partition
+    file makes the batch FAIL (checkpoint retry semantics) — and the
+    failed batch must leave every live partition byte-identical, since
+    all writes stage outside the table before any swap."""
+    import os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "bots_corrupt_part")
+    sink = KeyedUpsertSink(path, ["bot_ip"], n_partitions=4)
+    sink(
+        spark.range(200).selectExpr(
+            "concat('ip-', id) AS bot_ip", "'requests' AS reason"
+        ),
+        0,
+    )
+    before = _partition_fingerprints(path)
+    victim = sorted(before)[0]
+    corrupt = os.path.join(path, victim, "corrupt.parquet")
+    with open(corrupt, "wb") as f:
+        f.write(b"this is not parquet")
+    with _pytest.raises(Exception):
+        sink(
+            spark.range(200).selectExpr(
+                "concat('ip-', id) AS bot_ip", "'categories' AS reason"
+            ),
+            1,
+        )
+    os.remove(corrupt)
+    assert _partition_fingerprints(path) == before, (
+        "failed batch mutated live partitions"
+    )
