@@ -348,3 +348,41 @@ def test_priority_sample_is_top_k_not_global_sort(spark):
     exist."""
     plan = _physical(QUERIES["sample_documents_priority_k"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_unpartitioned_window_over_raw_input_anywhere(spark):
+    """Registry-wide guarantee behind the two-pass prefix-rank work:
+    NO query may move non-aggregated (potentially corpus-scale) rows
+    through a single-partition Window. The only allowed exception is
+    quality_calibration's exact ntile, which exists as the oracle-exact
+    twin of quality_calibration_approx (the documented 100 TB shape).
+    Iterative queries are skipped (lineage truncation hides their
+    plans; covered by their own plan pins)."""
+    from in_stream_processing_course_spark.plans.registry import QUERIES as Q
+
+    iterative = {
+        "curation_end_to_end",
+        "dedup_keep_best_quality",
+        "dedup_cluster_size_histogram",
+        "dedup_clusters",
+        "semantic_dedup_keep",
+        "curation_manifest",
+        "split_documents_cluster_safe",
+        "split_leakage_audit",
+        "pagerank_customer_supplier",
+    }
+    allowed = {"quality_calibration"}
+    offenders = []
+    for name in sorted(Q):
+        if name in iterative or name in allowed:
+            continue
+        plan = Q[name](spark, SF)._jdf.queryExecution().optimizedPlan()
+        for node in _logical_descendants(plan):
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                if not any(
+                    d.nodeName() == "Aggregate"
+                    for d in _logical_descendants(node)
+                ):
+                    offenders.append(name)
+                    break
+    assert not offenders, offenders
