@@ -386,3 +386,46 @@ def test_no_unpartitioned_window_over_raw_input_anywhere(spark):
                     offenders.append(name)
                     break
     assert not offenders, offenders
+
+
+def test_no_nested_loop_joins_outside_allowlist(spark):
+    """Registry-wide: no query may plan a CartesianProduct or
+    BroadcastNestedLoopJoin except the adjudicated set (PLANS.md
+    notes): 1-row scalar-aggregate broadcasts and bounded-dimension
+    crosses (calendar x enum spines, k-centroid assignment). A new
+    query accidentally introducing a data-sized nested loop fails
+    here instead of surfacing at 100 TB."""
+    from in_stream_processing_course_spark.plans.registry import QUERIES as Q
+
+    iterative = {
+        "curation_end_to_end",
+        "dedup_keep_best_quality",
+        "dedup_cluster_size_histogram",
+        "dedup_clusters",
+        "semantic_dedup_keep",
+        "curation_manifest",
+        "split_documents_cluster_safe",
+        "split_leakage_audit",
+        "pagerank_customer_supplier",
+    }
+    adjudicated = {
+        "knn_brute_force",  # probe set broadcast (bounded)
+        "text_tfidf",  # 1-row corpus-size scalar
+        "events_hourly_gapfill",  # calendar x enum spine
+        "events_hourly_interpolated",  # same spine
+        "data_quality_audit",  # 1-row table-stats scalars
+        "approx_users_sketch_union",  # 1-row union-sketch scalar
+        "events_value_trend",  # 1-row regression moments
+        "knn_ivf",  # k-centroid assignment cross (bounded by k)
+        "quality_calibration_approx",  # 1-row quantile array
+        "tpch_q11_balance_concentration",  # 1-row threshold scalar
+        "tpch_q22_inactive_customers",  # 1-row avg-balance scalar
+    }
+    offenders = []
+    for name in sorted(Q):
+        if name in iterative or name in adjudicated:
+            continue
+        plan = _physical(Q[name](spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
