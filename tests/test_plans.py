@@ -350,12 +350,19 @@ def test_priority_sample_is_top_k_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_no_unpartitioned_window_over_raw_input_anywhere(spark):
-    """Registry-wide guarantee behind the two-pass prefix-rank work:
-    NO query may move non-aggregated (potentially corpus-scale) rows
-    through a single-partition Window. The only allowed exception is
-    quality_calibration's exact ntile, which exists as the oracle-exact
-    twin of quality_calibration_approx (the documented 100 TB shape).
+def test_registry_wide_plan_guards(spark):
+    """One pass over every registered query's plan, two guards:
+
+    1. No non-aggregated (potentially corpus-scale) rows through a
+       single-partition Window — the 100 TB scale-killer the round-3
+       verdict flagged twice. Allowed exception: quality_calibration's
+       exact ntile (the oracle-exact twin of the documented _approx
+       scale shape).
+    2. No CartesianProduct / BroadcastNestedLoopJoin outside the
+       adjudicated set (PLANS.md notes): 1-row scalar-aggregate
+       broadcasts and bounded-dimension crosses (calendar x enum
+       spines, k-centroid assignment).
+
     Iterative queries are skipped (lineage truncation hides their
     plans; covered by their own plan pins)."""
     from in_stream_processing_course_spark.plans.registry import QUERIES as Q
@@ -371,44 +378,8 @@ def test_no_unpartitioned_window_over_raw_input_anywhere(spark):
         "split_leakage_audit",
         "pagerank_customer_supplier",
     }
-    allowed = {"quality_calibration"}
-    offenders = []
-    for name in sorted(Q):
-        if name in iterative or name in allowed:
-            continue
-        plan = Q[name](spark, SF)._jdf.queryExecution().optimizedPlan()
-        for node in _logical_descendants(plan):
-            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
-                if not any(
-                    d.nodeName() == "Aggregate"
-                    for d in _logical_descendants(node)
-                ):
-                    offenders.append(name)
-                    break
-    assert not offenders, offenders
-
-
-def test_no_nested_loop_joins_outside_allowlist(spark):
-    """Registry-wide: no query may plan a CartesianProduct or
-    BroadcastNestedLoopJoin except the adjudicated set (PLANS.md
-    notes): 1-row scalar-aggregate broadcasts and bounded-dimension
-    crosses (calendar x enum spines, k-centroid assignment). A new
-    query accidentally introducing a data-sized nested loop fails
-    here instead of surfacing at 100 TB."""
-    from in_stream_processing_course_spark.plans.registry import QUERIES as Q
-
-    iterative = {
-        "curation_end_to_end",
-        "dedup_keep_best_quality",
-        "dedup_cluster_size_histogram",
-        "dedup_clusters",
-        "semantic_dedup_keep",
-        "curation_manifest",
-        "split_documents_cluster_safe",
-        "split_leakage_audit",
-        "pagerank_customer_supplier",
-    }
-    adjudicated = {
+    window_allowed = {"quality_calibration"}
+    nl_adjudicated = {
         "knn_brute_force",  # probe set broadcast (bounded)
         "text_tfidf",  # 1-row corpus-size scalar
         "events_hourly_gapfill",  # calendar x enum spine
@@ -421,11 +392,27 @@ def test_no_nested_loop_joins_outside_allowlist(spark):
         "tpch_q11_balance_concentration",  # 1-row threshold scalar
         "tpch_q22_inactive_customers",  # 1-row avg-balance scalar
     }
-    offenders = []
+    window_offenders, nl_offenders = [], []
     for name in sorted(Q):
-        if name in iterative or name in adjudicated:
+        if name in iterative:
             continue
-        plan = _physical(Q[name](spark, SF))
-        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+        df = Q[name](spark, SF)
+        if name not in window_allowed:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            for node in _logical_descendants(plan):
+                if (
+                    node.nodeName() == "Window"
+                    and node.partitionSpec().isEmpty()
+                    and not any(
+                        d.nodeName() == "Aggregate"
+                        for d in _logical_descendants(node)
+                    )
+                ):
+                    window_offenders.append(name)
+                    break
+        if name not in nl_adjudicated:
+            phys = _physical(df)
+            if "CartesianProduct" in phys or "BroadcastNestedLoopJoin" in phys:
+                nl_offenders.append(name)
+    assert not window_offenders, f"single-partition windows: {window_offenders}"
+    assert not nl_offenders, f"unadjudicated nested loops: {nl_offenders}"
