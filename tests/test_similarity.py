@@ -133,3 +133,45 @@ def test_principal_direction_maximizes_variance(spark, sf_dir):
         v /= np.linalg.norm(v)
         rand_var = float(((Xc @ v) ** 2).sum()) / len(X)
         assert fitted_var >= rand_var - 1e-9
+
+
+def test_persisted_ivf_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """build_ivf_index / ivf_topk_on_index: the offline-build +
+    online-probe split must return exactly what the inline ivf_topk
+    computes with the same parameters, and the probe-side corpus scan
+    must be directory-pruned to the probed cells (PartitionFilters on
+    the hive layout, not a post-scan filter)."""
+    from in_stream_processing_course_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_on_index,
+    )
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.orderBy("vec_id").limit(3)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_lists=8, seed=7)
+
+    on_index = ivf_topk_on_index(spark, probes, path, k=4, n_probe=2)
+    inline = ivf_topk(emb, probes, k=4, n_lists=8, n_probe=2, seed=7)
+    got = {tuple(r) for r in on_index.collect()}
+    want = {tuple(r) for r in inline.collect()}
+    assert got == want and got
+
+    # layout: hive cell=<k> directories exist
+    import os
+
+    cells = [d for d in os.listdir(f"{path}/corpus") if d.startswith("cell=")]
+    assert len(cells) == 8
+
+    # plan: the probed scan carries a PartitionFilters entry on cell
+    jvm = on_index.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = on_index._jdf.queryExecution().explainString(mode)
+    import re
+
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(re.search(r"cell#\d+ IN \(", l) for l in pf), pf
