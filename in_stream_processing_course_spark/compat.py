@@ -42,28 +42,40 @@ def ensure_protobuf_fallback() -> bool:
     os.makedirs(gdir, exist_ok=True)
     init = os.path.join(gdir, "__init__.py")
     if not os.path.exists(init):
-        with open(init, "w") as f:
+        # write-then-rename so a concurrent setup never observes a
+        # half-written module file
+        tmp = f"{init}.{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write(
                 "__path__ = __import__('pkgutil')"
                 ".extend_path(__path__, __name__)\n"
             )
+        os.replace(tmp, init)
     link = os.path.join(gdir, "protobuf")
     if not os.path.lexists(link):
-        os.symlink(_PROTOBUF_BUNDLE, link)
+        try:
+            os.symlink(_PROTOBUF_BUNDLE, link)
+        except FileExistsError:
+            # concurrent process won the lexists/symlink race; the link
+            # it created points at the same bundle
+            pass
     sys.path.insert(0, shim)
     os.environ["PYTHONPATH"] = (
         shim + os.pathsep + os.environ.get("PYTHONPATH", "")
     )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
     # the bundle is a '-dev' runtime build; protobuf's version check
     # rejects any gencode whose suffix differs from the runtime's, so
     # pyspark's generated StateMessage_pb2 (a release gencode) would
-    # fail on suffix alone. The official escape hatch is this env var —
-    # scoped to the fallback branch only (a real pip protobuf never
-    # gets here).
+    # fail on suffix alone. The official escape hatch is this env var.
+    # Set it only once the fallback import has actually succeeded via
+    # the shim: a host where the shim doesn't resolve keeps the real
+    # version check, and a pip-installed protobuf returns before this
+    # point — the relaxation never masks a genuine gencode/runtime
+    # mismatch outside the bundle branch. (The check itself fires at
+    # *_pb2 import time, after this.)
     os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    return True

@@ -62,6 +62,115 @@ class KeyedUpsertSink:
         # next time their partition is touched).
         self.n_partitions = n_partitions
 
+    # -- crash recovery -----------------------------------------------------
+
+    def _recover(self) -> None:
+        """Repair any state a crashed batch left behind, before doing work.
+
+        The swap protocol only ever *renames* live data (never deletes it
+        before the replacement is installed), so every crash window leaves
+        enough on disk to restore the last committed state:
+
+        - ``._stage_*`` dirs are uncommitted batch output → delete.
+        - ``._old_table_*`` (whole-table swap retired the live table but
+          died before installing the stage): if the live path is missing,
+          restore it; if present, the swap committed → delete the old.
+        - ``._old_kpart_<k>_*`` (partitioned swap retired partition k):
+          same rule against ``<path>/kpart=<k>``.
+
+        After recovery the table holds, per partition, either the state
+        before the crashed batch or its completed merge; the checkpoint
+        retry then re-runs the MERGE idempotently over both. No
+        pre-existing key is ever dropped.
+        """
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        base = os.path.basename(self.path)
+        if not os.path.isdir(parent):
+            return
+        for name in sorted(os.listdir(parent)):
+            full = os.path.join(parent, name)
+            if name.startswith(f"{base}._stage_"):
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith(f"{base}._old_table_"):
+                if os.path.exists(self.path):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    shutil.move(full, self.path)
+            elif name.startswith(f"{base}._old_kpart_"):
+                k = name[len(f"{base}._old_kpart_") :].split("_")[0]
+                dst = os.path.join(self.path, f"kpart={int(k)}")
+                if os.path.exists(dst):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.makedirs(self.path, exist_ok=True)
+                    shutil.move(full, dst)
+
+    # -- layout guard -------------------------------------------------------
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.path, "_kpart_layout")
+
+    def _validate_layout(self) -> None:
+        """Fail loudly when the on-disk layout contradicts this sink's
+        configuration, instead of a confusing missing-``kpart``
+        AnalysisException (unpartitioned table + partitioned sink) or a
+        silent re-hash that strands stale duplicate keys in untouched
+        partitions (``n_partitions`` changed between runs)."""
+        if not os.path.isdir(self.path):
+            return
+        entries = [
+            n for n in os.listdir(self.path) if not n.startswith(("_", "."))
+        ]
+        kparts = [n for n in entries if n.startswith("kpart=")]
+        marker = self._marker_path()
+        persisted = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                persisted = int(f.read().strip())
+        if self.n_partitions is None:
+            if kparts or persisted is not None:
+                raise ValueError(
+                    f"table at {self.path} is hash-partitioned "
+                    f"(n_partitions={persisted}); construct the sink with "
+                    "the same n_partitions, or rewrite the table into an "
+                    "unpartitioned layout at a new path"
+                )
+            return
+        if entries and not kparts:
+            raise ValueError(
+                f"table at {self.path} is unpartitioned but the sink was "
+                f"configured with n_partitions={self.n_partitions}; migrate "
+                "by reading the table and writing it through a partitioned "
+                "sink at a new path"
+            )
+        if persisted is not None and persisted != self.n_partitions:
+            raise ValueError(
+                f"table at {self.path} was written with "
+                f"n_partitions={persisted} but the sink is configured with "
+                f"n_partitions={self.n_partitions}; changing the partition "
+                "count re-hashes keys and would strand stale duplicates in "
+                "untouched partitions — keep the persisted count or rewrite "
+                "the table at a new path"
+            )
+        if persisted is None and kparts:
+            # pre-marker table: adopt the configured count iff every
+            # observed partition id fits it, and persist going forward
+            max_k = max(int(n.split("=", 1)[1]) for n in kparts)
+            if max_k >= self.n_partitions:
+                raise ValueError(
+                    f"table at {self.path} has partition kpart={max_k} "
+                    f">= configured n_partitions={self.n_partitions}; the "
+                    "on-disk layout was written with a larger count"
+                )
+            self._write_marker()
+
+    def _write_marker(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"{self._marker_path()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(self.n_partitions))
+        os.replace(tmp, self._marker_path())
+
     # -- helpers ------------------------------------------------------------
 
     def _read_current(self, spark: SparkSession) -> DataFrame | None:
@@ -106,6 +215,8 @@ class KeyedUpsertSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        self._recover()
+        self._validate_layout()
         now = self.now_fn()
         incoming = batch_df.dropDuplicates(self.key_cols).withColumn(
             "detected_at", F.lit(float(now))
@@ -129,7 +240,12 @@ class KeyedUpsertSink:
         stage = f"{self.path}._stage_{batch_id}_{uuid.uuid4().hex[:8]}"
         merged.write.parquet(stage)
         if os.path.exists(self.path):
-            old = f"{self.path}._old_{uuid.uuid4().hex[:8]}"
+            # retire-then-install: the live table is renamed (never
+            # deleted) before the stage is installed, so a crash in the
+            # window leaves either the live table or a restorable
+            # ._old_table_* — _recover() on the next batch puts the last
+            # committed state back before the checkpoint retry re-merges.
+            old = f"{self.path}._old_table_{uuid.uuid4().hex[:8]}"
             shutil.move(self.path, old)
             shutil.move(stage, self.path)
             shutil.rmtree(old)
@@ -146,11 +262,18 @@ class KeyedUpsertSink:
         data); current rows load with a partition filter on ``kpart`` —
         directory pruning, untouched partition files are never opened —
         and the merged result stages to a temp dir partitioned the same
-        way before each touched ``kpart=<k>`` directory is swapped in.
-        Untouched partitions stay byte-identical (pinned by test). A
-        failed batch leaves every live partition untouched; checkpoint
-        retry re-runs the MERGE idempotently, as in the whole-table
-        path."""
+        way before the touched ``kpart=<k>`` directories are swapped in.
+        Untouched partitions stay byte-identical (pinned by test).
+
+        The swap is two-phase: phase A renames every touched live
+        partition aside (``._old_kpart_<k>_*`` — renamed, never deleted
+        while it is the only copy), phase B installs the staged
+        partitions, phase C deletes the retired copies. A crash in any
+        window is repaired by :meth:`_recover` on the next batch — each
+        partition is restored to either its pre-batch state or the
+        completed merge, and the checkpoint retry re-runs the MERGE
+        idempotently over both. No pre-existing key is ever dropped
+        (pinned by a swap-window fault test)."""
         kp = F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_partitions)).cast(
             "int"
         )
@@ -167,26 +290,31 @@ class KeyedUpsertSink:
         stage = f"{self.path}._stage_{batch_id}_{uuid.uuid4().hex[:8]}"
         merged.write.partitionBy("kpart").parquet(stage)
         os.makedirs(self.path, exist_ok=True)
+        self._write_marker()
+        # phase A: retire every touched live partition (rename, keep)
+        retired: list[str] = []
+        for k in touched:
+            dst = os.path.join(self.path, f"kpart={int(k)}")
+            if os.path.exists(dst):
+                old = f"{self.path}._old_kpart_{int(k)}_{uuid.uuid4().hex[:8]}"
+                shutil.move(dst, old)
+                retired.append(old)
+        # phase B: install the staged partitions. A partition the merge
+        # emitted nothing for (every row TTL-expired and the batch's
+        # keys all dropped by ifNotExists) simply stays retired — the
+        # retry recomputes the same empty result.
         for k in touched:
             src = os.path.join(stage, f"kpart={int(k)}")
-            dst = os.path.join(self.path, f"kpart={int(k)}")
-            if not os.path.exists(src):
-                # merge emitted nothing for this partition (e.g. every
-                # row TTL-expired and the batch's keys were all dropped
-                # by ifNotExists): the partition is now empty
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                continue
-            if os.path.exists(dst):
-                old = f"{self.path}._old_{int(k)}_{uuid.uuid4().hex[:8]}"
-                shutil.move(dst, old)
-                shutil.move(src, dst)
-                shutil.rmtree(old)
-            else:
-                shutil.move(src, dst)
+            if os.path.exists(src):
+                shutil.move(src, os.path.join(self.path, f"kpart={int(k)}"))
+        # phase C: drop the retired copies; the batch is now committed
+        for old in retired:
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
     def read(self, spark: SparkSession, apply_ttl: bool = True) -> DataFrame:
+        self._recover()
+        self._validate_layout()
         df = self._read_current(spark)
         if df is None:
             return spark.createDataFrame([], "struct<>")

@@ -60,8 +60,12 @@ class RecentCategoriesProcessor(StatefulProcessor):
                 continue
             touched = True
             # per-batch pre-combine: one map lookup per distinct
-            # category, not per row
-            times = pdf["time"].astype("int64") // 10**9
+            # category, not per row. epoch_sec is computed in the query
+            # plan (unix_timestamp, tz-aware) — deriving it here from
+            # the pandas datetimes would silently shift by the session
+            # timezone offset whenever spark.sql.session.timeZone is
+            # not UTC, diverging from recent_categories_batch.
+            times = pdf["epoch_sec"]
             latest: dict[str, int] = {}
             for cat, t in zip(pdf["category"], times):
                 t = int(t)
@@ -91,8 +95,16 @@ class RecentCategoriesProcessor(StatefulProcessor):
 
 
 def recent_categories_stream(log_records: DataFrame) -> DataFrame:
-    """Streaming rolling last-N categories per key (update mode)."""
-    return log_records.groupBy("ip").transformWithStateInPandas(
+    """Streaming rolling last-N categories per key (update mode).
+
+    Epoch seconds are derived in the plan (``unix_timestamp``) rather
+    than inside the processor so the streamed ``cat@epoch`` strings
+    match :func:`recent_categories_batch` under any session timezone.
+    """
+    with_epoch = log_records.withColumn(
+        "epoch_sec", F.unix_timestamp("time")
+    )
+    return with_epoch.groupBy("ip").transformWithStateInPandas(
         statefulProcessor=RecentCategoriesProcessor(),
         outputStructType=RECENT_OUTPUT_SCHEMA,
         outputMode="Update",

@@ -803,3 +803,140 @@ def test_upsert_sink_partitioned_corrupt_partition_fails_loudly(spark, tmp_path)
     assert _partition_fingerprints(path) == before, (
         "failed batch mutated live partitions"
     )
+
+
+def _table_keys(spark, path, n_partitions=None):
+    return {
+        (r["bot_ip"], r["reason"])
+        for r in KeyedUpsertSink(path, ["bot_ip"], n_partitions=n_partitions)
+        .read(spark)
+        .collect()
+    }
+
+
+def test_upsert_sink_partitioned_swap_window_crash_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r4 (medium): a crash INSIDE the partition swap window —
+    after live partitions are retired (phase A) but before the staged
+    replacements land (phase B) — must not lose pre-existing keys.
+    Inject the fault at the first phase-B install (every touched live
+    partition already renamed aside), then re-run the batch as the
+    checkpoint retry would: recovery restores the retired partitions
+    and the MERGE converges with zero dropped keys."""
+    import os
+    import shutil as real_shutil
+
+    path = str(tmp_path / "bots_swapcrash")
+    sink = KeyedUpsertSink(path, ["bot_ip"], n_partitions=8)
+    n = 5_000
+    sink(
+        spark.range(n).selectExpr(
+            "concat('ip-', id) AS bot_ip", "'requests' AS reason"
+        ),
+        0,
+    )
+
+    batch1 = spark.range(0, 50).selectExpr(
+        "concat('ip-', id) AS bot_ip", "'categories' AS reason"
+    )
+
+    import in_stream_processing_course_spark.sinks.upsert as upsert_mod
+
+    orig_move = real_shutil.move
+
+    def crash_on_install(src, dst, *a, **kw):
+        # phase-B moves come FROM the stage dir; phase-A moves don't
+        if "._stage_" in str(src):
+            raise OSError("injected crash during phase B install")
+        return orig_move(src, dst, *a, **kw)
+
+    monkeypatch.setattr(upsert_mod.shutil, "move", crash_on_install)
+    with pytest.raises(OSError, match="injected crash"):
+        sink(batch1, 1)
+    monkeypatch.setattr(upsert_mod.shutil, "move", orig_move)
+
+    # crash state: at least one live partition is retired to _old_kpart_
+    parent = os.path.dirname(path)
+    base = os.path.basename(path)
+    stranded = [
+        d for d in os.listdir(parent) if d.startswith(f"{base}._old_kpart_")
+    ]
+    assert stranded, "test premise: the crash left retired partitions behind"
+
+    # checkpoint retry re-runs the same batch; recovery must restore the
+    # retired partitions first, so no pre-existing key is dropped
+    sink(batch1, 1)
+    table = _table_keys(spark, path, n_partitions=8)
+    expected = {(f"ip-{i}", "categories") for i in range(50)} | {
+        (f"ip-{i}", "requests") for i in range(50, n)
+    }
+    assert table == expected
+    leftovers = [
+        d
+        for d in os.listdir(parent)
+        if d.startswith((f"{base}._old_", f"{base}._stage_"))
+    ]
+    assert leftovers == [], f"stranded dirs not cleaned up: {leftovers}"
+
+
+def test_upsert_sink_whole_table_swap_crash_recovers(spark, tmp_path):
+    """Whole-table layout, same window: a crash between retiring the
+    live table and installing the stage leaves only ._old_table_* on
+    disk. The next batch (or read) must restore it instead of treating
+    the table as empty and silently dropping every pre-existing key."""
+    import shutil as real_shutil
+
+    path = str(tmp_path / "bots_tablecrash")
+    sink = KeyedUpsertSink(path, ["bot_ip"])
+    sink(_verdicts_df(spark, [("1.2.3.4", "requests"), ("9.9.9.9", "requests")]), 0)
+
+    # simulate the exact crash state the swap can leave behind
+    real_shutil.move(path, f"{path}._old_table_deadbeef")
+
+    sink(_verdicts_df(spark, [("5.6.7.8", "categories")]), 1)
+    assert _table_keys(spark, path) == {
+        ("1.2.3.4", "requests"),
+        ("9.9.9.9", "requests"),
+        ("5.6.7.8", "categories"),
+    }
+
+
+def test_upsert_sink_layout_guard(spark, tmp_path):
+    """ADVICE r4 (low): pointing a partitioned sink at an unpartitioned
+    table, an unpartitioned sink at a partitioned table, or changing
+    n_partitions between runs must fail loudly with a migration hint —
+    never a missing-kpart AnalysisException or silent duplicate keys."""
+    flat = str(tmp_path / "flat")
+    KeyedUpsertSink(flat, ["bot_ip"])(
+        _verdicts_df(spark, [("1.2.3.4", "requests")]), 0
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        KeyedUpsertSink(flat, ["bot_ip"], n_partitions=4)(
+            _verdicts_df(spark, [("5.6.7.8", "requests")]), 1
+        )
+
+    part = str(tmp_path / "part")
+    KeyedUpsertSink(part, ["bot_ip"], n_partitions=4)(
+        _verdicts_df(spark, [("1.2.3.4", "requests")]), 0
+    )
+    # count change: read AND write both refuse
+    with pytest.raises(ValueError, match="n_partitions=4"):
+        KeyedUpsertSink(part, ["bot_ip"], n_partitions=8).read(spark)
+    with pytest.raises(ValueError, match="n_partitions=4"):
+        KeyedUpsertSink(part, ["bot_ip"], n_partitions=8)(
+            _verdicts_df(spark, [("5.6.7.8", "requests")]), 1
+        )
+    # partitioned table + unpartitioned sink
+    with pytest.raises(ValueError, match="hash-partitioned"):
+        KeyedUpsertSink(part, ["bot_ip"])(
+            _verdicts_df(spark, [("5.6.7.8", "requests")]), 1
+        )
+    # matching count still works on both sides
+    KeyedUpsertSink(part, ["bot_ip"], n_partitions=4)(
+        _verdicts_df(spark, [("5.6.7.8", "categories")]), 1
+    )
+    assert _table_keys(spark, part, n_partitions=4) == {
+        ("1.2.3.4", "requests"),
+        ("5.6.7.8", "categories"),
+    }

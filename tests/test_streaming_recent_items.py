@@ -130,3 +130,40 @@ def test_recent_items_pruned_category_reenters_on_new_occurrence(
         ).collect()
     }
     assert streamed == batched
+
+
+def test_recent_items_stream_matches_batch_non_utc_session_tz(
+    rocksdb_spark, tmp_path
+):
+    """ADVICE r4 (low): epoch seconds are computed in the query plan
+    (unix_timestamp), not re-derived from pandas datetimes inside the
+    processor — so the streamed cat@epoch strings must equal the batch
+    twin even when the session timezone is not UTC (Arrow hands the
+    processor tz-shifted naive datetimes under a non-UTC session tz)."""
+    spark = rocksdb_spark
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        b1 = [gen.Action(10 + i, f"cat{i}", "u1", "view") for i in range(3)]
+        in_dir = _write(tmp_path, "b1.json", b1)
+        lr = actions_to_log_records(read_action_stream(spark, in_dir))
+        streamed = _last_per_ip(
+            run_stream_to_memory(
+                recent_categories_stream(lr),
+                output_mode="update",
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            ).collect()
+        )
+        from in_stream_processing_course_spark.sources.generator import (
+            actions_to_log_records as batch_records,
+        )
+
+        batched = {
+            r["ip"]: r["recent"]
+            for r in recent_categories_batch(batch_records(spark, b1)).collect()
+        }
+        assert streamed == batched
+        # and the epochs are the true event epochs, not tz-shifted
+        assert streamed["u1"] == "cat2@12,cat1@11,cat0@10"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
