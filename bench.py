@@ -49,6 +49,16 @@ INCREMENTAL_FAMILY = [
     "profile_change_feed",
 ]
 
+# round-5 retrieval family (BM25 / hybrid RRF / MMR + the new
+# analytics pair) — separate metric, same comparability rule
+RETRIEVAL_FAMILY = [
+    "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "retrieval_mmr_diversified",
+    "parts_skyline_per_brand",
+    "events_twap_per_user",
+]
+
 
 def _drip_workload(tmp_root: str) -> tuple[str, int]:
     """Generate the 8-file botgen drip shared by the streaming benches."""
@@ -383,6 +393,15 @@ def main() -> None:
             elapsed = round(time.perf_counter() - start, 3)
             if name not in incr_timings or elapsed < incr_timings[name]:
                 incr_timings[name] = elapsed
+    retr_timings: dict[str, float] = {}
+    for name in RETRIEVAL_FAMILY:
+        fn = QUERIES[name]
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 3)
+            if name not in retr_timings or elapsed < retr_timings[name]:
+                retr_timings[name] = elapsed
     state_rows, state_sec = bench_stateful_stream(spark)
     win_rows, win_sec = bench_windowed_stream(spark)
     prereduce_ab = bench_prereduce_ab(spark)
@@ -404,6 +423,10 @@ def main() -> None:
                     sum(incr_timings.values()), 3
                 ),
                 "incremental_queries": incr_timings,
+                "retrieval_family_wall_sec": round(
+                    sum(retr_timings.values()), 3
+                ),
+                "retrieval_queries": retr_timings,
                 "prereduce_bot_heavy": prereduce_ab,
                 **(
                     {"stateful_pipeline_v2_rows_per_sec": round(v2[0] / v2[1])}

@@ -577,3 +577,18 @@ register(
     rel.orders_weekly_priority_mix,
     rel.ORACLE_WEEKLY_PRIORITY,
 )
+
+# --- retrieval family (round 5): lexical / hybrid / diversified search ------
+from . import retrieval_queries as rq  # noqa: E402
+
+register("retrieval_bm25_topk", rq.retrieval_bm25_topk, rq.ORACLE_BM25_TOPK)
+register("retrieval_hybrid_rrf", rq.retrieval_hybrid_rrf, rq.ORACLE_HYBRID_RRF)
+register(
+    "retrieval_mmr_diversified",
+    rq.retrieval_mmr_diversified,
+    rq.ORACLE_MMR,
+)
+register(
+    "parts_skyline_per_brand", rel.parts_skyline_per_brand, rel.ORACLE_SKYLINE
+)
+register("events_twap_per_user", ts.events_twap_per_user, ts.ORACLE_TWAP)

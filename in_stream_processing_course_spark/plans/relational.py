@@ -2371,3 +2371,55 @@ SELECT week_start, o_orderpriority, n_orders,
                        AS DOUBLE) AS share
 FROM counts ORDER BY week_start, o_orderpriority
 """
+
+
+def parts_skyline_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts per brand: a part survives iff
+    no same-brand part is at-least-as-cheap AND at-least-as-small with
+    one strict — the classic two-criteria dominance query (price down,
+    size down).
+
+    Spark-first scale shape: NOT the quadratic NOT-EXISTS self-join the
+    oracle uses. 2-D dominance collapses to a prefix-min: group to one
+    row per (brand, price) with the group's min size, then over each
+    brand's price-ordered groups take (a) the running min size including
+    the current group (dominates via price<=, size<) and (b) its lag
+    (dominates via price<, size<=). The Windows run over the
+    (brand, price)-grouped input — price is a bounded grid per brand,
+    and the partition key keeps every window parallel — then one hash
+    join back to part. Two shuffles total, zero pairwise work."""
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy("p_brand", "p_retailprice").agg(
+        F.min("p_size").alias("_gmin")
+    )
+    w_run = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    g = g.withColumn("_min_le", F.min("_gmin").over(w_run)).withColumn(
+        "_min_lt", F.lag("_min_le").over(w_lag)
+    )
+    joined = part.join(g, ["p_brand", "p_retailprice"])
+    dominated = (F.col("_min_le") < F.col("p_size")) | (
+        F.col("_min_lt").isNotNull() & (F.col("_min_lt") <= F.col("p_size"))
+    )
+    return (
+        joined.where(~dominated)
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+ORACLE_SKYLINE = """
+SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND ((q.p_retailprice < p.p_retailprice AND q.p_size <= p.p_size)
+      OR (q.p_retailprice <= p.p_retailprice AND q.p_size < p.p_size))
+)
+ORDER BY p.p_brand, p.p_partkey
+"""

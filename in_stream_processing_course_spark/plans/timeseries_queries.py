@@ -1233,3 +1233,62 @@ SELECT prev_type, next_type, n,
        n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS share
 FROM pairs ORDER BY prev_type, next_type
 """
+
+
+def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over irregularly-sampled
+    events (each value holds until the next event; last value carries
+    no weight) — the TWAP/telemetry-mean that a plain AVG gets wrong
+    whenever sampling is bursty.
+
+    The weighted sum is an ordered fold over the user's event sequence
+    (zip adjacent pairs -> value * microsecond gap -> left fold), the
+    same fixed-order double discipline as the EWMA recurrence: weights
+    are exact integer micros, products fold in event order on both
+    engines, so the 6-dp quotient is bit-stable. One shuffle (groupBy
+    user); per-user sequences are bounded, as everywhere else in the
+    session/feature family. Single-event users emit NULL (zero span)."""
+    ev = _events(spark, sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"), "event_id", "value"
+                )
+            )
+        ).alias("_seq")
+    )
+    n = F.size("_seq")
+    span = F.element_at("_seq", -1)["t"] - F.element_at("_seq", 1)["t"]
+    pairs = F.zip_with(
+        F.slice("_seq", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_seq", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: a["value"] * (b["t"] - a["t"]),
+    )
+    wsum = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+    return seq.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        span.alias("span_us"),
+        F.when(span > 0, F.round(wsum / span, 6)).alias("twap_value"),
+    ).orderBy("user_id")
+
+
+ORACLE_TWAP = """
+WITH seq AS (
+  SELECT user_id,
+         list(epoch_us(ts) ORDER BY ts, event_id) AS t,
+         list(value ORDER BY ts, event_id) AS v
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(v) AS BIGINT) AS n_events,
+       CAST(t[len(t)] - t[1] AS BIGINT) AS span_us,
+       CASE WHEN t[len(t)] > t[1] THEN
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, len(v) - 1),
+                                i -> v[i] * (t[i + 1] - t[i]))),
+               (acc, x) -> acc + x)
+               / (t[len(t)] - t[1]), 6)
+       ELSE NULL END AS twap_value
+FROM seq ORDER BY user_id
+"""

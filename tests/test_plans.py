@@ -391,6 +391,9 @@ def test_registry_wide_plan_guards(spark):
         "quality_calibration_approx",  # 1-row quantile array
         "tpch_q11_balance_concentration",  # 1-row threshold scalar
         "tpch_q22_inactive_customers",  # 1-row avg-balance scalar
+        "retrieval_bm25_topk",  # 1-row corpus-stats scalar (N, avgdl)
+        "retrieval_hybrid_rrf",  # same scalar + bounded probe broadcast
+        "retrieval_mmr_diversified",  # fusion-depth candidate cross (50x50)
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):
