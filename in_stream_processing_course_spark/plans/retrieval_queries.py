@@ -209,17 +209,9 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_DOT = (
-    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
-    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
-)
-
-
-def _sql_cosine(a: str, b: str) -> str:
-    dot = _SQL_DOT.format(a=a, b=b)
-    na = f"sqrt({_SQL_DOT.format(a=a, b=a)})"
-    nb = f"sqrt({_SQL_DOT.format(a=b, b=b)})"
-    return f"round({dot} / ({na} * {nb}), 6)"
+# single source of truth for the fixed-order cosine fold — the oracle
+# must compute the exact same IEEE op sequence as the knn family's
+from .similarity_queries import _sql_cosine
 
 
 _SQL_SEM_RANKED = f"""
@@ -296,27 +288,12 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("b"),
         F.col("embedding").alias("_eb"),
     )
-    from ..functions.vectors import norm_col
+    from ..functions.vectors import cosine_col
 
-    pair_sim = (
-        a.join(F.broadcast(b), F.col("a") != F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "_ea",
-                        "_eb",
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (norm_col(F.col("_ea")) * norm_col(F.col("_eb"))),
-                6,
-            ).alias("sim"),
-        )
+    pair_sim = a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.round(cosine_col(F.col("_ea"), F.col("_eb")), 6).alias("sim"),
     )
     # array<struct<b,sim>>, not a MapType: Arrow hands struct arrays to
     # pandas as dicts; map columns arrive as (k, v) tuple lists

@@ -153,16 +153,18 @@ class KeyedUpsertSink:
                 "the table at a new path"
             )
         if persisted is None and kparts:
-            # pre-marker table: adopt the configured count iff every
-            # observed partition id fits it, and persist going forward
-            max_k = max(int(n.split("=", 1)[1]) for n in kparts)
-            if max_k >= self.n_partitions:
-                raise ValueError(
-                    f"table at {self.path} has partition kpart={max_k} "
-                    f">= configured n_partitions={self.n_partitions}; the "
-                    "on-disk layout was written with a larger count"
-                )
-            self._write_marker()
+            # pre-marker table: the historical count CANNOT be inferred
+            # from the directory names (a sparse 6-partition table may
+            # show only kpart={0,3}, which also "fits" n_partitions=4 —
+            # adopting would lock in a wrong count and strand stale
+            # duplicate keys), so refuse and ask for an explicit marker
+            raise ValueError(
+                f"table at {self.path} has a kpart layout but no "
+                "_kpart_layout marker (written by a pre-marker version); "
+                "after confirming the partition count it was originally "
+                f"written with, create {self._marker_path()} containing "
+                "that integer"
+            )
 
     def _write_marker(self) -> None:
         os.makedirs(self.path, exist_ok=True)

@@ -47,3 +47,22 @@ def drip_json_chunks(tmp_path, chunks) -> str:
                 f.write(json.dumps(row) + "\n")
         time.sleep(1.1)
     return str(in_dir)
+
+
+@pytest.fixture()
+def rocksdb_spark(spark):
+    """Session with the RocksDB state store provider (required by every
+    transformWithStateInPandas operator); restores the prior provider on
+    teardown. Shared by all v2-state test files."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    yield spark
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)

@@ -940,3 +940,11 @@ def test_upsert_sink_layout_guard(spark, tmp_path):
         ("1.2.3.4", "requests"),
         ("5.6.7.8", "categories"),
     }
+    # pre-marker table (kpart dirs, no marker): the historical count
+    # can't be inferred from sparse directory names, so even a
+    # "plausible" count must be refused with the migration hint
+    import os
+
+    os.remove(os.path.join(part, "_kpart_layout"))
+    with pytest.raises(ValueError, match="_kpart_layout"):
+        KeyedUpsertSink(part, ["bot_ip"], n_partitions=4).read(spark)

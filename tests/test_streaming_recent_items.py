@@ -24,21 +24,6 @@ from in_stream_processing_course_spark.streaming.runner import (
     run_stream_to_memory,
 )
 
-_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-_ROCKSDB = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-)
-
-
-@pytest.fixture()
-def rocksdb_spark(spark):
-    old = spark.conf.get(_PROVIDER_KEY, None)
-    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
-    yield spark
-    if old is None:
-        spark.conf.unset(_PROVIDER_KEY)
-    else:
-        spark.conf.set(_PROVIDER_KEY, old)
 
 
 def _write(tmp_path, name, actions):
