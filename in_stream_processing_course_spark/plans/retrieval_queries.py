@@ -178,7 +178,13 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine) ranking, depth 50 each: rrf = 1/(60+lex_rank) +
     1/(60+sem_rank), missing side contributes 0. The modern hybrid-
     search default (lexical recall + semantic recall, rank-space
-    fusion so the two score scales never need calibration)."""
+    fusion so the two score scales never need calibration).
+
+    Scale note: the semantic side here is the exact brute-force ranking
+    (the correctness baseline, and what the oracle can replay); at
+    corpus scale the drop-in replacement is the IVF/LSH path
+    (operators/similarity.py, ``knn_ivf``/``knn_lsh_*``) — fusion is
+    agnostic to which ranker produced the depth-50 list."""
     lex = _limited_rank(
         _bm25_scored(spark, sf_dir),
         [F.col("score").desc(), F.col("doc_id").asc()],
@@ -258,6 +264,30 @@ LIMIT {_TOP_K}
 """
 
 
+def mmr_greedy(
+    rel: dict[int, float], sims: dict[int, dict[int, float]], k: int
+) -> list[tuple[int, float]]:
+    """The MMR selection core, module-level so it is property-testable
+    without Spark: pick up to ``k`` ids maximizing
+    ``lambda*rel[d] - (1-lambda)*max(sim to already-picked)``, smallest
+    id on score ties. Pure IEEE double arithmetic in a fixed op order —
+    the same sequence the recursive-CTE oracle evaluates."""
+    chosen: list[tuple[int, float]] = []
+    remaining = sorted(rel, key=lambda d: (-rel[d], d))
+    while remaining and len(chosen) < k:
+        best = None
+        for d in remaining:
+            max_sim = max(
+                (sims.get(d, {}).get(c, 0.0) for c, _ in chosen), default=0.0
+            )
+            s = _MMR_LAMBDA * rel[d] - (1.0 - _MMR_LAMBDA) * max_sim
+            if best is None or s > best[1] or (s == best[1] and d < best[0]):
+                best = (d, s)
+        chosen.append(best)
+        remaining.remove(best[0])
+    return chosen
+
+
 def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance reranking: greedily pick 10 of the 50
     semantic candidates maximizing lambda*relevance - (1-lambda)*
@@ -317,19 +347,7 @@ def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel = {
             int(d): float(r) for d, r in zip(pdf["doc_id"], pdf["rel"])
         }
-        chosen: list[tuple[int, float]] = []
-        remaining = sorted(rel, key=lambda d: (-rel[d], d))
-        while remaining and len(chosen) < _TOP_K:
-            best = None
-            for d in remaining:
-                max_sim = max(
-                    (sims[d].get(c, 0.0) for c, _ in chosen), default=0.0
-                )
-                s = _MMR_LAMBDA * rel[d] - (1.0 - _MMR_LAMBDA) * max_sim
-                if best is None or s > best[1] or (s == best[1] and d < best[0]):
-                    best = (d, s)
-            chosen.append(best)
-            remaining.remove(best[0])
+        chosen = mmr_greedy(rel, sims, _TOP_K)
         # raw doubles out; the 6-dp rounding happens in the PLAN
         # (F.round) so it matches the oracle's engine rounding —
         # Python's round() is correctly-rounded decimal rounding and

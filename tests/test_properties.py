@@ -236,3 +236,117 @@ def test_attribution_state_fn_matches_brute_force(raw, cuts):
             if et2 in ("view", "click") and t - _LOOKBACK <= t2 < t
         )
         assert got[eid] == expected, (eid, got[eid], expected)
+
+
+# --- MMR greedy (round 5) ---------------------------------------------------
+
+from in_stream_processing_course_spark.plans.retrieval_queries import (  # noqa: E402
+    _MMR_LAMBDA,
+    mmr_greedy,
+)
+
+_mmr_inputs = st.integers(min_value=1, max_value=12).flatmap(
+    lambda n: st.tuples(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+            min_size=n,
+            max_size=n,
+        ),
+        st.lists(
+            st.lists(
+                st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+                min_size=n,
+                max_size=n,
+            ),
+            min_size=n,
+            max_size=n,
+        ),
+    )
+)
+
+
+@given(data=_mmr_inputs, k=st.integers(min_value=1, max_value=12))
+@settings(max_examples=200, deadline=None)
+def test_mmr_greedy_invariants(data, k):
+    """Each pick is the argmax of the MMR objective GIVEN the previous
+    picks (verified directly against a per-step brute-force recompute),
+    the first pick is pure max-relevance, ids never repeat, and the
+    output size is min(k, n)."""
+    rels, sim_rows = data
+    n = len(rels)
+    rel = {i: rels[i] for i in range(n)}
+    sims = {
+        i: {j: sim_rows[i][j] for j in range(n) if j != i} for i in range(n)
+    }
+    out = mmr_greedy(rel, sims, k)
+    assert len(out) == min(k, n)
+    ids = [d for d, _ in out]
+    assert len(set(ids)) == len(ids)
+    assert ids[0] == min(rel, key=lambda d: (-rel[d], d))
+    picked: list[int] = []
+    for d, s in out:
+        # brute-force the argmax at this step over the un-picked set
+        def score(c):
+            ms = max((sims[c].get(p, 0.0) for p in picked), default=0.0)
+            return _MMR_LAMBDA * rel[c] - (1.0 - _MMR_LAMBDA) * ms
+
+        best = min(
+            (c for c in rel if c not in picked),
+            key=lambda c: (-score(c), c),
+        )
+        assert d == best
+        assert s == score(d)
+        picked.append(d)
+
+
+def _skyline_reference(points):
+    out = []
+    for p in points:
+        dominated = any(
+            (q[0] < p[0] and q[1] <= p[1]) or (q[0] <= p[0] and q[1] < p[1])
+            for q in points
+        )
+        if not dominated:
+            out.append(p)
+    return out
+
+
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_skyline_prefix_min_rule_equals_quadratic_reference(points):
+    """The prefix-min dominance rule used by parts_skyline_per_brand
+    (min_le / min_lt over price-ordered groups) selects exactly the
+    quadratic NOT-EXISTS skyline on arbitrary integer point sets,
+    duplicates included."""
+    # group to (price -> min size), order by price, running mins
+    by_price: dict[int, int] = {}
+    for price, size in points:
+        by_price[price] = min(size, by_price.get(price, size))
+    running = None
+    min_le: dict[int, int] = {}
+    min_lt: dict[int, int | None] = {}
+    for price in sorted(by_price):
+        min_lt[price] = running
+        running = (
+            by_price[price] if running is None
+            else min(running, by_price[price])
+        )
+        min_le[price] = running
+    survivors = [
+        p
+        for p in points
+        if not (
+            min_le[p[0]] < p[1]
+            or (min_lt[p[0]] is not None and min_lt[p[0]] <= p[1])
+        )
+    ]
+    assert sorted(survivors) == sorted(_skyline_reference(points))
