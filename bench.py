@@ -59,6 +59,16 @@ RETRIEVAL_FAMILY = [
     "events_twap_per_user",
 ]
 
+# round-5 corpus-LM + sketch family — separate metric, same rule
+# (lm_outlier_docs shares lm_doc_scores' whole pipeline, so only the
+# score query is timed)
+LM_FAMILY = [
+    "lm_bigram_model",
+    "lm_doc_scores",
+    "lm_oov_rate",
+    "events_heavy_hitters",
+]
+
 
 def _drip_workload(tmp_root: str) -> tuple[str, int]:
     """Generate the 8-file botgen drip shared by the streaming benches."""
@@ -384,24 +394,21 @@ def main() -> None:
     # total stays comparable round-over-round (same 16 queries since
     # r1); one timed pass after a warm pass — these queries share all
     # scan/codegen paths with the headline set
-    incr_timings: dict[str, float] = {}
-    for name in INCREMENTAL_FAMILY:
-        fn = QUERIES[name]
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 3)
-            if name not in incr_timings or elapsed < incr_timings[name]:
-                incr_timings[name] = elapsed
-    retr_timings: dict[str, float] = {}
-    for name in RETRIEVAL_FAMILY:
-        fn = QUERIES[name]
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 3)
-            if name not in retr_timings or elapsed < retr_timings[name]:
-                retr_timings[name] = elapsed
+    def _time_family(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES[name]
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - start, 3)
+                if name not in out or elapsed < out[name]:
+                    out[name] = elapsed
+        return out
+
+    incr_timings = _time_family(INCREMENTAL_FAMILY)
+    retr_timings = _time_family(RETRIEVAL_FAMILY)
+    lm_timings = _time_family(LM_FAMILY)
     state_rows, state_sec = bench_stateful_stream(spark)
     win_rows, win_sec = bench_windowed_stream(spark)
     prereduce_ab = bench_prereduce_ab(spark)
@@ -427,6 +434,8 @@ def main() -> None:
                     sum(retr_timings.values()), 3
                 ),
                 "retrieval_queries": retr_timings,
+                "lm_family_wall_sec": round(sum(lm_timings.values()), 3),
+                "lm_queries": lm_timings,
                 "prereduce_bot_heavy": prereduce_ab,
                 **(
                     {"stateful_pipeline_v2_rows_per_sec": round(v2[0] / v2[1])}

@@ -116,3 +116,49 @@ def fingerprint_col(text: Column, prefix_len: int = 256, mod: int = 1_000_000_00
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x.cast("long")) % F.lit(mod).cast("long"),
     )
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Adjacent token n-grams as space-joined strings (empty array when
+    the text has fewer than ``n`` tokens). Built from n shifted slices
+    zip-folded with concat — scan-local, no explode, no shuffle."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, F.lit(1), length)
+    for i in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, F.lit(i + 1), length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
+
+
+def top_token_count_col(toks: Column) -> Column:
+    """Count of the most frequent token, computed IN-ROW: sort the
+    token array (equal tokens become adjacent) and fold a longest-run
+    counter. O(len·log len) per document and fully scan-local — the
+    100 TB form of "mode per document", vs. exploding the corpus's
+    token stream through a (doc, term) shuffle. 0 for an empty array
+    (tokens are never the empty string, so the '' seed cannot collide)."""
+    longzero = F.lit(0).cast("long")
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            longzero.alias("run"),
+            longzero.alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )

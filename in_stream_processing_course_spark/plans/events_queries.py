@@ -820,3 +820,35 @@ SELECT hour_of_day, event_type, n_events,
                        AS DOUBLE) AS share
 FROM counts ORDER BY hour_of_day, event_type
 """
+
+
+# --- heavy hitters via Misra-Gries candidates (sketch family) ---------------
+
+HH_K = 192
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with more than n/192 of all events, exact counts — found
+    through the Misra-Gries candidate path (operators/sketches.py):
+    per-partition MG(k) summaries, mergeable-summaries reduction to
+    ≤ k-1 global candidates, then exact counts for candidates only.
+    The key space never shuffles; the only corpus-wide exchange is the
+    ≤ partitions·k summary rows. The oracle computes the same set by
+    brute force (GROUP BY + HAVING), so the hash match proves the
+    sketch's superset guarantee on real data, not just the final
+    arithmetic."""
+    from ..operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", HH_K).orderBy("user_id")
+
+
+ORACLE_HEAVY_HITTERS = f"""
+SELECT user_id, count(*) AS n_rows
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) * {HH_K}
+       > (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+ORDER BY user_id
+"""

@@ -1,0 +1,289 @@
+"""Corpus n-gram language-model family over ``documents``: train a
+bigram model on the corpus itself and score every document against it
+— the CCNet / Gopher "perplexity-style quality filter" step of an LLM
+data pipeline (beyond the reference surface; the reference has no text
+stack — SURVEY §2.8 extension family).
+
+Design notes (all Column algebra, no UDF):
+
+- Bigrams are formed with ``zip_with(slice(toks,1,n-1), slice(toks,2,
+  n-1))`` — one generate-explode per document, no self-join on
+  position. Model training is two hash aggregations (bigram counts,
+  context counts); at corpus scale both results are vocabulary-sized,
+  orders of magnitude smaller than the input, so the scoring join
+  broadcasts the model to the document side rather than shuffling the
+  corpus.
+- Add-α smoothing with α=1/2 is expressed IN INTEGERS:
+  ``p = (c_bigram + 1/2) / (c_ctx + V/2) = (2·c_bigram + 1) /
+  (2·c_ctx + V)`` — one correctly-rounded IEEE division of two exact
+  integers, bit-identical across engines. The same reasoning as the
+  linear-idf variant in ``pipeline_queries.text_tfidf``: ``ln()`` can
+  differ by an ulp between libm implementations, an integer ratio
+  cannot.
+- The per-document score is the MEAN smoothed bigram probability (not
+  mean log-prob) for the same reason — no transcendental functions in
+  a hash-matched output. Rank order is what the downstream filter
+  consumes, and for a quality gate the mean-probability ordering
+  surfaces the same out-of-distribution tail. The sum over a
+  document's bigrams is a sorted fold (``aggregate(array_sort(...))``
+  == DuckDB ``list_reduce(list_prepend(0.0, list_sort(...)))``) so
+  partitioning order cannot flip a double rounding.
+- Scoring the training corpus itself means every context word has
+  c_ctx ≥ 1 — there is no out-of-model branch to smooth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..sources.batch import load_table
+from .text_queries import _sql_tokens
+
+_MODEL_MIN_COUNT = 2  # lm_bigram_model output bound (scoring uses all)
+_OUTLIER_K = 20
+_VOCAB_MIN = 5  # a token is in-vocabulary if it occurs >= 5 times
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, bigram) — one row per adjacent token pair
+    (functions/text.ngrams_col: tokens are whitespace-split, so the
+    single-space joiner is unambiguous and split_part() recovers the
+    context word exactly); docs with fewer than two tokens vanish in
+    the explode of the empty array (no filter branch needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")
+    )
+    return staged.select(
+        "doc_id", F.explode(tx.ngrams_col(F.col("_toks"), 2)).alias("bigram")
+    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+
+
+def _vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (v) frame: corpus-wide distinct token count — joined in
+    as a broadcast scalar wherever the smoothing denominator needs V."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("tok")
+        )
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+
+
+def _smoothed_p(c_bigram, c_ctx) -> F.Column:
+    """(2c+1)/(2c_ctx+V) as a single integer-ratio IEEE division."""
+    return (2 * c_bigram + 1) / (2 * c_ctx + F.col("v")).cast("double")
+
+
+def _model_with_ctx(bi: DataFrame) -> DataFrame:
+    """(w1, bigram, c_bigram, c_ctx): one corpus aggregation. The
+    context count is DERIVED from the model — c_ctx(w1) = Σ c_bigram
+    over bigrams starting with w1 — a vocabulary-sized re-aggregation,
+    so the corpus is scanned once for the whole model, not once per
+    count table."""
+    model = bi.groupBy("w1", "bigram").agg(
+        F.count(F.lit(1)).alias("c_bigram")
+    )
+    ctx = model.groupBy("w1").agg(F.sum("c_bigram").alias("c_ctx"))
+    return model.join(ctx, "w1")
+
+
+def lm_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model table: bigram, raw count, context count, and
+    the add-½ smoothed conditional probability P(w2|w1). Output bounded
+    to bigrams seen >= 2 times (the singleton tail is vocabulary² -
+    sized; scoring queries rebuild the full model internally, this
+    query is the inspectable artifact)."""
+    bi = _doc_bigrams(spark, sf_dir)
+    return (
+        _model_with_ctx(bi)
+        .where(F.col("c_bigram") >= _MODEL_MIN_COUNT)
+        .join(F.broadcast(_vocab_size(spark, sf_dir)))
+        .select(
+            "bigram",
+            "c_bigram",
+            "c_ctx",
+            F.round(_smoothed_p(F.col("c_bigram"), F.col("c_ctx")), 6).alias(
+                "p_smooth"
+            ),
+        )
+        .orderBy("bigram")
+    )
+
+
+ORACLE_LM_MODEL = rf"""
+WITH toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks
+),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_ctx
+        FROM bi GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+model AS (SELECT bigram, count(*) AS c_bigram FROM bi GROUP BY 1)
+SELECT m.bigram, m.c_bigram, c.c_ctx,
+       round((2*m.c_bigram + 1) / CAST(2*c.c_ctx + v.v AS DOUBLE), 6)
+         AS p_smooth
+FROM model m
+JOIN ctx c ON c.w1 = split_part(m.bigram, ' ', 1)
+CROSS JOIN vocab v
+WHERE m.c_bigram >= {_MODEL_MIN_COUNT}
+ORDER BY m.bigram
+"""
+
+
+def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, mean_p): every document scored against the
+    full (unthresholded) model. The scoring join is bigram -> model;
+    the model side is vocabulary-bounded, so at corpus scale it is the
+    broadcast side while the corpus streams through map-side."""
+    bi = _doc_bigrams(spark, sf_dir)
+    # one join against the enriched (vocab-sized) model — at corpus
+    # scale the model side broadcasts and the corpus never shuffles
+    scored = (
+        bi.join(_model_with_ctx(bi).drop("w1"), "bigram")
+        .join(F.broadcast(_vocab_size(spark, sf_dir)))
+        .select(
+            "doc_id",
+            _smoothed_p(F.col("c_bigram"), F.col("c_ctx")).alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("p")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_p"),
+    )
+
+
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean in-model probability — the quality-filter
+    signal (low = out-of-distribution / garbage)."""
+    return _doc_scores(spark, sf_dir).orderBy("doc_id")
+
+
+_SQL_SCORED_CTE = rf"""
+WITH toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks
+),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_ctx
+        FROM bi GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+model AS (SELECT bigram, count(*) AS c_bigram FROM bi GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         (2*m.c_bigram + 1) / CAST(2*c.c_ctx + v.v AS DOUBLE) AS p
+  FROM bi b
+  JOIN model m USING (bigram)
+  JOIN ctx c ON c.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN vocab v
+),
+doc_scores AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(list_reduce(list_prepend(0.0, list_sort(list(p))),
+                           (a, b) -> a + b) / count(*), 6) AS mean_p
+  FROM scored GROUP BY doc_id
+)
+"""
+
+ORACLE_LM_DOC_SCORES = _SQL_SCORED_CTE + """
+SELECT doc_id, n_bigrams, mean_p FROM doc_scores ORDER BY doc_id
+"""
+
+
+def lm_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k most out-of-distribution documents (lowest mean in-model
+    probability), with lang/source context — what a curation run sends
+    to review before dropping. Global bottom-k via orderBy+limit
+    (TakeOrderedAndProject: per-partition top-k then a k-row merge on
+    one reducer — no full sort, no single-partition window)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return (
+        _doc_scores(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "source", "n_bigrams", "mean_p")
+        .orderBy(F.col("mean_p").asc(), F.col("doc_id").asc())
+        .limit(_OUTLIER_K)
+    )
+
+
+ORACLE_LM_OUTLIERS = _SQL_SCORED_CTE + f"""
+SELECT s.doc_id, d.lang, d.source, s.n_bigrams, s.mean_p
+FROM doc_scores s JOIN documents d USING (doc_id)
+ORDER BY s.mean_p ASC, s.doc_id ASC
+LIMIT {_OUTLIER_K}
+"""
+
+
+def lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus
+    vocabulary (tokens occurring >= 5 times) — the classic tokenizer-
+    coverage / gibberish signal. Exact integer ratio (no libm). The
+    vocabulary is corpus-derived and frequency-thresholded, so it is
+    small; at scale it broadcasts and the per-token membership check
+    never shuffles the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _VOCAB_MIN)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LM_OOV = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_sql_tokens('text')}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) >= {_VOCAB_MIN}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+       round(count(*) FILTER (WHERE v.tok IS NULL)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

@@ -592,3 +592,17 @@ register(
     "parts_skyline_per_brand", rel.parts_skyline_per_brand, rel.ORACLE_SKYLINE
 )
 register("events_twap_per_user", ts.events_twap_per_user, ts.ORACLE_TWAP)
+
+# --- corpus LM scoring + sketch heavy hitters (round 5) ---------------------
+from . import lm_queries as lm  # noqa: E402
+
+register("lm_bigram_model", lm.lm_bigram_model, lm.ORACLE_LM_MODEL)
+register("lm_doc_scores", lm.lm_doc_scores, lm.ORACLE_LM_DOC_SCORES)
+register("lm_outlier_docs", lm.lm_outlier_docs, lm.ORACLE_LM_OUTLIERS)
+register("lm_oov_rate", lm.lm_oov_rate, lm.ORACLE_LM_OOV)
+register(
+    "events_heavy_hitters", ev.events_heavy_hitters, ev.ORACLE_HEAVY_HITTERS
+)
+register(
+    "text_repetition_stats", tq.text_repetition_stats, tq.ORACLE_REPETITION
+)

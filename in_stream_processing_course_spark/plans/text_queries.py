@@ -893,3 +893,122 @@ SELECT lang, source,
                      THEN n_chars END) AS BIGINT) AS p99_chars
 FROM ranked GROUP BY lang, source ORDER BY lang, source
 """
+
+
+# --- Gopher repetition signals (round 5) ------------------------------------
+
+_REP_TOP_WORD_MAX = 0.1   # Gopher: top-1-gram share cap
+_REP_DUP_2GRAM_MAX = 0.3  # duplicate-2-gram fraction cap
+_REP_DUP_3GRAM_MAX = 0.2  # duplicate-3-gram fraction cap
+
+def repetition_stat_cols(toks) -> list:
+    """The four Gopher repetition signals as SCAN-LOCAL Column algebra
+    over one token array — reusable as a batch projection or a
+    streaming gate (pure per-row expressions, no shuffle):
+
+    - ``top_word_share``: most-frequent-token count / n_tokens, where
+      the count is an in-row longest-run fold over the sorted array
+      (functions/text.top_token_count_col) — the 100 TB form of
+      per-document mode, vs. exploding the corpus token stream through
+      a (doc, term) shuffle;
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: 1 - distinct/total over
+      slice/zip_with n-gram arrays, NULL when the doc is shorter than
+      the n-gram;
+    - ``pass_repetition``: the conjunction against the Gopher caps.
+
+    All ratios exact integer divisions (bit-portable)."""
+    n = F.size(toks)
+
+    def _dup_frac(arr):
+        cnt = F.size(arr)
+        return F.when(
+            cnt > 0,
+            F.round(
+                (cnt - F.size(F.array_distinct(arr))) / cnt.cast("double"), 6
+            ),
+        )
+
+    top_share = F.round(
+        tx.top_token_count_col(toks) / n.cast("double"), 6
+    )
+    dup2 = _dup_frac(tx.ngrams_col(toks, 2))
+    dup3 = _dup_frac(tx.ngrams_col(toks, 3))
+    return [
+        n.cast("long").alias("n_tokens"),
+        top_share.alias("top_word_share"),
+        dup2.alias("dup_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        (
+            (top_share <= _REP_TOP_WORD_MAX)
+            & (F.coalesce(dup2, F.lit(0.0)) <= _REP_DUP_2GRAM_MAX)
+            & (F.coalesce(dup3, F.lit(0.0)) <= _REP_DUP_3GRAM_MAX)
+        ).alias("pass_repetition"),
+    ]
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition filters — the half of the paper's quality
+    gate that ``text_gopher_rules`` does not cover: top-word count
+    share, duplicate-bigram fraction, duplicate-trigram fraction, and
+    the conjunction ``pass_repetition``. Subsumes the single-signal
+    ``dedup_queries.text_repetition_scores`` (3-gram ratio only, kept
+    as the dedup family's scoring input) into the multi-signal
+    pass/fail gate a curation pipeline actually applies.
+
+    Entirely scan-local (repetition_stat_cols): one projected token
+    array, zero shuffles, parquet-scan speed at corpus scale. The
+    oracle computes the top count by unnest+group+max — a different
+    algorithm, same mode-by-document semantics. Tokenless docs drop
+    (no mode exists), matching the oracle's inner join."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")
+    )
+    return (
+        staged.select("doc_id", *repetition_stat_cols(F.col("_toks")))
+        .where(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = rf"""
+WITH toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bi,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tri
+  FROM toks
+),
+top AS (
+  SELECT doc_id, max(c) AS top_tf FROM (
+    SELECT doc_id, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    GROUP BY doc_id, term
+  ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       round(top.top_tf / CAST(g.n_tokens AS DOUBLE), 6) AS top_word_share,
+       CASE WHEN len(bi) > 0 THEN
+         round((len(bi) - len(list_distinct(bi))) / CAST(len(bi) AS DOUBLE), 6)
+       END AS dup_2gram_frac,
+       CASE WHEN len(tri) > 0 THEN
+         round((len(tri) - len(list_distinct(tri))) / CAST(len(tri) AS DOUBLE), 6)
+       END AS dup_3gram_frac,
+       -- flags compare the ROUNDED ratios (what the Spark side emits
+       -- and flags on), so a boundary value cannot flip one side only
+       (round(top.top_tf / CAST(g.n_tokens AS DOUBLE), 6)
+          <= CAST({_REP_TOP_WORD_MAX} AS DOUBLE)
+        AND coalesce(CASE WHEN len(bi) > 0 THEN
+              round((len(bi) - len(list_distinct(bi)))
+                    / CAST(len(bi) AS DOUBLE), 6) END, 0.0)
+              <= CAST({_REP_DUP_2GRAM_MAX} AS DOUBLE)
+        AND coalesce(CASE WHEN len(tri) > 0 THEN
+              round((len(tri) - len(list_distinct(tri)))
+                    / CAST(len(tri) AS DOUBLE), 6) END, 0.0)
+              <= CAST({_REP_DUP_3GRAM_MAX} AS DOUBLE)) AS pass_repetition
+FROM grams g JOIN top USING (doc_id)
+ORDER BY g.doc_id
+"""

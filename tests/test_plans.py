@@ -394,6 +394,10 @@ def test_registry_wide_plan_guards(spark):
         "retrieval_bm25_topk",  # 1-row corpus-stats scalar (N, avgdl)
         "retrieval_hybrid_rrf",  # same scalar + bounded probe broadcast
         "retrieval_mmr_diversified",  # fusion-depth candidate cross (50x50)
+        "lm_bigram_model",  # 1-row vocabulary-size scalar
+        "lm_doc_scores",  # same scalar
+        "lm_outlier_docs",  # same scalar
+        "events_heavy_hitters",  # 1-row kth-estimate + total scalars
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):

@@ -1,0 +1,131 @@
+"""Misra-Gries heavy hitters (operators/sketches.py): the batched
+update/merge keeps the classic MG guarantees, and the Spark two-pass
+operator returns exactly the true heavy-hitter set."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.operators.sketches import (
+    heavy_hitters,
+    mg_merge_counts,
+    partition_summaries,
+)
+
+
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=2, max_value=12),
+    n_chunks=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_mg_batched_update_keeps_classic_guarantees(stream, k, n_chunks):
+    """Feeding the stream in arbitrary chunk splits (the Arrow-batch
+    shape): (1) at most k-1 counters survive; (2) every estimate
+    undercounts by at most n/k; (3) every item with true count > n/k
+    is retained — the candidate superset the operator relies on."""
+    exact = Counter(stream)
+    n = len(stream)
+    counters: dict = {}
+    step = max(1, len(stream) // n_chunks)
+    for i in range(0, len(stream), step):
+        chunk = Counter(stream[i : i + step])
+        mg_merge_counts(counters, chunk, k)
+    assert len(counters) <= k - 1
+    for val, est in counters.items():
+        assert 0 < est <= exact[val]
+        assert exact[val] - est <= n / k
+    for val, cnt in exact.items():
+        if cnt > n / k:
+            assert val in counters, (val, cnt, n, k, counters)
+
+
+@given(
+    streams=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=20), min_size=0, max_size=150
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    k=st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_mergeable_reduction_keeps_global_heavy_hitters(streams, k):
+    """The operator's merge rule — sum per-partition estimates, subtract
+    the k-th largest combined estimate, keep positives — never loses a
+    key whose GLOBAL count exceeds n/k (mergeable-summaries bound)."""
+    exact: Counter = Counter()
+    combined: Counter = Counter()
+    n = 0
+    for stream in streams:
+        exact.update(stream)
+        n += len(stream)
+        part: dict = {}
+        mg_merge_counts(part, dict(Counter(stream)), k)
+        combined.update(part)
+    s = sorted(combined.values(), reverse=True)[k - 1] if len(combined) >= k else 0
+    survivors = {v for v, c in combined.items() if c - s > 0}
+    for val, cnt in exact.items():
+        if cnt > n / k:
+            assert val in survivors, (val, cnt, n, k)
+
+
+def test_partition_summaries_bounded_per_partition(spark):
+    df = spark.range(0, 4000, 1, 8).select(
+        (F.col("id") % 57).alias("user_id")
+    )
+    rows = partition_summaries(df, "user_id", 10).count()
+    # <= k-1 candidate rows per input partition
+    assert rows <= 8 * 9
+
+
+def test_heavy_hitters_matches_brute_force(spark):
+    # skewed: key 0 takes ~half the rows, others spread thin
+    df = spark.range(0, 6000, 1, 8).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.col("id") % 97)
+        .alias("user_id")
+    )
+    k = 16
+    got = {
+        (r["user_id"], r["n_rows"])
+        for r in heavy_hitters(df, "user_id", k).collect()
+    }
+    exact = Counter(r["user_id"] for r in df.collect())
+    want = {(v, c) for v, c in exact.items() if c * k > 6000}
+    assert got == want and got  # non-empty: key 0 qualifies
+
+
+def test_heavy_hitters_fewer_distinct_than_k(spark):
+    """With fewer distinct keys than k the subtraction step must be a
+    no-op (s=0) and everything above threshold still returned."""
+    df = spark.range(0, 300, 1, 4).select((F.col("id") % 3).alias("user_id"))
+    got = {
+        (r["user_id"], r["n_rows"])
+        for r in heavy_hitters(df, "user_id", 16).collect()
+    }
+    assert got == {(0, 100), (1, 100), (2, 100)}
+
+
+def test_heavy_hitters_excludes_null_keys(spark):
+    """NULL keys are excluded explicitly on both the sketch and exact
+    sides (pandas value_counts silently drops NaN — left implicit, a
+    null-heavy column would desync the two passes)."""
+    df = spark.range(0, 400, 1, 4).select(
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id") % 2)
+        .alias("user_id")
+    )
+    got = {
+        (r["user_id"], r["n_rows"])
+        for r in heavy_hitters(df, "user_id", 4).collect()
+    }
+    # non-null rows: 300 -> threshold 75; key 1: 200, key 0: 100
+    assert got == {(1, 200), (0, 100)}

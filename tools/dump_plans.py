@@ -216,7 +216,14 @@ def main() -> None:
         "  quality_calibration_approx, tpch_q11, tpch_q22 join a 1-row",
         "  aggregate scalar (sketch union / regression moments / quantile",
         "  array / thresholds); knn_ivf crosses the probe queries with the",
-        "  BROADCAST k-centroid table (bounded by k, never data-sized).",
+        "  BROADCAST k-centroid table (bounded by k, never data-sized);",
+        "  retrieval_bm25_topk / retrieval_hybrid_rrf join the 1-row",
+        "  (N, avgdl) corpus-stats scalar, retrieval_mmr_diversified",
+        "  additionally crosses the bounded depth-50 candidate set;",
+        "  lm_bigram_model / lm_doc_scores / lm_outlier_docs join the",
+        "  1-row vocabulary-size scalar (smoothing denominator);",
+        "  events_heavy_hitters joins the 1-row k-th-estimate and",
+        "  total-count scalars (the Misra-Gries merge reduction).",
         "",
         "## Excluded from the table (iterative: explain shows only the",
         "final round's lineage-truncated plan)",
