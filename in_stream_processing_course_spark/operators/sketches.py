@@ -14,9 +14,12 @@ Shape (two passes over the data, O(k) driver-side state):
    positives. The result is ≤ k-1 global candidates with undercount
    ≤ n/k — so every key with true count > n/k survives. This is a
    shuffle of ≤ partitions·k rows, not of the corpus.
-3. Exact counts for the candidates only (broadcast semi-join — the
-   candidate set is O(k) regardless of partition count), filtered to
-   the true threshold ``count·k > n``.
+3. Exact counts via ONE more pass: a left broadcast join flags
+   candidate rows, and a single aggregate groups candidates by key and
+   everything else under a NULL key — the candidates' exact counts and
+   the total n come out of the same shuffle (the totals aggregate
+   reuses the grouping exchange), filtered to the true threshold
+   ``count·k > n``.
 
 The output is therefore EXACTLY the set of keys with count > n/k with
 their exact counts — the oracle hash-check proves the sketch's
@@ -41,34 +44,42 @@ from pyspark.sql.types import StructField, StructType
 
 def mg_merge_counts(counters: dict, batch_counts: dict, k: int) -> None:
     """Merge exact ``batch_counts`` into a Misra-Gries(k) summary in
-    place, using batched decrements: add, then while more than k-1
-    counters remain, subtract the smallest counter value from all and
-    drop zeros. Equivalent guarantee to item-at-a-time MG (each
-    decrement round of size m removes ≥ k·m mass)."""
+    place, with ONE batched decrement round: add, then (if more than
+    k-1 counters remain, d of them) subtract the (d-k+1)-th smallest
+    counter value from all and drop non-positives. At most k-1 values
+    can be strictly greater than that order statistic, and at least k
+    counters carry it fully, so the round removes ≥ k·m mass — the same
+    guarantee as item-at-a-time MG decrements, in O(d log d) instead of
+    the O(d²) a staircase of distinct counts costs a subtract-the-min
+    loop."""
     for val, cnt in batch_counts.items():
         counters[val] = counters.get(val, 0) + int(cnt)
-    while len(counters) > k - 1:
-        m = min(counters.values())
+    d = len(counters)
+    if d > k - 1:
+        m = sorted(counters.values())[d - k]
         for val in list(counters):
             counters[val] -= m
             if counters[val] <= 0:
                 del counters[val]
-        if m == 0:  # pragma: no cover - defensive; counts are positive
-            break
+
+
+# internal column names the operator introduces — a key column with one
+# of these names would silently collide
+_RESERVED = frozenset({"_est", "_c", "_r", "_s", "_n", "_cand", "n_rows"})
 
 
 def partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
-    """One Misra-Gries(k) summary per partition: (col, est) rows,
+    """One Misra-Gries(k) summary per partition: (col, _est) rows,
     ≤ k-1 per partition."""
     field = df.schema[col]
-    schema = StructType([StructField(col, field.dataType)]).add("est", "long")
+    schema = StructType([StructField(col, field.dataType)]).add("_est", "long")
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
             mg_merge_counts(counters, pdf[col].value_counts().to_dict(), k)
         yield pd.DataFrame(
-            {col: list(counters.keys()), "est": list(counters.values())}
+            {col: list(counters.keys()), "_est": list(counters.values())}
         )
 
     return df.select(col).mapInPandas(summarize, schema=schema)
@@ -80,33 +91,54 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     shuffle). NULL is excluded as a key EXPLICITLY (pandas
     ``value_counts`` drops NaN, so a null-heavy column would otherwise
     silently desync the sketch from the exact side); the n/k threshold
-    is over non-null rows. Columns: (col, n_rows)."""
+    is over non-null rows. Columns: (col, n_rows).
+
+    Exactly two scans of the input: the summaries pass, then one
+    left-broadcast-join pass whose aggregate groups every non-candidate
+    row under a single NULL key — so the same shuffle yields both the
+    candidates' exact counts and (by summing all groups, reusing the
+    aggregation exchange) the total n for the threshold."""
+    if col in _RESERVED:
+        raise ValueError(f"column name {col!r} collides with {_RESERVED}")
     df = df.where(F.col(col).isNotNull())
     partials = partition_summaries(df, col, k)
-    combined = partials.groupBy(col).agg(F.sum("est").alias("c"))
-    # mergeable-summaries reduction: subtract the k-th largest combined
-    # estimate (0 if fewer than k survive). `combined` is ≤ partitions·k
-    # rows — aggregate-sized, so the unpartitioned rank is a k-row
-    # problem, not a corpus-sized one.
-    ranked = combined.withColumn(
-        "_r", F.row_number().over(Window.orderBy(F.col("c").desc()))
+    combined = partials.groupBy(col).agg(F.sum("_est").alias("_c"))
+    # Mergeable-summaries reduction in ONE single-row aggregation:
+    # pack the ≤ partitions·k combined rows into a sorted array,
+    # subtract the k-th largest estimate in place (F.get is NULL-safe
+    # past the end — fewer than k keys means s=0), keep strict
+    # positives. No window, no scalar join — every DataFrame reference
+    # is linear, because subtree diamonds DUPLICATE Python-UDF scans
+    # (canonicalization never matches two serialized mapInPandas nodes,
+    # so ReusedExchange cannot kick in).
+    packed = combined.agg(
+        F.sort_array(
+            F.collect_list(F.struct("_c", col)), asc=False
+        ).alias("_a")
     )
-    kth = ranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("_r") == k, F.col("c"))), F.lit(0)
-        ).alias("_s")
+    candidates = packed.select(
+        F.explode(
+            F.filter(
+                F.col("_a"),
+                lambda x: x["_c"]
+                > F.coalesce(F.get(F.col("_a"), k - 1)["_c"], F.lit(0)),
+            )
+        ).alias("_x")
+    ).select(F.col("_x")[col].alias(col))
+    # Exact pass: flag candidate rows via broadcast, group everything
+    # else under a NULL key — exact candidate counts and the total n
+    # come out of the SAME aggregate (the total is a window over the
+    # ≤ k+1 aggregated rows, not a second scan).
+    flagged = df.join(
+        F.broadcast(candidates.withColumn("_cand", F.lit(True))), col, "left"
     )
-    candidates = (
-        ranked.join(F.broadcast(kth))
-        .where(F.col("c") - F.col("_s") > 0)
-        .select(col)
-    )
-    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    grouped = flagged.groupBy(
+        F.when(F.col("_cand"), F.col(col)).alias(col)
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
     return (
-        df.join(F.broadcast(candidates), col)
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .join(F.broadcast(total))
-        .where(F.col("n_rows") * k > F.col("_n"))
+        grouped.withColumn(
+            "_n", F.sum("n_rows").over(Window.partitionBy())
+        )
+        .where(F.col(col).isNotNull() & (F.col("n_rows") * k > F.col("_n")))
         .drop("_n")
     )

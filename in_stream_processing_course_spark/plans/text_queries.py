@@ -916,7 +916,11 @@ def repetition_stat_cols(toks) -> list:
       the n-gram;
     - ``pass_repetition``: the conjunction against the Gopher caps.
 
-    All ratios exact integer divisions (bit-portable)."""
+    All ratios exact integer divisions (bit-portable). Pass a
+    PRE-PROJECTED token-array column (an aliased projection, as
+    ``with_repetition_stats`` stages) — Catalyst does not CSE an
+    expression repeated inside different lambda scopes, so an inline
+    ``tokens_col(...)`` argument would re-tokenize ~6x per row."""
     n = F.size(toks)
 
     def _dup_frac(arr):
@@ -946,6 +950,19 @@ def repetition_stat_cols(toks) -> list:
     ]
 
 
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", keep: tuple = ("doc_id",)
+) -> DataFrame:
+    """Stage the token array once, then project the repetition signals
+    — the batch/stream-agnostic entry point (a pure projection, so it
+    runs identically under ``readStream``; tests gate a document
+    stream into the quarantine with it)."""
+    staged = df.select(
+        *keep, tx.tokens_col(F.lower(F.col(text_col))).alias("_toks")
+    )
+    return staged.select(*keep, *repetition_stat_cols(F.col("_toks")))
+
+
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's repetition filters — the half of the paper's quality
     gate that ``text_gopher_rules`` does not cover: top-word count
@@ -961,11 +978,8 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, same mode-by-document semantics. Tokenless docs drop
     (no mode exists), matching the oracle's inner join."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")
-    )
     return (
-        staged.select("doc_id", *repetition_stat_cols(F.col("_toks")))
+        with_repetition_stats(docs)
         .where(F.col("n_tokens") > 0)
         .orderBy("doc_id")
     )

@@ -32,32 +32,50 @@ OBSERVATION_NAME = "isp_batch_metrics"
 
 
 def with_ingest_observations(
-    log_records: DataFrame, ts_col: str = "time", key_col: str = "ip"
+    stream: DataFrame, ts_col: str = "time", key_col: str = "ip"
 ) -> DataFrame:
-    """Attach the standard ingest metrics to a log-record stream:
-    row count, null/empty keys (P3's drop candidates), event-time
-    min/max (watermark lag evidence), and distinct-key estimate."""
+    """Attach the standard ingest metrics: row count, null/empty keys,
+    event-time min/max (watermark lag evidence), and distinct-key
+    estimate.
+
+    Attach this UPSTREAM of the empty-key drop
+    (``pipeline.actions_to_log_records`` filters ``ip`` before any
+    downstream operator) — observed on the raw decoded stream,
+    ``n_empty_keys`` counts the rows the pipeline is ABOUT to drop;
+    observed downstream it is structurally zero. ``ts_col`` may be the
+    wire-format epoch-seconds long or an already-cast timestamp."""
+    from pyspark.sql.types import TimestampType
+
     key = F.col(key_col)
-    return log_records.observe(
+    ts = F.col(ts_col)
+    if isinstance(stream.schema[ts_col].dataType, TimestampType):
+        ts = F.unix_timestamp(ts)
+    return stream.observe(
         OBSERVATION_NAME,
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
             (key.isNull() | (F.length(key) == 0)).cast("long")
         ).alias("n_empty_keys"),
-        F.min(F.unix_timestamp(ts_col)).alias("min_event_sec"),
-        F.max(F.unix_timestamp(ts_col)).alias("max_event_sec"),
+        F.min(ts.cast("long")).alias("min_event_sec"),
+        F.max(ts.cast("long")).alias("max_event_sec"),
         F.approx_count_distinct(key_col).alias("approx_keys"),
     )
 
 
 class BatchMetricsListener(StreamingQueryListener):
     """Collects each batch's observed metrics into ``self.batches``
-    (a list of dicts, in arrival order). Listener callbacks run on the
-    driver's listener bus — they must never touch the SparkSession, so
-    this only appends plain dicts."""
+    (bounded deque of dicts, in arrival order). Listener callbacks run
+    on the driver's listener bus — they must never touch the
+    SparkSession, so this only appends plain dicts. The bus is GLOBAL
+    (``spark.streams``): every record carries ``run_id``/``query_name``
+    so two concurrently observed queries (whose batch_ids both start at
+    0) stay distinguishable, and the deque bound keeps a long-running
+    query from growing driver memory without limit."""
 
-    def __init__(self) -> None:
-        self.batches: list[dict] = []
+    def __init__(self, max_batches: int = 10_000) -> None:
+        from collections import deque
+
+        self.batches: deque[dict] = deque(maxlen=max_batches)
 
     def onQueryStarted(self, event: QueryStartedEvent) -> None:
         pass
@@ -67,7 +85,12 @@ class BatchMetricsListener(StreamingQueryListener):
         if OBSERVATION_NAME in observed:
             row = observed[OBSERVATION_NAME]
             self.batches.append(
-                {"batch_id": event.progress.batchId, **row.asDict()}
+                {
+                    "run_id": str(event.progress.runId),
+                    "query_name": event.progress.name,
+                    "batch_id": event.progress.batchId,
+                    **row.asDict(),
+                }
             )
 
     def onQueryIdle(self, event: QueryIdleEvent) -> None:

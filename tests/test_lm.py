@@ -83,14 +83,11 @@ def test_repetition_gate_streams_through_quarantine(spark, tmp_path):
     repetition_stat_cols projection that feeds the batch query gates a
     STREAM: spammy docs route to the dead-letter quarantine, clean docs
     to main, nothing lost."""
-    from pyspark.sql import functions as F
-
-    from in_stream_processing_course_spark.functions import text as tx
     from in_stream_processing_course_spark.operators.quality_checks import (
         Check,
     )
     from in_stream_processing_course_spark.plans.text_queries import (
-        repetition_stat_cols,
+        with_repetition_stats,
     )
     from in_stream_processing_course_spark.streaming.quarantine import (
         QuarantineSink,
@@ -115,14 +112,10 @@ def test_repetition_gate_streams_through_quarantine(spark, tmp_path):
             ],
         ],
     )
-    stream = (
+    stream = with_repetition_stats(
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", "1")
         .json(str(in_dir))
-        .select(
-            "doc_id",
-            *repetition_stat_cols(tx.tokens_col(F.lower(F.col("text")))),
-        )
     )
     sink = QuarantineSink(
         str(tmp_path / "main"),
@@ -140,3 +133,64 @@ def test_repetition_gate_streams_through_quarantine(spark, tmp_path):
     }
     assert main_ids == {2, 4}
     assert dlq == {1: "repetition", 3: "repetition"}
+
+
+def test_stream_scoring_matches_batch_self_score(spark, corpus_dir, tmp_path):
+    """Stream-static LM gate (streaming/lm_gate.py): scoring the
+    training corpus as a STREAM against the persisted model reproduces
+    the batch self-scoring query row for row (complete mode mirrors
+    the final table)."""
+    from in_stream_processing_course_spark.streaming.lm_gate import (
+        save_lm_model,
+        score_document_stream,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_to_memory,
+    )
+
+    model_path = str(tmp_path / "lm")
+    save_lm_model(spark, corpus_dir, model_path)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .parquet(corpus_dir + "/documents.parquet")
+        .select("doc_id", "text")
+    )
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["mean_p"])
+        for r in run_stream_to_memory(
+            score_document_stream(stream, spark, model_path),
+            output_mode="complete",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["mean_p"])
+        for r in lm_doc_scores(spark, corpus_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_stream_scoring_smooths_unseen_content(spark, corpus_dir, tmp_path):
+    """A streamed document whose bigrams AND context words the model
+    never saw gets the pure add-1/2 fallback p = 1/V per bigram — the
+    out-of-model branch the batch self-scoring query cannot reach."""
+    from in_stream_processing_course_spark.streaming.lm_gate import (
+        save_lm_model,
+        score_document_stream,
+    )
+
+    model_path = str(tmp_path / "lm")
+    save_lm_model(spark, corpus_dir, model_path)
+    v = spark.read.parquet(model_path + "/meta").head()["v"]
+
+    novel = spark.createDataFrame(
+        [(99, "zz yy xx ww")], "doc_id long, text string"
+    )
+    rows = score_document_stream(novel, spark, model_path).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_bigrams"] == 3
+    assert rows[0]["mean_p"] == round(1.0 / v, 6)
