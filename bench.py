@@ -69,6 +69,16 @@ LM_FAMILY = [
     "events_heavy_hitters",
 ]
 
+# round-5 clustering + tokenizer family — the corpus-sized passes only
+# (the iterative fit/merge loops are driver-paced job sequences whose
+# wall time measures scheduling overhead at this SF, not engine
+# throughput; their per-round cost IS these passes)
+CLUSTERING_FAMILY = [
+    "embedding_kmeans_assign",
+    "bpe_pair_counts",
+    "lm_quality_buckets",
+]
+
 
 def _drip_workload(tmp_root: str) -> tuple[str, int]:
     """Generate the 8-file botgen drip shared by the streaming benches."""
@@ -409,6 +419,7 @@ def main() -> None:
     incr_timings = _time_family(INCREMENTAL_FAMILY)
     retr_timings = _time_family(RETRIEVAL_FAMILY)
     lm_timings = _time_family(LM_FAMILY)
+    cluster_timings = _time_family(CLUSTERING_FAMILY)
     state_rows, state_sec = bench_stateful_stream(spark)
     win_rows, win_sec = bench_windowed_stream(spark)
     prereduce_ab = bench_prereduce_ab(spark)
@@ -436,6 +447,10 @@ def main() -> None:
                 "retrieval_queries": retr_timings,
                 "lm_family_wall_sec": round(sum(lm_timings.values()), 3),
                 "lm_queries": lm_timings,
+                "clustering_family_wall_sec": round(
+                    sum(cluster_timings.values()), 3
+                ),
+                "clustering_queries": cluster_timings,
                 "prereduce_bot_heavy": prereduce_ab,
                 **(
                     {"stateful_pipeline_v2_rows_per_sec": round(v2[0] / v2[1])}

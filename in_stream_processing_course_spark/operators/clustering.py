@@ -1,0 +1,159 @@
+"""Distributed k-means over embedding columns (north-star X2 — the
+clustering half of the SemDeDup recipe, and the index build the IVF
+ANN family consumes).
+
+Two halves with very different scale profiles, kept separate:
+
+- **Assignment** (``assign_to_centroids``): the corpus-sized pass.
+  Centroids are driver-held model state (k·dim doubles — kilobytes at
+  any corpus scale), inlined as array literals, so assignment is pure
+  per-row Column algebra: k sequential-fold squared distances + an
+  argmin, all inside whole-stage codegen. NO join, NO shuffle, NO
+  Python — the plan is scan → project, embarrassingly parallel at
+  100 TB. (``ivf_topk`` does the same thing through pyspark.ml's
+  KMeansModel.transform; this module is the dependency-free DataFrame
+  form with an oracle-checkable distance rule.)
+
+- **Fit** (``lloyd_fit``): Lloyd's iterations. Each round is one
+  assignment projection plus one (cluster, dim)-keyed aggregation;
+  only the k·dim centroid table ever reaches the driver. Iteration
+  count is fixed and small (centroid quality converges long before
+  corpus size grows), so the fit is a bounded number of corpus scans
+  regardless of scale — the same contract as ``ivf_topk``'s sampled
+  build, without the ml dependency.
+
+Determinism contract (what lets tests pin the fit bit-for-bit): every
+double fold is ordered. Distances fold dims left-to-right (identical
+to the DuckDB oracle's ``list_reduce``), per-dim means fold the
+cluster's values in SORTED order (``F.aggregate(F.array_sort(...))``),
+ties in the argmin break to the lowest centroid index
+(``array_position`` returns the FIRST minimum). A pure-Python
+reference replaying the same folds reproduces the fit exactly
+(tests/test_clustering.py). At 100 TB the sorted fold degrades to a
+plain ``avg`` — order-dependent in the last ulp, irrelevant to cluster
+quality — exactly as ``similarity.label_centroids`` documents for the
+same pattern.
+
+Reference parity: the reference engine has no clustering operator —
+this extends the X2 similarity family (SURVEY.md §2.8) the way a
+training-data curation pipeline needs it (SemDeDup: cluster, then
+near-dup within cluster; ``plans.pipeline_queries.semantic_dedup_keep``
+consumes exactly this block key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import sqdist_col
+
+
+def _centroid_lit(vec: list[float]) -> Column:
+    """A centroid as an array<double> literal (plan-time constant)."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def distances_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of squared Euclidean distances from ``vec`` to
+    each centroid, in centroid order. Each distance is a left-to-right
+    fold over dims (bit-identical to the oracle's list_reduce)."""
+    return F.array(*[sqdist_col(vec, _centroid_lit(c)) for c in centroids])
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str | None = "dist2",
+) -> DataFrame:
+    """Append the nearest-centroid index (0-based, ties → lowest
+    index) and optionally the squared distance to it. Pure projection:
+    works identically on a batch frame and under ``readStream`` (the
+    deploy-time routing path — e.g. sharding arriving documents by
+    semantic cluster)."""
+    dists = distances_col(F.col(vec_col), centroids)
+    out = df.withColumn("_dists", dists).withColumn(
+        cluster_col,
+        (F.array_position("_dists", F.array_min("_dists")) - 1).cast("int"),
+    )
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.array_min("_dists"))
+    return out.drop("_dists")
+
+
+def seed_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic init: the vectors of the k smallest ids (a k-row
+    TakeOrderedAndProject, never a full sort). Content-addressed and
+    engine-portable — the oracle can name the same k rows."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def update_centroids(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> list[list[float]]:
+    """One Lloyd's update: per-(cluster, dim) mean via posexplode →
+    aggregate → k·dim rows to the driver. Empty clusters keep their
+    previous centroid (the standard fixed-k convention). The per-group
+    mean folds the cluster's values in sorted order so the update is
+    partitioning-invariant (see module docstring for the 100 TB
+    relaxation)."""
+    per_dim = (
+        assigned.select(
+            cluster_col, F.posexplode(vec_col).alias("dim", "v")
+        )
+        .groupBy(cluster_col, "dim")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.col("v").cast("double"))
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_v")
+        )
+        .collect()
+    )
+    out = [list(c) for c in centroids]
+    for r in per_dim:
+        out[r[cluster_col]][r["dim"]] = float(r["mean_v"])
+    return out
+
+
+def lloyd_fit(
+    df: DataFrame,
+    k: int,
+    n_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd's: seed from the k smallest ids, then
+    ``n_iters`` rounds of assign → update. Returns the final centroid
+    list (driver-sized model state, like the persisted LM of
+    ``streaming/lm_gate.py`` — persist it and ``assign_to_centroids``
+    is the deploy-time scorer)."""
+    centroids = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    for _ in range(n_iters):
+        assigned = assign_to_centroids(
+            df.select(vec_col), centroids, vec_col=vec_col, dist_col=None
+        )
+        centroids = update_centroids(assigned, centroids, vec_col=vec_col)
+    return centroids

@@ -210,18 +210,27 @@ SELECT doc_id, n_bigrams, mean_p FROM doc_scores ORDER BY doc_id
 def lm_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k most out-of-distribution documents (lowest mean in-model
     probability), with lang/source context — what a curation run sends
-    to review before dropping. Global bottom-k via orderBy+limit
-    (TakeOrderedAndProject: per-partition top-k then a k-row merge on
-    one reducer — no full sort, no single-partition window)."""
+    to review before dropping. The bottom-k limit runs on the 2-column
+    score stream FIRST (TakeOrderedAndProject: per-partition top-k then
+    a k-row merge — no full sort, no single-partition window; the sort
+    keys all come from the scores, so limiting before the join is
+    exact), and only the k survivors broadcast-join back to documents
+    for lang/source — Spark never pushes a limit below a join on its
+    own, and carrying every document's context through the top-k heap
+    is corpus-sized work for k rows of output."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source"
     )
-    return (
+    worst = (
         _doc_scores(spark, sf_dir)
+        .orderBy(F.col("mean_p").asc(), F.col("doc_id").asc())
+        .limit(_OUTLIER_K)
+    )
+    return (
+        F.broadcast(worst)
         .join(docs, "doc_id")
         .select("doc_id", "lang", "source", "n_bigrams", "mean_p")
         .orderBy(F.col("mean_p").asc(), F.col("doc_id").asc())
-        .limit(_OUTLIER_K)
     )
 
 
@@ -286,4 +295,56 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+
+# CCNet-style quality terciles: fixed mean_p cut points (chosen once
+# from the corpus profile — on this synthetic corpus mean_p spans
+# ~0.029-0.051 at every SF, so these cuts give non-degenerate buckets
+# everywhere). Production derives them per-language from
+# approx_percentile over a profiling run; the BUCKETING pass itself —
+# the corpus-sized stage — is what this query pins, and it is pure
+# threshold Column algebra either way.
+_BUCKET_HEAD = 0.0345
+_BUCKET_MIDDLE = 0.0335
+
+
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split, per language: every document
+    bucketed by its in-model mean probability, rolled up to (lang,
+    bucket) with doc and bigram totals — the mixing table a curation
+    run samples from (head = in-distribution, tail = candidate drop).
+
+    Scale: the scoring pass is _doc_scores (model broadcasts, corpus
+    never shuffles for the join); the bucket label is one CASE over
+    the per-doc aggregate; the rollup shuffles only doc-count rows.
+    All output columns are exact longs — no double leaves the query,
+    so the hash check is arithmetic-free."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = (
+        F.when(F.col("mean_p") >= _BUCKET_HEAD, "head")
+        .when(F.col("mean_p") >= _BUCKET_MIDDLE, "middle")
+        .otherwise("tail")
+    )
+    return (
+        _doc_scores(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+ORACLE_LM_QUALITY_BUCKETS = _SQL_SCORED_CTE + f"""
+SELECT d.lang,
+       CASE WHEN s.mean_p >= CAST({_BUCKET_HEAD} AS DOUBLE) THEN 'head'
+            WHEN s.mean_p >= CAST({_BUCKET_MIDDLE} AS DOUBLE) THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams
+FROM doc_scores s JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY lang, bucket
 """

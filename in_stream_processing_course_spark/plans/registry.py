@@ -606,3 +606,28 @@ register(
 register(
     "text_repetition_stats", tq.text_repetition_stats, tq.ORACLE_REPETITION
 )
+
+# --- clustering (k-means) + tokenizer training + LM buckets (round 5) --------
+from . import clustering_queries as cq  # noqa: E402
+from . import tokenizer_queries as tkq  # noqa: E402
+
+register(
+    "embedding_kmeans_assign",
+    cq.embedding_kmeans_assign,
+    cq.ORACLE_KMEANS_ASSIGN,
+)
+# rows-only: 5-round Lloyd's driver loop; fit pinned bit-for-bit in
+# tests/test_clustering.py
+register("embedding_kmeans_fit", cq.embedding_kmeans_fit)
+register("bpe_pair_counts", tkq.bpe_pair_counts, tkq.ORACLE_BPE_PAIR_COUNTS)
+# rows-only: 20-round merge loop; pinned against a pure-Python BPE
+# reference in tests/test_bpe.py
+register("bpe_learned_merges", tkq.bpe_learned_merges)
+register(
+    "lm_quality_buckets", lm.lm_quality_buckets, lm.ORACLE_LM_QUALITY_BUCKETS
+)
+register(
+    "events_drift_score_hourly",
+    ts.events_drift_score_hourly,
+    ts.ORACLE_DRIFT_SCORE_HOURLY,
+)

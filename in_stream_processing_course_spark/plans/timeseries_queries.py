@@ -1292,3 +1292,63 @@ SELECT user_id, CAST(len(v) AS BIGINT) AS n_events,
        ELSE NULL END AS twap_value
 FROM seq ORDER BY user_id
 """
+
+
+def events_drift_score_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift scoring (streaming/drift_monitor.windowed_drift
+    — the batch twin of the continuous monitor): train a categorical
+    reference profile on the first half of the month, then score every
+    HOUR of the second half with Pearson's chi² against it, plus the
+    unseen-category count. The hash-matched oracle pins the exact
+    arithmetic the streaming monitor emits (same ordered fold over
+    sorted chi² terms), so the stream/batch equivalence test in
+    tests/test_streaming_drift.py transitively pins the stream.
+
+    Scale: the profile is K rows (driver-held literals — the same
+    model-state pattern as k-means centroids and the persisted LM);
+    the scoring pass is one windowed aggregation with per-category
+    conditional counts, one shuffle on the hour key."""
+    from ..streaming.drift import reference_profile, windowed_drift
+
+    ev = _events(spark, sf_dir)
+    split = F.lit(_KS_SPLIT).cast("timestamp")
+    profile = reference_profile(ev.where(F.col("ts") < split))
+    return windowed_drift(ev.where(F.col("ts") >= split), profile).orderBy(
+        "window_start"
+    )
+
+
+ORACLE_DRIFT_SCORE_HOURLY = f"""
+WITH ref AS (
+  SELECT event_type, count(*) AS nc FROM events
+  WHERE ts < TIMESTAMP '{_KS_SPLIT}' GROUP BY 1
+),
+reftot AS (SELECT sum(nc) AS nr FROM ref),
+cur AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+           AS window_start,
+         event_type, count(*) AS obs
+  FROM events WHERE ts >= TIMESTAMP '{_KS_SPLIT}' GROUP BY 1, 2
+),
+tot AS (SELECT window_start, sum(obs) AS n_events FROM cur GROUP BY 1),
+terms AS (
+  SELECT t.window_start,
+         COALESCE(c.obs, 0) AS obs,
+         t.n_events * (CAST(r.nc AS DOUBLE) / rt.nr) AS expected
+  FROM tot t
+  CROSS JOIN ref r
+  CROSS JOIN reftot rt
+  LEFT JOIN cur c
+    ON c.window_start = t.window_start AND c.event_type = r.event_type
+)
+SELECT t.window_start,
+       CAST(t.n_events AS BIGINT) AS n_events,
+       CAST(t.n_events - sum(terms.obs) AS BIGINT) AS n_unseen,
+       round(list_reduce(list_prepend(0.0, list_sort(list(
+               (terms.obs - terms.expected) * (terms.obs - terms.expected)
+                 / terms.expected))),
+             (acc, x) -> acc + x), 6) AS chi2
+FROM terms JOIN tot t USING (window_start)
+GROUP BY t.window_start, t.n_events
+ORDER BY t.window_start
+"""

@@ -121,3 +121,92 @@ def chi2_by_window(
         )
         .orderBy("window_start")
     )
+
+
+# --- in-stream scoring against a persisted reference profile ----------------
+#
+# The monitor-table path above finalizes the statistic ON READ because
+# late data keeps refining a window's cells through the MERGE. The
+# second deployment shape — score INSIDE the stream, one emission per
+# window refinement — needs no sink table: the reference profile is
+# driver-held model state (K fractions, bytes at any scale) inlined as
+# literals, so the whole monitor is one watermarked windowed
+# aggregation (per-category conditional counts — a single stateful
+# operator) followed by a pure chi² projection. The batch twin is the
+# hash-pinned events_drift_score_hourly oracle query, and the chi² sum
+# is an ordered fold over the SORTED term array on both engines, so
+# stream == batch == oracle bit-for-bit.
+
+
+def reference_profile(
+    df: DataFrame, cat_col: str = "event_type"
+) -> dict[str, float]:
+    """category → fraction over a reference slice. One aggregation;
+    the result is K rows — legitimate driver-sized model state."""
+    rows = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in rows)
+    return {r[cat_col]: r["n"] / total for r in rows}
+
+
+def save_reference_profile(
+    df: DataFrame, path: str, cat_col: str = "event_type"
+) -> None:
+    """Persist the (category, n) counts — fractions are re-derived at
+    load so the artifact stays exact-integer."""
+    df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_reference_profile(spark, path: str, cat_col: str = "event_type"):
+    rows = spark.read.parquet(path).collect()
+    total = sum(r["n"] for r in rows)
+    return {r[cat_col]: r["n"] / total for r in rows}
+
+
+def windowed_drift(
+    df: DataFrame,
+    profile: dict[str, float],
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(window_start epoch, n_events, n_unseen, chi2) per event-time
+    window: Pearson's chi² of the window's category mix against the
+    reference profile (zero-count cells contribute their expected
+    count, the textbook convention), plus the count of events whose
+    category the profile has never seen (always an anomaly signal,
+    never silently folded into the statistic).
+
+    Pass ``watermark`` (e.g. "10 minutes") on a streaming frame to
+    bound state; identical plan otherwise — the batch twin is this
+    function on a batch frame."""
+    cats = sorted(profile)
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    counted = df.groupBy(F.window(ts_col, window).alias("_w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(
+                F.when(F.col(cat_col) == c, 1).otherwise(0)
+            ).alias(f"_c{i}")
+            for i, c in enumerate(cats)
+        ],
+    )
+    terms = []
+    seen = F.lit(0)
+    for i, c in enumerate(cats):
+        expected = F.col("n_events") * F.lit(profile[c])
+        diff = F.col(f"_c{i}") - expected
+        terms.append(diff * diff / expected)
+        seen = seen + F.col(f"_c{i}")
+    chi2 = F.aggregate(
+        F.array_sort(F.array(*terms)), F.lit(0.0), lambda a, x: a + x
+    )
+    return counted.select(
+        F.unix_timestamp(F.col("_w.start")).alias("window_start"),
+        "n_events",
+        (F.col("n_events") - seen).cast("long").alias("n_unseen"),
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -1,0 +1,120 @@
+"""operators/bpe vs a pure-Python Sennrich-style reference: same
+overlapping pair counts, same non-overlapping left-to-right merges,
+same (count desc, pair asc) tie-break → identical learned merge
+tables."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.operators.bpe import (
+    apply_merge_col,
+    learn_merges,
+    pair_counts,
+    word_frequencies,
+)
+
+
+# --- pure-Python reference (classic dict-based BPE) -------------------------
+
+
+def _ref_word_freqs(texts: list[str]) -> dict[tuple[str, ...], int]:
+    freqs: Counter = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            freqs[tuple(w)] += 1
+    return dict(freqs)
+
+
+def _ref_pair_counts(vocab: dict[tuple[str, ...], int]) -> Counter:
+    counts: Counter = Counter()
+    for syms, f in vocab.items():
+        for a, b in zip(syms, syms[1:]):  # overlapping positions
+            counts[(a, b)] += f
+    return counts
+
+
+def _ref_merge(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2  # non-overlapping, left-to-right
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_learn(texts: list[str], n_merges: int):
+    vocab = _ref_word_freqs(texts)
+    merges = []
+    for rank in range(n_merges):
+        counts = _ref_pair_counts(vocab)
+        if not counts:
+            break
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, f"{pair[0]} {pair[1]}", n))
+        vocab = {_ref_merge(s, pair): f for s, f in vocab.items()}
+    return merges
+
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "the banana bandana was abandoned",
+    "aaa aaaa aa aaa",  # overlapping-count / non-overlapping-merge trap
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_learned_merges_match_reference(spark):
+    got = learn_merges(_docs(spark), 10)
+    assert got == _ref_learn(TEXTS, 10)
+    assert len(got) == 10
+
+
+def test_learn_stops_when_pairs_exhaust(spark):
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    got = learn_merges(docs, 5)
+    # round 0 merges (a,b) -> "ab"; afterwards every word is a single
+    # symbol and no adjacent pair exists
+    assert got == [(0, "a b", 2)]
+
+
+def test_pair_counts_weighted_and_overlapping(spark):
+    vocab = word_frequencies(_docs(spark)).select(
+        F.transform(
+            F.sequence(F.lit(1), F.char_length("word")),
+            lambda i: F.substring("word", i, F.lit(1)),
+        ).alias("syms"),
+        "freq",
+    )
+    got = {
+        r["pair"]: r["n_occurrences"] for r in pair_counts(vocab).collect()
+    }
+    want = {
+        f"{a} {b}": n
+        for (a, b), n in _ref_pair_counts(_ref_word_freqs(TEXTS)).items()
+    }
+    assert got == want
+    # "aaa" (freq 2) + "aaaa" (1) + "aa" (1): positions 2*2 + 3 + 1
+    assert got["a a"] == 8
+
+
+def test_apply_merge_is_left_to_right_non_overlapping(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a", "a"],)], "syms array<string>"
+    )
+    out = df.select(
+        apply_merge_col(F.col("syms"), "a", "a").alias("m")
+    ).head()["m"]
+    assert out == ["aa", "aa", "a"]

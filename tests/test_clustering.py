@@ -1,0 +1,160 @@
+"""operators/clustering: the distributed Lloyd's fit is pinned
+bit-for-bit against a pure-Python replay of the same ordered folds —
+the determinism contract (left-to-right distance folds, sorted-order
+mean folds, first-minimum ties) is what makes that possible."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.operators.clustering import (
+    assign_to_centroids,
+    lloyd_fit,
+    seed_centroids,
+)
+from in_stream_processing_course_spark.sources.batch import load_table
+
+from conftest import SF_SMOKE
+
+K, N_ITERS = 8, 5
+
+
+def _load_vectors() -> list[tuple[int, list[float]]]:
+    t = pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = sorted(
+        zip(
+            t["vec_id"].to_pylist(),
+            [[float(x) for x in v] for v in t["embedding"].to_pylist()],
+        )
+    )
+    return pairs
+
+
+def _dist2(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):  # left-to-right, same as sqdist_col's fold
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _assign(vec, centroids) -> tuple[int, float]:
+    dists = [_dist2(vec, c) for c in centroids]
+    best = min(dists)
+    return dists.index(best), best  # first minimum, like array_position
+
+
+def _reference_lloyd(pairs, k, n_iters):
+    """Pure-Python replay of lloyd_fit's exact arithmetic; also
+    returns the per-round inertia for the monotonicity check."""
+    centroids = [list(v) for _, v in pairs[:k]]
+    inertias = []
+    for _ in range(n_iters):
+        members: dict[int, list[list[float]]] = {}
+        inertia = 0.0
+        for _, vec in pairs:
+            c, d = _assign(vec, centroids)
+            members.setdefault(c, []).append(vec)
+            inertia += d
+        inertias.append(inertia)
+        for c, vecs in members.items():
+            centroids[c] = [
+                # sorted-order fold per dim, same as update_centroids
+                sum_sorted([v[d] for v in vecs]) / len(vecs)
+                for d in range(len(centroids[c]))
+            ]
+    return centroids, inertias
+
+
+def sum_sorted(vals: list[float]) -> float:
+    acc = 0.0
+    for v in sorted(vals):
+        acc = acc + v
+    return acc
+
+
+def test_lloyd_fit_matches_pure_python_replay(spark):
+    pairs = _load_vectors()
+    want, _ = _reference_lloyd(pairs, K, N_ITERS)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = lloyd_fit(emb, K, N_ITERS)
+    assert got == want  # bit-identical: every fold is ordered
+
+
+def test_lloyd_inertia_never_increases(spark):
+    pairs = _load_vectors()
+    _, inertias = _reference_lloyd(pairs, K, N_ITERS)
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+    # and the distributed fit's final inertia matches the replay's
+    # post-final-update assignment
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = lloyd_fit(emb, K, N_ITERS)
+    got = (
+        assign_to_centroids(emb, centroids)
+        .agg(F.sum("dist2").alias("i"))
+        .head()["i"]
+    )
+    want = sum(_assign(v, centroids)[1] for _, v in pairs)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_assign_ties_break_to_lowest_centroid_index(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.0])], "id long, embedding array<float>"
+    )
+    # both centroids are equidistant from (0.5, 0)
+    out = assign_to_centroids(
+        df, [[0.0, 0.0], [1.0, 0.0]]
+    ).head()
+    assert out["cluster"] == 0 and out["dist2"] == 0.25
+
+
+def test_assign_covers_all_vectors_and_all_seeds_self_assign(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = seed_centroids(emb, K)
+    out = assign_to_centroids(emb, centroids)
+    assert out.count() == emb.count()
+    # each seed vector sits exactly on its own centroid
+    seeds = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in out.orderBy("vec_id").limit(K).collect()
+    }
+    assert {c for c, _ in seeds.values()} == set(range(K))
+    assert all(d == 0.0 for _, d in seeds.values())
+
+
+def test_assignment_is_a_pure_projection_streamable(spark, tmp_path):
+    """assign_to_centroids under readStream: cluster routing of an
+    arriving embedding stream equals the batch assignment (the
+    deploy-time path — persisted centroids, streaming scorer)."""
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_to_memory,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    emb.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    centroids = seed_centroids(emb, 4)
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .parquet(str(tmp_path / "in"))
+    )
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in run_stream_to_memory(
+            assign_to_centroids(stream, centroids, dist_col=None).select(
+                "vec_id", "cluster"
+            ),
+            output_mode="append",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in assign_to_centroids(
+            spark.read.parquet(str(tmp_path / "in")), centroids
+        ).collect()
+    }
+    assert got == want and len(got) == 50

@@ -377,6 +377,8 @@ def test_registry_wide_plan_guards(spark):
         "split_documents_cluster_safe",
         "split_leakage_audit",
         "pagerank_customer_supplier",
+        "embedding_kmeans_fit",  # 5-round Lloyd's driver loop
+        "bpe_learned_merges",  # 20-round merge loop -> LocalTableScan
     }
     window_allowed = {"quality_calibration"}
     nl_adjudicated = {
@@ -396,8 +398,8 @@ def test_registry_wide_plan_guards(spark):
         "retrieval_mmr_diversified",  # fusion-depth candidate cross (50x50)
         "lm_bigram_model",  # 1-row vocabulary-size scalar
         "lm_doc_scores",  # same scalar
-        "lm_outlier_docs",  # same scalar
-        "events_heavy_hitters",  # 1-row kth-estimate + total scalars
+        "lm_outlier_docs",  # same scalar + bounded bottom-k broadcast
+        "lm_quality_buckets",  # same vocabulary-size scalar
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):

@@ -104,3 +104,85 @@ def test_drift_monitor_replay_is_idempotent(spark, tmp_path):
     ).count()
     total = sum(r.n for r in monitor.collect())
     assert total == sum(n for _, _, n in _BALANCED + _SKEWED)
+
+
+# --- in-stream scoring against a persisted profile (windowed_drift) ---------
+
+
+def test_stream_drift_scoring_matches_batch_twin(spark, tmp_path):
+    """The second deployment shape (score inside the stream, no
+    monitor table): the streamed chi² equals the batch twin — whose
+    arithmetic the events_drift_score_hourly oracle hash-pins — row
+    for row, and unseen categories are surfaced, not folded in."""
+    from in_stream_processing_course_spark.streaming.drift import (
+        windowed_drift,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_to_memory,
+    )
+
+    profile = {"click": 0.5, "view": 0.5}
+    rows_b1 = [
+        ("2024-01-01T10:00:05", "click"),
+        ("2024-01-01T10:10:00", "click"),
+        ("2024-01-01T10:20:00", "view"),
+        ("2024-01-01T10:30:00", "scroll"),  # unseen category
+    ]
+    rows_b2 = [
+        ("2024-01-01T11:01:00", "view"),
+        ("2024-01-01T11:02:00", "view"),
+        ("2024-01-01T11:03:00", "click"),
+    ]
+    in_dir = tmp_path / "score_in"
+    in_dir.mkdir()
+    for name, rows in [("b1.json", rows_b1), ("b2.json", rows_b2)]:
+        with open(in_dir / name, "w") as f:
+            for ts, et in rows:
+                f.write(json.dumps({"ts": ts, "event_type": et}) + "\n")
+        time.sleep(1.1)  # file source orders micro-batches by mtime
+
+    schema = "ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(in_dir))
+    )
+    got = {
+        tuple(r)
+        for r in run_stream_to_memory(
+            windowed_drift(stream, profile, watermark="10 minutes"),
+            output_mode="complete",
+            checkpoint_dir=str(tmp_path / "score_ckpt"),
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in windowed_drift(
+            spark.read.schema(schema).json(str(in_dir)), profile
+        ).collect()
+    }
+    assert got == want and len(got) == 2
+    by_window = {r[0]: r for r in got}
+    w10 = by_window[1704103200]  # 2024-01-01T10:00 UTC
+    assert w10[1] == 4 and w10[2] == 1  # the scroll event is unseen
+    w11 = by_window[1704106800]
+    assert w11[1] == 3 and w11[2] == 0
+
+
+def test_profile_save_load_roundtrip_exact(spark, tmp_path):
+    from in_stream_processing_course_spark.streaming.drift import (
+        load_reference_profile,
+        reference_profile,
+        save_reference_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("click",)] * 3 + [("view",)] * 1, "event_type string"
+    )
+    path = str(tmp_path / "profile")
+    save_reference_profile(df, path)
+    assert load_reference_profile(spark, path) == reference_profile(df)
+    assert load_reference_profile(spark, path) == {
+        "click": 0.75,
+        "view": 0.25,
+    }

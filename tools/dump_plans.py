@@ -37,6 +37,8 @@ ITERATIVE_EXCLUDED = {
     "split_documents_cluster_safe": "connected-components rounds",
     "split_leakage_audit": "builds on split_documents_cluster_safe",
     "pagerank_customer_supplier": "5 pagerank rounds (localCheckpoint)",
+    "embedding_kmeans_fit": "5 Lloyd's rounds (per-round driver collect)",
+    "bpe_learned_merges": "20 merge rounds -> driver-held merge table",
 }
 
 _LEGACY_AUDITED = [
@@ -220,10 +222,9 @@ def main() -> None:
         "  retrieval_bm25_topk / retrieval_hybrid_rrf join the 1-row",
         "  (N, avgdl) corpus-stats scalar, retrieval_mmr_diversified",
         "  additionally crosses the bounded depth-50 candidate set;",
-        "  lm_bigram_model / lm_doc_scores / lm_outlier_docs join the",
-        "  1-row vocabulary-size scalar (smoothing denominator);",
-        "  events_heavy_hitters joins the 1-row k-th-estimate and",
-        "  total-count scalars (the Misra-Gries merge reduction).",
+        "  lm_bigram_model / lm_doc_scores / lm_outlier_docs /",
+        "  lm_quality_buckets join the 1-row vocabulary-size scalar",
+        "  (smoothing denominator).",
         "",
         "## Excluded from the table (iterative: explain shows only the",
         "final round's lineage-truncated plan)",
