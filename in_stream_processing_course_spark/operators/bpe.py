@@ -115,7 +115,11 @@ def apply_merge_col(syms: Column, left: str, right: str) -> Column:
         F.struct(empty.alias("arr"), F.lit(False).alias("skip")),
         step,
     )
-    return folded["arr"]
+    # arrays with no possible merge pass through untouched — REQUIRED
+    # for the empty array (Spark's sequence(1, 0) counts DOWN, so the
+    # fold would visit phantom indices), and a skipped fold for the
+    # 1-symbol case
+    return F.when(F.size(syms) < 2, syms).otherwise(folded["arr"])
 
 
 def learn_merges(

@@ -118,3 +118,28 @@ def test_apply_merge_is_left_to_right_non_overlapping(spark):
         apply_merge_col(F.col("syms"), "a", "a").alias("m")
     ).head()["m"]
     assert out == ["aa", "aa", "a"]
+
+
+def test_apply_merge_randomized_against_reference(spark):
+    """200 adversarial symbol arrays (alphabet {a, b, ab} — merged
+    symbols collide with literal ones, overlap chains, pair-at-end),
+    one Spark job, row-wise equality with the pure reference fold."""
+    import random
+
+    rng = random.Random(0)
+    arrays = [
+        tuple(rng.choice(["a", "b", "ab"]) for _ in range(rng.randint(0, 8)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, list(a)) for i, a in enumerate(arrays)],
+        "i long, syms array<string>",
+    )
+    got = {
+        r["i"]: tuple(r["m"])
+        for r in df.select(
+            "i", apply_merge_col(F.col("syms"), "a", "b").alias("m")
+        ).collect()
+    }
+    for i, a in enumerate(arrays):
+        assert got[i] == _ref_merge(a, ("a", "b")), (i, a)
