@@ -138,6 +138,27 @@ def update_centroids(
     return out
 
 
+def save_centroids(
+    spark, centroids: list[list[float]], path: str
+) -> None:
+    """Persist a fitted centroid table (cluster, centroid) — the same
+    train-once / score-continuously artifact contract as
+    streaming/lm_gate.py's model and streaming/drift.py's profile. The
+    table is k rows at any corpus scale."""
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    assert [r["cluster"] for r in rows] == list(range(len(rows))), (
+        "centroid table must be a dense 0..k-1 index"
+    )
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
 def lloyd_fit(
     df: DataFrame,
     k: int,

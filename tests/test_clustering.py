@@ -158,3 +158,20 @@ def test_assignment_is_a_pure_projection_streamable(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_centroids_save_load_roundtrip_exact(spark, tmp_path):
+    """Persisted centroids reload bit-identically (array<double>
+    parquet round-trip is lossless), so a deploy-time scorer built
+    from the artifact routes exactly like the fitting session."""
+    from in_stream_processing_course_spark.operators.clustering import (
+        load_centroids,
+        save_centroids,
+    )
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids = lloyd_fit(emb, 4, 2)
+    path = str(tmp_path / "centroids")
+    save_centroids(spark, centroids, path)
+    assert load_centroids(spark, path) == centroids
