@@ -73,6 +73,13 @@ def assign_to_centroids(
     works identically on a batch frame and under ``readStream`` (the
     deploy-time routing path — e.g. sharding arriving documents by
     semantic cluster)."""
+    # internal scratch column — a caller column with this name would be
+    # silently clobbered and dropped (same guard as sketches._RESERVED)
+    if "_dists" in df.columns:
+        raise ValueError(
+            "input column '_dists' collides with the operator's "
+            "internal distance array"
+        )
     dists = distances_col(F.col(vec_col), centroids)
     out = df.withColumn("_dists", dists).withColumn(
         cluster_col,
@@ -153,9 +160,13 @@ def save_centroids(
 
 def load_centroids(spark, path: str) -> list[list[float]]:
     rows = spark.read.parquet(path).orderBy("cluster").collect()
-    assert [r["cluster"] for r in rows] == list(range(len(rows))), (
-        "centroid table must be a dense 0..k-1 index"
-    )
+    # a hard error, not an assert: under python -O a sparse index would
+    # silently shift every positional cluster id
+    if [r["cluster"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"centroid table at {path} must be a dense 0..k-1 index; "
+            f"got {[r['cluster'] for r in rows]}"
+        )
     return [[float(x) for x in r["centroid"]] for r in rows]
 
 

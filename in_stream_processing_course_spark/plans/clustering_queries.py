@@ -84,20 +84,20 @@ FROM best WHERE rn = 1 ORDER BY vec_id
 
 
 def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Lloyd's fit (k={k}, {n} iterations, deterministic seed =
-    k smallest vec_ids) and the resulting clustering profile: per
-    cluster, the member count and the inertia contribution (sum of
-    squared distances to the final centroid, folded in sorted order →
-    partitioning-invariant, 6-dp rounded).
+    """Full Lloyd's fit (k = _K centroids, _N_ITERS iterations,
+    deterministic seed = the k smallest vec_ids) and the resulting
+    clustering profile: per cluster, the member count and the inertia
+    contribution (sum of squared distances to the final centroid,
+    folded in sorted order → partitioning-invariant, 6-dp rounded).
 
     Iterative driver loop — each round is one assignment projection +
     one (cluster, dim) aggregation; only k·dim doubles cross the
-    driver boundary per round, so the fit is {n} bounded corpus scans
-    at any scale. No SQL oracle (a fixed-point loop is not a DuckDB
-    statement); the driver records the rows-only check and
-    tests/test_clustering.py pins the fit bit-for-bit against a
+    driver boundary per round, so the fit is a fixed number of bounded
+    corpus scans at any scale. No SQL oracle (a fixed-point loop is
+    not a DuckDB statement); the driver records the rows-only check
+    and tests/test_clustering.py pins the fit bit-for-bit against a
     pure-Python replay of the same ordered folds at sf0.001, plus the
-    monotone-inertia invariant of Lloyd's.""".format(k=_K, n=_N_ITERS)
+    monotone-inertia invariant of Lloyd's."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = lloyd_fit(emb, _K, _N_ITERS)
     assigned = assign_to_centroids(emb, centroids)

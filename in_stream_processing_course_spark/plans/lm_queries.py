@@ -45,19 +45,27 @@ _MODEL_MIN_COUNT = 2  # lm_bigram_model output bound (scoring uses all)
 _OUTLIER_K = 20
 _VOCAB_MIN = 5  # a token is in-vocabulary if it occurs >= 5 times
 
-def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bigrams_of(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, bigram) — one row per adjacent token pair
     (functions/text.ngrams_col: tokens are whitespace-split, so the
     single-space joiner is unambiguous and split_part() recovers the
     context word exactly); docs with fewer than two tokens vanish in
-    the explode of the empty array (no filter branch needed)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the explode of the empty array (no filter branch needed).
+
+    Frame-level (pure projection) so the streaming scorer
+    (streaming/lm_gate.py) stages bigrams through the SAME expressions
+    — the stream==batch equivalence contract depends on the two sides
+    never diverging."""
     staged = docs.select(
         "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")
     )
     return staged.select(
         "doc_id", F.explode(tx.ngrams_col(F.col("_toks"), 2)).alias("bigram")
     ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigrams_of(load_table(spark, sf_dir, "documents"))
 
 
 def _vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:

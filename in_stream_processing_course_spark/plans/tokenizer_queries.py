@@ -58,14 +58,14 @@ ORDER BY n_occurrences DESC, pair ASC LIMIT {_TOP_PAIRS}
 
 
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned BPE merge table: {n} merge rounds over the corpus
-    vocabulary (operators/bpe.learn_merges — one vocabulary-sized
-    argmax + one merge projection per round, lineage truncated per
-    round; only the merge table itself, {n} rows, ever reaches the
-    driver). Rows-only driver check; the loop's arithmetic is pinned
-    against a pure-Python BPE reference in tests/test_bpe.py, and the
-    merge table is deterministic by construction (exact long counts,
-    lexicographic tie-break).""".format(n=_N_MERGES)
+    """The learned BPE merge table: _N_MERGES merge rounds over the
+    corpus vocabulary (operators/bpe.learn_merges — one
+    vocabulary-sized argmax + one merge projection per round, lineage
+    truncated per round; only the merge table itself, one row per
+    round, ever reaches the driver). Rows-only driver check; the
+    loop's arithmetic is pinned against a pure-Python BPE reference in
+    tests/test_bpe.py, and the merge table is deterministic by
+    construction (exact long counts, lexicographic tie-break)."""
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_merges(docs, _N_MERGES)
     return spark.createDataFrame(

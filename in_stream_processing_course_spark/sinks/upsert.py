@@ -315,13 +315,52 @@ class KeyedUpsertSink:
         shutil.rmtree(stage, ignore_errors=True)
 
     def read(self, spark: SparkSession, apply_ttl: bool = True) -> DataFrame:
-        self._recover()
+        """Query-side view of the table. NON-MUTATING by contract: a
+        reader may race an in-flight micro-batch of the same sink, and
+        repairing swap state from here would move directories out from
+        under the writer mid-swap (restoring a retired partition the
+        batch is about to replace, or deleting its live stage). Repair
+        happens only in ``__call__`` (start of the next batch / the
+        checkpoint retry, which is serialized with the swap). After a
+        crash, this read falls back READ-ONLY to the retired copies —
+        the last committed state — per partition or whole-table; a read
+        racing the swap window itself may transiently fail on a
+        just-moved directory and can simply be retried."""
         self._validate_layout()
-        df = self._read_current(spark)
-        if df is None:
+        parent = os.path.dirname(os.path.abspath(self.path)) or "."
+        base = os.path.basename(self.path)
+        names = sorted(os.listdir(parent)) if os.path.isdir(parent) else []
+        frames: list[DataFrame] = []
+        live = self._read_current(spark)
+        if live is None:
+            # whole-table swap crashed between retire and install: the
+            # retired copy is the last committed state
+            for name in names:
+                if name.startswith(f"{base}._old_table_"):
+                    live = spark.read.parquet(os.path.join(parent, name))
+                    break
+        if live is not None:
+            if "kpart" in live.columns:
+                live = live.drop("kpart")
+            frames.append(live)
+        # partitioned swap crashed mid-window: any retired partition
+        # whose live kpart=<k> is missing is still the committed state
+        # for that partition (files inside carry no kpart column, so
+        # the schema matches the kpart-dropped live frame)
+        for name in names:
+            if name.startswith(f"{base}._old_kpart_"):
+                k = name[len(f"{base}._old_kpart_") :].split("_")[0]
+                if not os.path.exists(
+                    os.path.join(self.path, f"kpart={int(k)}")
+                ):
+                    frames.append(
+                        spark.read.parquet(os.path.join(parent, name))
+                    )
+        if not frames:
             return spark.createDataFrame([], "struct<>")
-        if "kpart" in df.columns:
-            df = df.drop("kpart")
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
         return self._apply_ttl(df) if apply_ttl else df
 
 

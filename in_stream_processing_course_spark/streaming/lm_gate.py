@@ -27,8 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import text as tx
-from ..plans.lm_queries import _doc_bigrams, _model_with_ctx, _vocab_size
+from ..plans.lm_queries import (
+    _doc_bigrams,
+    _model_with_ctx,
+    _vocab_size,
+    bigrams_of,
+)
 
 
 def save_lm_model(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -63,12 +67,9 @@ def score_document_stream(
     model = spark.read.parquet(f"{model_path}/model")
     ctx = spark.read.parquet(f"{model_path}/ctx")
     v = int(spark.read.parquet(f"{model_path}/meta").head()["v"])
-    staged = docs.select(
-        "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")
-    )
-    bi = staged.select(
-        "doc_id", F.explode(tx.ngrams_col(F.col("_toks"), 2)).alias("bigram")
-    ).withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+    # the SAME staging expressions the batch scorer uses — sharing the
+    # helper is what keeps the stream==batch equivalence pinned
+    bi = bigrams_of(docs.select("doc_id", "text"))
     scored = (
         bi.join(F.broadcast(model), "bigram", "left")
         .join(F.broadcast(ctx), "w1", "left")

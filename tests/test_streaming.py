@@ -948,3 +948,45 @@ def test_upsert_sink_layout_guard(spark, tmp_path):
     os.remove(os.path.join(part, "_kpart_layout"))
     with pytest.raises(ValueError, match="_kpart_layout"):
         KeyedUpsertSink(part, ["bot_ip"], n_partitions=4).read(spark)
+
+
+def test_upsert_sink_read_is_non_mutating_in_crash_state(spark, tmp_path):
+    """read() must serve the last committed state during a crashed (or
+    in-flight) swap WITHOUT touching the on-disk swap state — a reader
+    racing a live micro-batch that repaired directories would corrupt
+    the writer's phase B (review finding round 5). Repair belongs to
+    __call__ only."""
+    import os
+    import shutil as real_shutil
+
+    # partitioned layout: retire one partition as a phase-A crash would
+    part = str(tmp_path / "bots_read_nonmut")
+    sink = KeyedUpsertSink(part, ["bot_ip"], n_partitions=4)
+    sink(
+        spark.range(200).selectExpr(
+            "concat('ip-', id) AS bot_ip", "'requests' AS reason"
+        ),
+        0,
+    )
+    retired = f"{part}._old_kpart_2_deadbeef"
+    real_shutil.move(os.path.join(part, "kpart=2"), retired)
+
+    got = {
+        (r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()
+    }
+    assert got == {(f"ip-{i}", "requests") for i in range(200)}
+    # disk untouched: the retired copy is still retired, live still gone
+    assert os.path.isdir(retired)
+    assert not os.path.exists(os.path.join(part, "kpart=2"))
+
+    # whole-table layout: same contract
+    whole = str(tmp_path / "bots_read_nonmut_whole")
+    wsink = KeyedUpsertSink(whole, ["bot_ip"])
+    wsink(_verdicts_df(spark, [("1.2.3.4", "requests")]), 0)
+    real_shutil.move(whole, f"{whole}._old_table_deadbeef")
+    got = {
+        (r["bot_ip"], r["reason"]) for r in wsink.read(spark).collect()
+    }
+    assert got == {("1.2.3.4", "requests")}
+    assert os.path.isdir(f"{whole}._old_table_deadbeef")
+    assert not os.path.exists(whole)
