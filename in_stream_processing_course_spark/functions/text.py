@@ -74,6 +74,20 @@ def lang_id_col(text: Column, toks: Column | None = None) -> Column:
     return expr
 
 
+def char_ngrams_col(text: Column, n: int = 3) -> Column:
+    """Character n-grams of ``text`` as an array (empty when the text
+    is shorter than n — guarded explicitly: Spark's sequence(1, 0)
+    counts DOWN, so an unguarded expression would walk phantom
+    indices). Scan-local, no explode, no shuffle."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.char_length(text) - (n - 1)),
+        lambda i: F.substring(text, i, F.lit(n)),
+    )
+    return F.when(F.char_length(text) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def stopword_ratio_col(text: Column, toks: Column | None = None) -> Column:
     """stopword tokens / all tokens, double division (guard empty)."""
     if toks is None:

@@ -116,3 +116,100 @@ def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with REAL k-means blocks — the full recipe from the
+    paper: cluster the embedding space, find cosine near-dup pairs
+    WITHIN clusters, resolve transitive groups, keep the min-id
+    representative. ``semantic_dedup_keep`` demonstrated the keep/drop
+    machinery with the label column standing in for the cluster id;
+    this query replaces the stand-in with nearest-centroid assignment
+    (the seed-centroid form, so the oracle can reproduce the blocks in
+    SQL — the iterated fit only moves WHICH pairs become candidates,
+    not any operator shape).
+
+    Scale: assignment is the shuffle-free projection pinned by
+    embedding_kmeans_assign; the pair join shuffles once on the
+    cluster id (quadratic only within a cluster — k bounds the block
+    count, and a production run sizes k so blocks fit the
+    within-block-quadratic budget, exactly the SemDeDup paper's
+    knob); the closure is one shuffle per round over the pair table.
+    The oracle rebuilds assignment + candidate pairs + a recursive-CTE
+    closure, hash-verifying the whole composition."""
+    from ..operators.dedup import embedding_cosine_pairs
+    from ..operators.graph import connected_components
+    from .pipeline_queries import _SEM_COS_THRESHOLD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = seed_centroids(emb, _K)
+    assigned = assign_to_centroids(emb, centroids, dist_col=None)
+    pairs = embedding_cosine_pairs(
+        assigned, "vec_id", "embedding", "cluster", _SEM_COS_THRESHOLD
+    ).select("a", "b")
+    comp = connected_components(pairs, "a", "b").withColumnRenamed(
+        "node", "vec_id"
+    )
+    group = F.coalesce(F.col("component"), F.col("vec_id"))
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            group.cast("long").alias("group_id"),
+            (group == F.col("vec_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_semantic_dedup_kmeans() -> str:
+    from .pipeline_queries import _SEM_COS_THRESHOLD, _sql_cos_sem
+
+    return f"""
+WITH RECURSIVE cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+         embedding AS c
+  FROM embeddings WHERE vec_id IN (
+    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_K})
+),
+scored AS (
+  SELECT e.vec_id, cent.cidx,
+         {_SQL_SQDIST.format(a='e.embedding', b='cent.c')} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cidx AS cluster
+  FROM (SELECT vec_id, cidx, d,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cidx ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+cands AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l
+  JOIN assigned la ON la.vec_id = l.vec_id
+  JOIN assigned ra ON ra.cluster = la.cluster
+  JOIN embeddings r ON r.vec_id = ra.vec_id AND l.vec_id < r.vec_id
+  WHERE {_sql_cos_sem('l.embedding', 'r.embedding')} >= {_SEM_COS_THRESHOLD}
+),
+edges AS (
+  SELECT a AS u, b AS v FROM cands
+  UNION SELECT b AS u, a AS v FROM cands
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT reach.node, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT e.vec_id,
+       CAST(COALESCE(comp.component, e.vec_id) AS BIGINT) AS group_id,
+       COALESCE(comp.component, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp ON comp.node = e.vec_id
+ORDER BY vec_id
+"""
+
+
+ORACLE_SEMANTIC_DEDUP_KMEANS = _oracle_semantic_dedup_kmeans()

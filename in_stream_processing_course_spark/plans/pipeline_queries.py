@@ -852,9 +852,10 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline: (1) pairwise cosine >= t WITHIN cluster blocks — here
     the label column stands in for the k-means cluster id SemDeDup
-    computes (the rows-only knn_ivf query demonstrates real k-means
-    assignment; at 100 TB the block key is that IVF cell or an LSH
-    bucket, never a global all-pairs); (2) transitive closure of the
+    computes (``plans/clustering_queries.semantic_dedup_kmeans`` is
+    the same pipeline over REAL nearest-centroid blocks, oracle-backed;
+    at 100 TB the block key is that k-means cell, an IVF cell, or an
+    LSH bucket, never a global all-pairs); (2) transitive closure of the
     near-dup pairs via min-label-propagation connected components;
     (3) representative = min vec_id per component -> keep, everything
     else in the component -> drop. Rows in no pair keep trivially.

@@ -631,3 +631,13 @@ register(
     ts.events_drift_score_hourly,
     ts.ORACLE_DRIFT_SCORE_HOURLY,
 )
+register(
+    "semantic_dedup_kmeans",
+    cq.semantic_dedup_kmeans,
+    cq.ORACLE_SEMANTIC_DEDUP_KMEANS,
+)
+register(
+    "text_lang_ngram_confusion",
+    tq.text_lang_ngram_confusion,
+    tq.ORACLE_LANG_NGRAM_CONFUSION,
+)

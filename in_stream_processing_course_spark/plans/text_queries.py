@@ -1026,3 +1026,132 @@ SELECT g.doc_id,
 FROM grams g JOIN top USING (doc_id)
 ORDER BY g.doc_id
 """
+
+
+# --- n-gram-profile language ID (Cavnar-Trenkle 1994) ------------------------
+
+# profile depth / doc depth / out-of-place penalty for absent trigrams
+_LID_PROFILE_N = 40
+_LID_DOC_M = 20
+
+
+def text_lang_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (Cavnar & Trenkle 1994)
+    evaluated as a confusion matrix against the declared labels — the
+    real-corpus upgrade the marker heuristic's docstring defers to
+    (functions/text.py LANG_MARKERS note): per-language rank profiles
+    of the top trigrams, each document scored by the OUT-OF-PLACE
+    measure (sum of |doc rank - profile rank|, absent trigram = max
+    penalty), predicted language = argmin.
+
+    (On this synthetic corpus the languages share one generator
+    vocabulary, so separability is weak — ~29% diagonal at sf0.01 vs
+    20% chance; the confusion matrix IS the audit view that would
+    reveal exactly that on a real corpus before anyone trusts the
+    lang column.)
+
+    Everything is integer arithmetic (counts and ranks), so the hash
+    check is division-free. Scale: the trigram explode is the corpus
+    pass; profiles aggregate to langs x N rows (broadcast); each doc
+    keeps its top M trigrams via a doc-partitioned window; the scoring
+    cross is doc-trigrams x langs — a bounded-enum broadcast cross,
+    the adjudicated calendar-spine shape, never corpus x corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tx.char_ngrams_col(F.lower(F.col("text")))).alias("tg"),
+    )
+    lang_w = Window.partitionBy("plang").orderBy(
+        F.col("n").desc(), F.col("tg").asc()
+    )
+    profile = (
+        tri.groupBy(F.col("lang").alias("plang"), "tg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("prof_rank", F.row_number().over(lang_w))
+        .where(F.col("prof_rank") <= _LID_PROFILE_N)
+        .select("plang", "tg", "prof_rank")
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("tg").asc()
+    )
+    doc_top = (
+        tri.groupBy("doc_id", "lang", "tg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("doc_rank", F.row_number().over(doc_w))
+        .where(F.col("doc_rank") <= _LID_DOC_M)
+        .select("doc_id", "lang", "tg", "doc_rank")
+    )
+    langs = profile.select("plang").distinct()
+    scored = (
+        doc_top.join(F.broadcast(langs))
+        .join(F.broadcast(profile), ["plang", "tg"], "left")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("doc_rank") - F.col("prof_rank")),
+                    F.lit(_LID_PROFILE_N),
+                )
+            ).alias("dist")
+        )
+    )
+    pick_w = Window.partitionBy("doc_id").orderBy(
+        F.col("dist").asc(), F.col("plang").asc()
+    )
+    predicted = (
+        scored.withColumn("_r", F.row_number().over(pick_w))
+        .where(F.col("_r") == 1)
+        .select("lang", F.col("plang").alias("lang_pred"))
+    )
+    return (
+        predicted.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+ORACLE_LANG_NGRAM_CONFUSION = f"""
+WITH tri AS (
+  SELECT doc_id, lang, unnest(list_transform(
+           generate_series(1, len(lower(text)) - 2),
+           i -> substring(lower(text), i, 3))) AS tg
+  FROM documents
+),
+profile AS (
+  SELECT plang, tg, prof_rank FROM (
+    SELECT lang AS plang, tg, COUNT(*) AS n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, tg ASC) AS prof_rank
+    FROM tri GROUP BY lang, tg)
+  WHERE prof_rank <= {_LID_PROFILE_N}
+),
+doc_top AS (
+  SELECT doc_id, lang, tg, doc_rank FROM (
+    SELECT doc_id, lang, tg, COUNT(*) AS n,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, tg ASC) AS doc_rank
+    FROM tri GROUP BY doc_id, lang, tg)
+  WHERE doc_rank <= {_LID_DOC_M}
+),
+langs AS (SELECT DISTINCT plang FROM profile),
+scored AS (
+  SELECT d.doc_id, d.lang, l.plang,
+         SUM(COALESCE(abs(d.doc_rank - p.prof_rank),
+                      {_LID_PROFILE_N})) AS dist
+  FROM doc_top d
+  CROSS JOIN langs l
+  LEFT JOIN profile p ON p.plang = l.plang AND p.tg = d.tg
+  GROUP BY d.doc_id, d.lang, l.plang
+),
+predicted AS (
+  SELECT lang, plang AS lang_pred FROM (
+    SELECT lang, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY dist ASC, plang ASC) AS r
+    FROM scored)
+  WHERE r = 1
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM predicted GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""

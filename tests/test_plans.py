@@ -379,6 +379,7 @@ def test_registry_wide_plan_guards(spark):
         "pagerank_customer_supplier",
         "embedding_kmeans_fit",  # 5-round Lloyd's driver loop
         "bpe_learned_merges",  # 20-round merge loop -> LocalTableScan
+        "semantic_dedup_kmeans",  # connected-components rounds
     }
     window_allowed = {"quality_calibration"}
     nl_adjudicated = {
@@ -400,6 +401,7 @@ def test_registry_wide_plan_guards(spark):
         "lm_doc_scores",  # same scalar
         "lm_outlier_docs",  # same scalar + bounded bottom-k broadcast
         "lm_quality_buckets",  # same vocabulary-size scalar
+        "text_lang_ngram_confusion",  # doc-trigrams x langs enum cross
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):

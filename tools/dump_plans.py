@@ -39,6 +39,7 @@ ITERATIVE_EXCLUDED = {
     "pagerank_customer_supplier": "5 pagerank rounds (localCheckpoint)",
     "embedding_kmeans_fit": "5 Lloyd's rounds (per-round driver collect)",
     "bpe_learned_merges": "20 merge rounds -> driver-held merge table",
+    "semantic_dedup_kmeans": "connected-components rounds",
 }
 
 _LEGACY_AUDITED = [
@@ -224,7 +225,9 @@ def main() -> None:
         "  additionally crosses the bounded depth-50 candidate set;",
         "  lm_bigram_model / lm_doc_scores / lm_outlier_docs /",
         "  lm_quality_buckets join the 1-row vocabulary-size scalar",
-        "  (smoothing denominator).",
+        "  (smoothing denominator); text_lang_ngram_confusion crosses",
+        "  doc trigrams with the bounded language enum (profile",
+        "  scoring requires every (doc, lang) pair by construction).",
         "",
         "## Excluded from the table (iterative: explain shows only the",
         "final round's lineage-truncated plan)",
