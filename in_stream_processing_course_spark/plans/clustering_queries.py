@@ -12,7 +12,7 @@ the operator that produces both, DataFrame-native.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.clustering import (
@@ -213,3 +213,83 @@ ORDER BY vec_id
 
 
 ORACLE_SEMANTIC_DEDUP_KMEANS = _oracle_semantic_dedup_kmeans()
+
+
+# prototypicality keep-fraction: the closest 90% of each cluster stay
+_PROTO_KEEP_PCT = 90
+
+
+def embedding_prototypicality_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prototypicality pruning (the distance-to-centroid rule of
+    Sorscher et al. 2022, "Beyond neural scaling laws"): within each
+    cluster, keep the fraction of vectors closest to the centroid and
+    drop the un-prototypical tail — the embedding-space complement of
+    SemDeDup (that drops redundant near-dups; this drops outliers).
+
+    The gate is RANK-based, as in the paper (prune a percentile, not a
+    z-score — distance distributions in high dimensions are too
+    concentrated for σ-rules to bite): keep = per-cluster distance
+    rank <= ceil(90% · cluster size). Ranks are integers over
+    bit-identical raw distances with a (dist², vec_id) total order, so
+    the keep/drop bit hash-matches exactly. Scale: assignment is the
+    shuffle-free projection; the rank window partitions BY CLUSTER
+    (never a global window); cluster sizes come out of the same
+    aggregate the window already shuffled for."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = seed_centroids(emb, _K)
+    assigned = assign_to_centroids(emb, centroids)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist2").asc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.select(
+        "vec_id",
+        "cluster",
+        "dist2",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("_n"),
+    )
+    # keep = r <= ceil(pct% of n), in PURE INTEGER form:
+    # (r-1)·100 < n·pct  ⟺  r <= ceil(n·pct/100); a singleton cluster
+    # keeps its one vector (floor semantics would drop it)
+    keep = (F.col("_r") - 1) * 100 < F.col("_n") * _PROTO_KEEP_PCT
+    return ranked.select(
+        "vec_id",
+        "cluster",
+        F.round("dist2", 6).alias("dist2"),
+        keep.alias("keep"),
+    ).orderBy("vec_id")
+
+
+ORACLE_PROTOTYPICALITY = f"""
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
+         embedding AS c
+  FROM embeddings WHERE vec_id IN (
+    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_K})
+),
+scored AS (
+  SELECT e.vec_id, cent.cidx,
+         {_SQL_SQDIST.format(a='e.embedding', b='cent.c')} AS d
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, cidx AS cluster, d FROM (
+    SELECT vec_id, cidx, d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d ASC, cidx ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cluster, d,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY d ASC, vec_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY cluster) AS n
+  FROM assigned
+)
+SELECT vec_id, cluster, round(d, 6) AS dist2,
+       (r - 1) * 100 < n * {_PROTO_KEEP_PCT} AS keep
+FROM ranked ORDER BY vec_id
+"""

@@ -641,3 +641,8 @@ register(
     tq.text_lang_ngram_confusion,
     tq.ORACLE_LANG_NGRAM_CONFUSION,
 )
+register(
+    "embedding_prototypicality_prune",
+    cq.embedding_prototypicality_prune,
+    cq.ORACLE_PROTOTYPICALITY,
+)
