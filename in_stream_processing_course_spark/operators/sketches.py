@@ -39,7 +39,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    StructField,
+    StructType,
+)
 
 
 def mg_merge_counts(counters: dict, batch_counts: dict, k: int) -> None:
@@ -88,10 +93,11 @@ def partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
 def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     """All NON-NULL keys of ``df[col]`` with count·k > n, with exact
     counts — computed via the MG candidate path (no full-key-space
-    shuffle). NULL is excluded as a key EXPLICITLY (pandas
-    ``value_counts`` drops NaN, so a null-heavy column would otherwise
-    silently desync the sketch from the exact side); the n/k threshold
-    is over non-null rows. Columns: (col, n_rows).
+    shuffle). NULL — and, for float/double key columns, NaN — is
+    excluded as a key EXPLICITLY (pandas ``value_counts`` drops both,
+    so such keys would otherwise silently desync the sketch from the
+    exact side); the n/k threshold is over the remaining rows.
+    Columns: (col, n_rows).
 
     Exactly two scans of the input: the summaries pass, then one
     left-broadcast-join pass whose aggregate groups every non-candidate
@@ -100,7 +106,20 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     aggregation exchange) the total n for the threshold."""
     if col in _RESERVED:
         raise ValueError(f"column name {col!r} collides with {_RESERVED}")
-    df = df.where(F.col(col).isNotNull())
+    # only the key column participates anywhere below — selecting it
+    # first (a) prunes the scan to one column and (b) makes the
+    # operator immune to unrelated input columns named like the
+    # internals (an input '_cand' would otherwise turn the exact-pass
+    # join ambiguous; cf. the '_dists' guard in
+    # clustering.assign_to_centroids)
+    df = df.select(col).where(F.col(col).isNotNull())
+    if isinstance(df.schema[col].dataType, (FloatType, DoubleType)):
+        # NaN keys would silently void the superset guarantee: pandas
+        # value_counts DROPS NaN in the sketch pass while isNotNull()
+        # KEEPS NaN rows in the exact pass, so a NaN key above n/k
+        # could never surface as a candidate. NaN is excluded as a key
+        # the same way NULL is; n counts non-null, non-NaN rows.
+        df = df.where(~F.isnan(F.col(col)))
     partials = partition_summaries(df, col, k)
     combined = partials.groupBy(col).agg(F.sum("_est").alias("_c"))
     # Mergeable-summaries reduction in ONE single-row aggregation:

@@ -331,7 +331,21 @@ class KeyedUpsertSink:
         base = os.path.basename(self.path)
         names = sorted(os.listdir(parent)) if os.path.isdir(parent) else []
         frames: list[DataFrame] = []
-        live = self._read_current(spark)
+        try:
+            live = self._read_current(spark)
+        except AnalysisException as exc:
+            # a crash that retires EVERY kpart partition leaves the
+            # table dir holding only the _kpart_layout marker, which
+            # reads as UNABLE_TO_INFER_SCHEMA rather than
+            # PATH_NOT_FOUND — for this READ-ONLY view that still
+            # means "no live data, serve the retired copies" (the
+            # writer's _recover will repair the layout; _read_current
+            # keeps propagating it so a WRITE never mistakes a corrupt
+            # table for an empty one)
+            get_cond = getattr(exc, "getCondition", None) or exc.getErrorClass
+            if (get_cond() or "") != "UNABLE_TO_INFER_SCHEMA":
+                raise
+            live = None
         if live is None:
             # whole-table swap crashed between retire and install: the
             # retired copy is the last committed state

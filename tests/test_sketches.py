@@ -129,3 +129,43 @@ def test_heavy_hitters_excludes_null_keys(spark):
     }
     # non-null rows: 300 -> threshold 75; key 1: 200, key 0: 100
     assert got == {(1, 200), (0, 100)}
+
+
+def test_heavy_hitters_ignores_unrelated_reserved_columns(spark):
+    """ADVICE r5 (low): an unrelated input column named like an
+    internal ('_cand') used to make the exact-pass join ambiguous.
+    The operator now projects the key column first, so only a key
+    column named like an internal is (and must be) rejected."""
+    import pytest
+
+    df = spark.range(0, 300, 1, 4).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.lit(True).alias("_cand"),
+        F.lit(1).alias("n_rows"),
+    )
+    got = {
+        (r["user_id"], r["n_rows"])
+        for r in heavy_hitters(df, "user_id", 16).collect()
+    }
+    assert got == {(0, 100), (1, 100), (2, 100)}
+    with pytest.raises(ValueError, match="collides"):
+        heavy_hitters(df.withColumnRenamed("_cand", "keep"), "n_rows", 4)
+
+
+def test_heavy_hitters_excludes_nan_keys(spark):
+    """ADVICE r5 (low): for float key columns, NaN rows used to be
+    counted on the exact side but dropped by pandas value_counts on
+    the sketch side — a NaN key above n/k could never be reported and
+    silently voided the superset guarantee. NaN is now excluded like
+    NULL, and n counts only the remaining rows."""
+    df = spark.range(0, 400, 1, 4).select(
+        F.when(F.col("id") % 4 == 0, float("nan"))
+        .otherwise((F.col("id") % 2).cast("double"))
+        .alias("score")
+    )
+    got = {
+        (r["score"], r["n_rows"])
+        for r in heavy_hitters(df, "score", 4).collect()
+    }
+    # NaN rows (100) excluded -> n=300, threshold 75; 1.0: 200, 0.0: 100
+    assert got == {(1.0, 200), (0.0, 100)}

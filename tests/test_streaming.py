@@ -990,3 +990,42 @@ def test_upsert_sink_read_is_non_mutating_in_crash_state(spark, tmp_path):
     assert got == {("1.2.3.4", "requests")}
     assert os.path.isdir(f"{whole}._old_table_deadbeef")
     assert not os.path.exists(whole)
+
+
+def test_upsert_sink_read_survives_every_partition_retired(spark, tmp_path):
+    """ADVICE r5 (low): a crash that retires EVERY kpart partition
+    leaves the table dir holding only the _kpart_layout marker, so the
+    live read raises UNABLE_TO_INFER_SCHEMA instead of PATH_NOT_FOUND.
+    read() must treat that as "no live data" and serve the retired
+    copies — non-mutating, same as the partial-retire case."""
+    import os
+    import shutil as real_shutil
+
+    part = str(tmp_path / "bots_all_retired")
+    sink = KeyedUpsertSink(part, ["bot_ip"], n_partitions=4)
+    sink(
+        spark.range(200).selectExpr(
+            "concat('ip-', id) AS bot_ip", "'requests' AS reason"
+        ),
+        0,
+    )
+    kparts = [d for d in os.listdir(part) if d.startswith("kpart=")]
+    assert len(kparts) == 4, "test premise: all 4 partitions populated"
+    for d in kparts:
+        real_shutil.move(
+            os.path.join(part, d),
+            f"{part}._old_{d.replace('=', '_')}_deadbeef",
+        )
+    # only the marker remains inside the table dir
+    assert os.listdir(part) == ["_kpart_layout"]
+
+    got = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
+    assert got == {(f"ip-{i}", "requests") for i in range(200)}
+    # disk untouched: every retired copy still retired, no live dirs
+    assert os.listdir(part) == ["_kpart_layout"]
+    # and the next write batch repairs + merges normally
+    sink(_verdicts_df(spark, [("9.9.9.9", "categories")]), 1)
+    got = {(r["bot_ip"], r["reason"]) for r in sink.read(spark).collect()}
+    assert got == {(f"ip-{i}", "requests") for i in range(200)} | {
+        ("9.9.9.9", "categories")
+    }
