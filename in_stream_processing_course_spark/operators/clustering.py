@@ -22,17 +22,21 @@ Two halves with very different scale profiles, kept separate:
   regardless of scale — the same contract as ``ivf_topk``'s sampled
   build, without the ml dependency.
 
-Determinism contract (what lets tests pin the fit bit-for-bit): every
-double fold is ordered. Distances fold dims left-to-right (identical
-to the DuckDB oracle's ``list_reduce``), per-dim means fold the
-cluster's values in SORTED order (``F.aggregate(F.array_sort(...))``),
-ties in the argmin break to the lowest centroid index
-(``array_position`` returns the FIRST minimum). A pure-Python
-reference replaying the same folds reproduces the fit exactly
-(tests/test_clustering.py). At 100 TB the sorted fold degrades to a
-plain ``avg`` — order-dependent in the last ulp, irrelevant to cluster
-quality — exactly as ``similarity.label_centroids`` documents for the
-same pattern.
+Determinism contract (what lets tests pin the fit bit-for-bit under
+``exact_fold=True``): every double fold is ordered. Distances fold
+dims left-to-right (identical to the DuckDB oracle's ``list_reduce``),
+per-dim means fold the cluster's values in SORTED order
+(``F.aggregate(F.array_sort(...))``), ties in the argmin break to the
+lowest centroid index (``array_position`` returns the FIRST minimum).
+A pure-Python reference replaying the same folds reproduces the fit
+exactly (tests/test_clustering.py). The DEFAULT update is a plain
+``avg`` — bounded per-group aggregation state, order-dependent only in
+the last ulp, irrelevant to cluster quality — because with k clusters
+one aggregation group holds ~1/k of every embedding value, and a
+``collect_list`` there is an unbounded in-memory array at corpus
+scale (the sorted fold exists for model-sized pins only). ``lloyd_fit``
+additionally bounds training to a deterministic md5-ordered sample,
+the same bound ``similarity.ivf_topk`` puts on its index fit.
 
 Reference parity: the reference engine has no clustering operator —
 this extends the X2 similarity family (SURVEY.md §2.8) the way a
@@ -108,37 +112,64 @@ def seed_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def per_dim_means(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    exact_fold: bool = False,
+) -> DataFrame:
+    """(cluster, dim, mean_v) — the aggregation behind one Lloyd's
+    update, exposed so tests can pin its PLAN shape.
+
+    Default (``exact_fold=False``, the 100 TB path): ``F.avg`` — a
+    partially-aggregated hash aggregate whose per-group state is ONE
+    (sum, count) pair, so no aggregation buffer ever holds a cluster's
+    values (with k=8 one cluster is ~1/8 of the corpus — a
+    ``collect_list`` there is the unbounded-group anti-pattern SURVEY
+    §7 warns about). The mean is order-dependent in the last ulp,
+    irrelevant to cluster quality.
+
+    ``exact_fold=True``: sorted-order fold (collect the group, sort,
+    left-fold) — partitioning-INVARIANT, what lets tests replay the
+    fit bit-for-bit in pure Python. Only for model-sized inputs
+    (tests, tiny SFs): it materializes each (cluster, dim) group in
+    one aggregation buffer."""
+    mean_v = (
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("v").cast("double"))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1))
+        )
+        if exact_fold
+        else F.avg(F.col("v").cast("double"))
+    )
+    return (
+        assigned.select(cluster_col, F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy(cluster_col, "dim")
+        .agg(mean_v.alias("mean_v"))
+    )
+
+
 def update_centroids(
     assigned: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    exact_fold: bool = False,
 ) -> list[list[float]]:
     """One Lloyd's update: per-(cluster, dim) mean via posexplode →
     aggregate → k·dim rows to the driver. Empty clusters keep their
-    previous centroid (the standard fixed-k convention). The per-group
-    mean folds the cluster's values in sorted order so the update is
-    partitioning-invariant (see module docstring for the 100 TB
-    relaxation)."""
-    per_dim = (
-        assigned.select(
-            cluster_col, F.posexplode(vec_col).alias("dim", "v")
-        )
-        .groupBy(cluster_col, "dim")
-        .agg(
-            (
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.col("v").cast("double"))
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / F.count(F.lit(1))
-            ).alias("mean_v")
-        )
-        .collect()
-    )
+    previous centroid (the standard fixed-k convention). The default
+    mean is a plain bounded-state ``avg`` (scale-safe); pass
+    ``exact_fold=True`` for the sorted partitioning-invariant fold —
+    see :func:`per_dim_means` for the trade-off."""
+    per_dim = per_dim_means(
+        assigned, vec_col=vec_col, cluster_col=cluster_col,
+        exact_fold=exact_fold,
+    ).collect()
     out = [list(c) for c in centroids]
     for r in per_dim:
         out[r[cluster_col]][r["dim"]] = float(r["mean_v"])
@@ -176,16 +207,40 @@ def lloyd_fit(
     n_iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_fold: bool = False,
+    fit_sample: int | None = 20_000,
 ) -> list[list[float]]:
     """Fixed-iteration Lloyd's: seed from the k smallest ids, then
     ``n_iters`` rounds of assign → update. Returns the final centroid
     list (driver-sized model state, like the persisted LM of
     ``streaming/lm_gate.py`` — persist it and ``assign_to_centroids``
-    is the deploy-time scorer)."""
-    centroids = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    is the deploy-time scorer).
+
+    The fit trains on at most ``fit_sample`` vectors, picked
+    content-addressed (order by md5(id) — a deterministic
+    pseudo-random TakeOrderedAndProject, the same bound
+    ``similarity.ivf_topk`` puts on its index fit): centroid QUALITY
+    converges on a sample long before corpus size grows, so the
+    n_iters corpus scans become n_iters bounded-sample scans at
+    100 TB. ``fit_sample=None`` fits on everything. When the input has
+    <= fit_sample rows the sample IS the input, so tiny-SF tests are
+    unaffected. ``exact_fold`` selects the partitioning-invariant
+    update (see :func:`per_dim_means`)."""
+    fit_set = df.select(id_col, vec_col)
+    if fit_sample is not None:
+        fit_set = fit_set.orderBy(
+            F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+        ).limit(fit_sample)
+        # truncate the sort lineage: every round would otherwise re-run
+        # the TakeOrderedAndProject under its scan
+        fit_set = fit_set.localCheckpoint()
+    centroids = seed_centroids(fit_set, k, id_col=id_col, vec_col=vec_col)
     for _ in range(n_iters):
         assigned = assign_to_centroids(
-            df.select(vec_col), centroids, vec_col=vec_col, dist_col=None
+            fit_set.select(vec_col), centroids, vec_col=vec_col,
+            dist_col=None,
         )
-        centroids = update_centroids(assigned, centroids, vec_col=vec_col)
+        centroids = update_centroids(
+            assigned, centroids, vec_col=vec_col, exact_fold=exact_fold
+        )
     return centroids

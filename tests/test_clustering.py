@@ -78,7 +78,7 @@ def test_lloyd_fit_matches_pure_python_replay(spark):
     pairs = _load_vectors()
     want, _ = _reference_lloyd(pairs, K, N_ITERS)
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    got = lloyd_fit(emb, K, N_ITERS)
+    got = lloyd_fit(emb, K, N_ITERS, exact_fold=True)
     assert got == want  # bit-identical: every fold is ordered
 
 
@@ -89,7 +89,7 @@ def test_lloyd_inertia_never_increases(spark):
     # and the distributed fit's final inertia matches the replay's
     # post-final-update assignment
     emb = load_table(spark, SF_SMOKE, "embeddings")
-    centroids = lloyd_fit(emb, K, N_ITERS)
+    centroids = lloyd_fit(emb, K, N_ITERS, exact_fold=True)
     got = (
         assign_to_centroids(emb, centroids)
         .agg(F.sum("dist2").alias("i"))
@@ -97,6 +97,57 @@ def test_lloyd_inertia_never_increases(spark):
     )
     want = sum(_assign(v, centroids)[1] for _, v in pairs)
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_default_fit_fold_matches_exact_within_ulp_noise(spark):
+    """VERDICT r5 item 2: the DEFAULT (scale-safe) avg update must
+    land on the same centroids as the exact sorted fold up to
+    summation-order ulp noise — the two paths differ only in fold
+    order, never in membership at this well-separated SF."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = lloyd_fit(emb, K, N_ITERS, exact_fold=True)
+    default = lloyd_fit(emb, K, N_ITERS)
+    for ce, cd in zip(exact, default):
+        for xe, xd in zip(ce, cd):
+            assert xd == pytest.approx(xe, rel=1e-9, abs=1e-12)
+
+
+def test_default_update_plan_has_no_unbounded_group_array(spark):
+    """The default per-dim mean must be a partial-aggregable avg —
+    NO collect_list in the plan (with k=8 one aggregation group holds
+    ~1/8 of all embedding values at corpus scale; an in-buffer array
+    there is the unbounded-group anti-pattern). The exact fold keeps
+    it, by design, for model-sized pins only."""
+    from in_stream_processing_course_spark.operators.clustering import (
+        per_dim_means,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = assign_to_centroids(emb, seed_centroids(emb, K))
+    default_plan = per_dim_means(assigned)._jdf.queryExecution().toString()
+    assert "collect_list" not in default_plan
+    assert "partial_avg" in default_plan or "avg(" in default_plan
+    exact_plan = (
+        per_dim_means(assigned, exact_fold=True)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "collect_list" in exact_plan
+
+
+def test_lloyd_fit_sample_bound_is_deterministic(spark):
+    """fit_sample bounds training to a content-addressed md5-ordered
+    subset: two fits with the same bound agree exactly, and a bound
+    >= n is the identity (tiny-SF pins keep covering the full-data
+    path)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    a = lloyd_fit(emb, 4, 2, exact_fold=True, fit_sample=n // 2)
+    b = lloyd_fit(emb, 4, 2, exact_fold=True, fit_sample=n // 2)
+    assert a == b
+    full = lloyd_fit(emb, 4, 2, exact_fold=True, fit_sample=None)
+    capped = lloyd_fit(emb, 4, 2, exact_fold=True, fit_sample=10 * n)
+    assert full == capped
 
 
 def test_assign_ties_break_to_lowest_centroid_index(spark):
