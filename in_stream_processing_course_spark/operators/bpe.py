@@ -1,5 +1,6 @@
-"""BPE tokenizer training as DataFrame algebra (north-star X3 — the
-tokenizer-construction step of a training-data pipeline).
+"""BPE tokenizer training AND encoding as DataFrame algebra
+(north-star X3 — the tokenizer-construction step of a training-data
+pipeline, plus the encode pass that consumes the trained artifact).
 
 The classic byte-pair-encoding loop (Sennrich et al. 2016) is
 corpus-scale only in its FIRST step: counting word frequencies. Every
@@ -122,18 +123,109 @@ def apply_merge_col(syms: Column, left: str, right: str) -> Column:
     return F.when(F.size(syms) < 2, syms).otherwise(folded["arr"])
 
 
+def corpus_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, syms, freq), eagerly checkpointed — THE corpus-sized
+    pass of BPE (one scan + one word shuffle). Training, encoding and
+    the fertility map all start from this table; building it once and
+    passing it to each lets a train-then-encode pipeline scan the
+    corpus exactly once."""
+    return (
+        word_frequencies(docs, text_col)
+        .select("word", chars_col(F.col("word")).alias("syms"), "freq")
+        .localCheckpoint()
+    )
+
+
+def encode_vocab(
+    vocab: DataFrame, merges: list[str], chunk: int = 3
+) -> DataFrame:
+    """ENCODE: apply a learned merge table to a (syms array<string>,
+    freq long) vocabulary table, in merge-rank order — the consumer of
+    :func:`learn_merges` (training produces the artifact, this is what
+    a data pipeline actually runs with it). ``merges`` is the ranked
+    list of "left right" pairs.
+
+    :func:`apply_merge_col` projections run over the VOCABULARY table
+    (never the corpus), with an eager ``localCheckpoint`` every
+    ``chunk`` merges: fully chaining the fold expressions would let
+    ProjectCollapse inline each round's ~6 references to the previous
+    round's output — an expression tree EXPONENTIAL in the merge count
+    — while checkpointing every round (as the training loop must, to
+    see each round's argmax) pays one driver-paced job barrier per
+    merge. chunk=3 keeps the inlined tree ~6³ nodes and cuts the
+    barrier count 3x; unlike training, encoding has no per-round
+    driver decision, so batching is free. Encoding a corpus is
+    therefore ceil(n_merges/chunk) vocabulary-sized rounds after the
+    single corpus-sized word-count scan."""
+    out = vocab
+    carried = [c for c in vocab.columns if c != "syms"]
+    for i in range(0, len(merges), max(chunk, 1)):
+        col = F.col("syms")
+        for pair in merges[i : i + max(chunk, 1)]:
+            left, right = pair.split(" ")
+            col = apply_merge_col(col, left, right)
+        out = out.select(col.alias("syms"), *carried).localCheckpoint()
+    return out
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(token, n_tokens) over the corpus encoded with a learned merge
+    table: ONE corpus scan (the word-frequency aggregation — shared
+    with training when the caller passes the :func:`corpus_vocab` it
+    trained from), then vocabulary-sized encode rounds, then explode
+    the per-word token arrays weighted by word frequency. The output
+    is the corpus token histogram — the artifact a tokenizer-aware
+    mixing/packing stage consumes."""
+    if vocab is None:
+        vocab = corpus_vocab(docs, text_col)
+    return (
+        encode_vocab(vocab.select("syms", "freq"), merges)
+        .select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_tokens"))
+    )
+
+
+def word_fertility(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """(word, n_toks): the tokenizer FERTILITY map — per distinct
+    word, how many tokens the learned merge table encodes it into.
+    Vocabulary-sized (the broadcastable side of any per-document
+    fertility metric); carries the original word string through the
+    encode rounds so downstream joins key on it. Pass the
+    :func:`corpus_vocab` training used to avoid a second corpus
+    scan."""
+    if vocab is None:
+        vocab = corpus_vocab(docs, text_col)
+    return encode_vocab(vocab.select("word", "syms"), merges).select(
+        "word", F.size("syms").cast("long").alias("n_toks")
+    )
+
+
 def learn_merges(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> list[tuple[int, str, int]]:
     """The BPE training loop: returns [(merge_rank, "left right",
     n_occurrences), ...] — driver-sized model state (like the
     persisted LM of streaming/lm_gate.py). Stops early if the
-    vocabulary runs out of adjacent pairs."""
-    vocab = (
-        word_frequencies(docs, text_col)
-        .select(chars_col(F.col("word")).alias("syms"), "freq")
-        .localCheckpoint()
-    )
+    vocabulary runs out of adjacent pairs. Pass a prebuilt
+    :func:`corpus_vocab` to share its single corpus scan with the
+    encode that follows."""
+    if vocab is None:
+        vocab = corpus_vocab(docs, text_col)
+    vocab = vocab.select("syms", "freq")
     merges: list[tuple[int, str, int]] = []
     for rank in range(n_merges):
         best = (

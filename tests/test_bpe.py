@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from in_stream_processing_course_spark.operators.bpe import (
     apply_merge_col,
+    encode_token_counts,
     learn_merges,
     pair_counts,
     word_frequencies,
@@ -118,6 +119,71 @@ def test_apply_merge_is_left_to_right_non_overlapping(spark):
         apply_merge_col(F.col("syms"), "a", "a").alias("m")
     ).head()["m"]
     assert out == ["aa", "aa", "a"]
+
+
+def _ref_encode_token_counts(
+    texts: list[str], merges: list[str]
+) -> dict[str, int]:
+    vocab = _ref_word_freqs(texts)
+    for pair in merges:
+        left, right = pair.split(" ")
+        vocab = {_ref_merge(s, (left, right)): f for s, f in vocab.items()}
+    counts: Counter = Counter()
+    for syms, f in vocab.items():
+        for s in syms:
+            counts[s] += f
+    return dict(counts)
+
+
+def test_encode_token_counts_matches_reference(spark):
+    """The ENCODE consumer of the trained artifact: tokenizing the
+    training corpus with its own learned merges equals the pure
+    reference (and equals the final training vocab, by construction)."""
+    merges = [p for _, p, _ in _ref_learn(TEXTS, 10)]
+    got = {
+        r["token"]: r["n_tokens"]
+        for r in encode_token_counts(_docs(spark), merges).collect()
+    }
+    assert got == _ref_encode_token_counts(TEXTS, merges)
+
+
+def test_encode_applies_learned_merges_to_unseen_corpus(spark):
+    """Deploy-time path: a merge table trained on one corpus encodes a
+    DIFFERENT corpus (unseen words, partial merge applicability) in
+    rank order, matching the reference fold word-for-word."""
+    merges = [p for _, p, _ in _ref_learn(TEXTS, 10)]
+    unseen = ["slowest news low aal", "widest ban dan aaaa z"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(unseen)], "doc_id long, text string"
+    )
+    got = {
+        r["token"]: r["n_tokens"]
+        for r in encode_token_counts(docs, merges).collect()
+    }
+    assert got == _ref_encode_token_counts(unseen, merges)
+
+
+def test_word_fertility_matches_reference(spark):
+    """The fertility map (word -> encoded token count) — the
+    vocabulary-sized broadcast side of per-document tokenizer
+    metrics — equals a per-word reference encode."""
+    from in_stream_processing_course_spark.operators.bpe import (
+        word_fertility,
+    )
+
+    merges = [p for _, p, _ in _ref_learn(TEXTS, 10)]
+    got = {
+        r["word"]: r["n_toks"]
+        for r in word_fertility(_docs(spark), merges).collect()
+    }
+    want = {}
+    for w in {w for t in TEXTS for w in t.lower().split()}:
+        syms = tuple(w)
+        for pair in merges:
+            left, right = pair.split(" ")
+            syms = _ref_merge(syms, (left, right))
+        want[w] = len(syms)
+    assert got == want
 
 
 def test_apply_merge_randomized_against_reference(spark):
