@@ -79,6 +79,16 @@ CLUSTERING_FAMILY = [
     "lm_quality_buckets",
 ]
 
+# round-6 family: BPE encode (learn + encode rounds — the one iterative
+# entry, timed because encode IS the deploy-time cost), windowed TWAP,
+# broadcastable LM scoring, isolated Lloyd's update
+R6_FAMILY = [
+    "bpe_encoded_token_counts",
+    "events_twap_per_user_windowed",
+    "lm_doc_scores_thresholded",
+    "embedding_kmeans_update",
+]
+
 
 def _drip_workload(tmp_root: str) -> tuple[str, int]:
     """Generate the 8-file botgen drip shared by the streaming benches."""
@@ -420,14 +430,13 @@ def main() -> None:
     retr_timings = _time_family(RETRIEVAL_FAMILY)
     lm_timings = _time_family(LM_FAMILY)
     cluster_timings = _time_family(CLUSTERING_FAMILY)
+    r6_timings = _time_family(R6_FAMILY)
     state_rows, state_sec = bench_stateful_stream(spark)
     win_rows, win_sec = bench_windowed_stream(spark)
     prereduce_ab = bench_prereduce_ab(spark)
     v2 = bench_stateful_v2_stream(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
+    metrics = {
                 "metric": "headline_queries_total_wall_sec",
                 "value": total,
                 "unit": "sec",
@@ -451,6 +460,8 @@ def main() -> None:
                     sum(cluster_timings.values()), 3
                 ),
                 "clustering_queries": cluster_timings,
+                "r6_family_wall_sec": round(sum(r6_timings.values()), 3),
+                "r6_queries": r6_timings,
                 "prereduce_bot_heavy": prereduce_ab,
                 **(
                     {"stateful_pipeline_v2_rows_per_sec": round(v2[0] / v2[1])}
@@ -458,10 +469,30 @@ def main() -> None:
                     else {}
                 ),
             }
-        )
-    )
+    line = json.dumps(metrics)
+    # the metric line must be UN-LOSABLE (round 5 shipped parsed=null
+    # because spark.stop()'s v2-state-server teardown stack traces
+    # buried the single print in the driver's 2000-char combined tail):
+    # (a) persist it to a file next to this script, (b) print it once
+    # now, (c) quiet the JVM logger for teardown, and (d) re-print it
+    # as the FINAL line after spark.stop() inside try/finally so the
+    # tail capture always ends with the metric JSON.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_METRICS.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
     sys.stdout.flush()
-    spark.stop()
+    try:
+        # log4j ERRORs (aborted noop-sink commits, state-server
+        # interrupts) are expected teardown noise, not signal
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
+    finally:
+        print(line)
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -9,10 +9,12 @@ Design notes (all Column algebra, no UDF):
 - Bigrams are formed with ``zip_with(slice(toks,1,n-1), slice(toks,2,
   n-1))`` — one generate-explode per document, no self-join on
   position. Model training is two hash aggregations (bigram counts,
-  context counts); at corpus scale both results are vocabulary-sized,
-  orders of magnitude smaller than the input, so the scoring join
-  broadcasts the model to the document side rather than shuffling the
-  corpus.
+  context counts); both results are far smaller than the input, and
+  the scoring join is an equi-join on ``bigram`` — shuffle-safe at any
+  scale, broadcast when the model fits. (It does NOT always fit: the
+  distinct-bigram table of a 100 TB web corpus is billions of rows;
+  the ``c_bigram >= k`` thresholded variant is the documented
+  broadcastable path.)
 - Add-α smoothing with α=1/2 is expressed IN INTEGERS:
   ``p = (c_bigram + 1/2) / (c_ctx + V/2) = (2·c_bigram + 1) /
   (2·c_ctx + V)`` — one correctly-rounded IEEE division of two exact
@@ -147,12 +149,18 @@ ORDER BY m.bigram
 
 def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, mean_p): every document scored against the
-    full (unthresholded) model. The scoring join is bigram -> model;
-    the model side is vocabulary-bounded, so at corpus scale it is the
-    broadcast side while the corpus streams through map-side."""
+    full (unthresholded) model. The scoring join is an EQUI-JOIN on
+    ``bigram`` — scale-safe as a shuffle (sort-merge/shuffled-hash)
+    join at any corpus size, and broadcast when the model fits. Note
+    the model is NOT broadcastable at 100 TB (a web corpus has
+    billions of distinct bigrams — distinct-bigram count grows with
+    the corpus, unlike the unigram vocabulary); the
+    frequency-thresholded variant (``lm_doc_scores_thresholded``) is
+    the documented broadcast path — ``c_bigram >= k`` caps the model
+    at a size a cluster actually ships to every executor."""
     bi = _doc_bigrams(spark, sf_dir)
-    # one join against the enriched (vocab-sized) model — at corpus
-    # scale the model side broadcasts and the corpus never shuffles
+    # one equi-join against the enriched model (broadcast only when it
+    # fits — see docstring)
     scored = (
         bi.join(_model_with_ctx(bi).drop("w1"), "bigram")
         .join(F.broadcast(_vocab_size(spark, sf_dir)))
@@ -212,6 +220,79 @@ doc_scores AS (
 
 ORACLE_LM_DOC_SCORES = _SQL_SCORED_CTE + """
 SELECT doc_id, n_bigrams, mean_p FROM doc_scores ORDER BY doc_id
+"""
+
+
+def lm_doc_scores_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BROADCASTABLE scoring path (VERDICT r5 item 6): the same
+    per-document mean in-model probability, scored against the
+    frequency-thresholded model (``c_bigram >= _MODEL_MIN_COUNT``).
+    The full bigram table of a 100 TB web corpus is billions of rows —
+    never broadcast range — but thresholding keeps only the head of
+    the Zipf curve, which is what makes shipping the model to every
+    executor (and the stream-static join of streaming/lm_gate.py)
+    map-side work; this query pins that path explicitly with
+    ``F.broadcast``. Bigrams outside the thresholded model are
+    skipped, and documents with no surviving bigram drop out (their
+    full-model score still comes from ``lm_doc_scores``). ``c_ctx``
+    and V stay FULL-corpus statistics, so thresholding changes
+    coverage, never the probability of a surviving bigram."""
+    bi = _doc_bigrams(spark, sf_dir)
+    model = _model_with_ctx(bi).where(
+        F.col("c_bigram") >= _MODEL_MIN_COUNT
+    )
+    scored = (
+        bi.join(F.broadcast(model.drop("w1")), "bigram")
+        .join(F.broadcast(_vocab_size(spark, sf_dir)))
+        .select(
+            "doc_id",
+            _smoothed_p(F.col("c_bigram"), F.col("c_ctx")).alias("p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_model_bigrams"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("p")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_p"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LM_DOC_SCORES_THRESHOLDED = rf"""
+WITH toks AS (SELECT doc_id, {_sql_tokens('text')} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks
+),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_ctx
+        FROM bi GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+model AS (SELECT bigram, count(*) AS c_bigram FROM bi GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         (2*m.c_bigram + 1) / CAST(2*c.c_ctx + v.v AS DOUBLE) AS p
+  FROM bi b
+  JOIN model m USING (bigram)
+  JOIN ctx c ON c.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN vocab v
+  WHERE m.c_bigram >= {_MODEL_MIN_COUNT}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_model_bigrams,
+       round(list_reduce(list_prepend(0.0, list_sort(list(p))),
+                         (a, b) -> a + b) / count(*), 6) AS mean_p
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 

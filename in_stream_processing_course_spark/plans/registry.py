@@ -620,9 +620,13 @@ register(
 # tests/test_clustering.py
 register("embedding_kmeans_fit", cq.embedding_kmeans_fit)
 register("bpe_pair_counts", tkq.bpe_pair_counts, tkq.ORACLE_BPE_PAIR_COUNTS)
-# rows-only: 20-round merge loop; pinned against a pure-Python BPE
-# reference in tests/test_bpe.py
-register("bpe_learned_merges", tkq.bpe_learned_merges)
+# oracle-backed since r6: the oracle replays all 20 merge rounds as
+# chained CTEs (also pinned vs a pure-Python reference in test_bpe.py)
+register(
+    "bpe_learned_merges",
+    tkq.bpe_learned_merges,
+    tkq.ORACLE_BPE_LEARNED_MERGES,
+)
 register(
     "lm_quality_buckets", lm.lm_quality_buckets, lm.ORACLE_LM_QUALITY_BUCKETS
 )
@@ -645,4 +649,35 @@ register(
     "embedding_prototypicality_prune",
     cq.embedding_prototypicality_prune,
     cq.ORACLE_PROTOTYPICALITY,
+)
+
+# --- round 6: BPE encode, windowed TWAP, broadcastable LM scoring -----------
+# oracle replays every learning round as a chained CTE, so the hash
+# check covers learning AND encoding end-to-end
+register(
+    "bpe_encoded_token_counts",
+    tkq.bpe_encoded_token_counts,
+    tkq.ORACLE_BPE_ENCODED,
+)
+register(
+    "events_twap_per_user_windowed",
+    ts.events_twap_per_user_windowed,
+    ts.ORACLE_TWAP_WINDOWED,
+)
+register(
+    "lm_doc_scores_thresholded",
+    lm.lm_doc_scores_thresholded,
+    lm.ORACLE_LM_DOC_SCORES_THRESHOLDED,
+)
+# one Lloyd's round isolated: pins the per-(cluster, dim) update
+# aggregation the iterative fit cannot hash-check
+register(
+    "embedding_kmeans_update",
+    cq.embedding_kmeans_update,
+    cq.ORACLE_KMEANS_UPDATE,
+)
+register(
+    "bpe_doc_token_counts",
+    tkq.bpe_doc_token_counts,
+    tkq.ORACLE_BPE_DOC_TOKEN_COUNTS,
 )

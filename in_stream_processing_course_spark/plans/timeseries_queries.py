@@ -1247,7 +1247,10 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integer micros, products fold in event order on both
     engines, so the 6-dp quotient is bit-stable. One shuffle (groupBy
     user); per-user sequences are bounded, as everywhere else in the
-    session/feature family. Single-event users emit NULL (zero span)."""
+    session/feature family — ``events_twap_per_user_windowed`` is the
+    registered hedge when that assumption fails (per-(user, day)
+    segments bound the array by daily activity instead). Single-event
+    users emit NULL (zero span)."""
     ev = _events(spark, sf_dir)
     seq = ev.groupBy("user_id").agg(
         F.array_sort(
@@ -1294,8 +1297,70 @@ FROM seq ORDER BY user_id
 """
 
 
+def events_twap_per_user_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The windowed TWAP twin (VERDICT r5 item 7): the same
+    time-weighted average, computed per (user, day) — each day's
+    segment is its own hold-until-next sequence, values never carry
+    across the day boundary. This is the documented hedge against
+    per-user sequence skew in ``events_twap_per_user``: that query's
+    per-group array is bounded only by per-user activity, while here
+    it is bounded by per-user-per-DAY activity — the same
+    exact-vs-bounded pairing as the percentile family. Same ordered
+    fold, same integer-microsecond weights, same shuffle count (one,
+    on the composite key)."""
+    ev = _events(spark, sf_dir)
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias(
+        "day_start"
+    )
+    seq = ev.groupBy("user_id", day).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.unix_micros("ts").alias("t"), "event_id", "value")
+            )
+        ).alias("_seq")
+    )
+    n = F.size("_seq")
+    span = F.element_at("_seq", -1)["t"] - F.element_at("_seq", 1)["t"]
+    pairs = F.zip_with(
+        F.slice("_seq", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_seq", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: a["value"] * (b["t"] - a["t"]),
+    )
+    wsum = F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+    return seq.select(
+        "user_id",
+        "day_start",
+        n.cast("long").alias("n_events"),
+        span.alias("span_us"),
+        F.when(span > 0, F.round(wsum / span, 6)).alias("twap_value"),
+    ).orderBy("user_id", "day_start")
+
+
+ORACLE_TWAP_WINDOWED = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
+         list(epoch_us(ts) ORDER BY ts, event_id) AS t,
+         list(value ORDER BY ts, event_id) AS v
+  FROM events GROUP BY user_id, day_start
+)
+SELECT user_id, day_start, CAST(len(v) AS BIGINT) AS n_events,
+       CAST(t[len(t)] - t[1] AS BIGINT) AS span_us,
+       CASE WHEN t[len(t)] > t[1] THEN
+         round(list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, len(v) - 1),
+                                i -> v[i] * (t[i + 1] - t[i]))),
+               (acc, x) -> acc + x)
+               / (t[len(t)] - t[1]), 6)
+       ELSE NULL END AS twap_value
+FROM seq ORDER BY user_id, day_start
+"""
+
+
 def events_drift_score_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed drift scoring (streaming/drift_monitor.windowed_drift
+    """Windowed drift scoring (streaming/drift.windowed_drift
     — the batch twin of the continuous monitor): train a categorical
     reference profile on the first half of the month, then score every
     HOUR of the second half with Pearson's chi² against it, plus the

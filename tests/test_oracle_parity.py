@@ -40,12 +40,24 @@ def test_committed_sweep_evidence_is_current():
     )
     assert sweeps, "no committed PARITY_SWEEP evidence file"
     latest = sweeps[-1]
-    m = re.search(r"\((\d+) registered\)", latest.read_text())
+    text = latest.read_text()
+    m = re.search(r"\((\d+) registered(?:, (\d+) oracle-backed)?\)", text)
     assert m, f"{latest.name}: no '(N registered)' summary line"
     assert int(m.group(1)) == len(QUERIES), (
         f"{latest.name} covers {m.group(1)} queries but the registry has "
         f"{len(QUERIES)} — re-run tools/parity_sweep.py and commit the "
         "refreshed evidence together with the registry change"
+    )
+    # the quotable oracle-backed count must be len(ORACLES), never a
+    # hand-kept tally (VERDICT r5 bookkeeping nit: a commit message
+    # claimed 190 while ORACLES held 184)
+    assert m.group(2) is not None, (
+        f"{latest.name}: footer predates the '(N registered, M "
+        "oracle-backed)' format — re-run tools/parity_sweep.py"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"{latest.name} claims {m.group(2)} oracle-backed but ORACLES has "
+        f"{len(ORACLES)}"
     )
 
 

@@ -380,6 +380,8 @@ def test_registry_wide_plan_guards(spark):
         "embedding_kmeans_fit",  # 5-round Lloyd's driver loop
         "bpe_learned_merges",  # 20-round merge loop -> LocalTableScan
         "semantic_dedup_kmeans",  # connected-components rounds
+        "bpe_encoded_token_counts",  # learn + encode rounds (localCheckpoint)
+        "bpe_doc_token_counts",  # learn + fertility rounds (localCheckpoint)
     }
     window_allowed = {"quality_calibration"}
     nl_adjudicated = {
@@ -399,6 +401,7 @@ def test_registry_wide_plan_guards(spark):
         "retrieval_mmr_diversified",  # fusion-depth candidate cross (50x50)
         "lm_bigram_model",  # 1-row vocabulary-size scalar
         "lm_doc_scores",  # same scalar
+        "lm_doc_scores_thresholded",  # same scalar, broadcast-model path
         "lm_outlier_docs",  # same scalar + bounded bottom-k broadcast
         "lm_quality_buckets",  # same vocabulary-size scalar
         "text_lang_ngram_confusion",  # doc-trigrams x langs enum cross

@@ -40,6 +40,8 @@ ITERATIVE_EXCLUDED = {
     "embedding_kmeans_fit": "5 Lloyd's rounds (per-round driver collect)",
     "bpe_learned_merges": "20 merge rounds -> driver-held merge table",
     "semantic_dedup_kmeans": "connected-components rounds",
+    "bpe_encoded_token_counts": "20 learn + 20 encode rounds (localCheckpoint)",
+    "bpe_doc_token_counts": "learn + fertility-encode rounds (localCheckpoint)",
 }
 
 _LEGACY_AUDITED = [
@@ -224,7 +226,8 @@ def main() -> None:
         "  (N, avgdl) corpus-stats scalar, retrieval_mmr_diversified",
         "  additionally crosses the bounded depth-50 candidate set;",
         "  lm_bigram_model / lm_doc_scores / lm_outlier_docs /",
-        "  lm_quality_buckets join the 1-row vocabulary-size scalar",
+        "  lm_quality_buckets / lm_doc_scores_thresholded join the",
+        "  1-row vocabulary-size scalar",
         "  (smoothing denominator); text_lang_ngram_confusion crosses",
         "  doc trigrams with the bounded language enum (profile",
         "  scoring requires every (doc, lang) pair by construction).",

@@ -47,9 +47,14 @@ def main() -> int:
             traceback.print_exc(limit=1)
         print(f"{name:45s} {time.perf_counter() - t:6.1f}s  {status}", flush=True)
     total = time.perf_counter() - t0
+    # the "(N oracle-backed)" count is THE quotable number — commit
+    # messages and PARITY.md must cite len(ORACLES), never a hand-kept
+    # tally (VERDICT r5 bookkeeping nit); tests/test_oracle_parity.py
+    # pins the committed evidence footer against both lengths
     print(
         f"\n{len(failed)} failures / {n_run} run "
-        f"({len(QUERIES)} registered) in {total:.0f}s"
+        f"({len(QUERIES)} registered, {len(ORACLES)} oracle-backed) "
+        f"in {total:.0f}s"
     )
     for name in failed:
         print("  FAILED:", name)
