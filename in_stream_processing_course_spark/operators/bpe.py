@@ -156,7 +156,11 @@ def encode_vocab(
     barrier count 3x; unlike training, encoding has no per-round
     driver decision, so batching is free. Encoding a corpus is
     therefore ceil(n_merges/chunk) vocabulary-sized rounds after the
-    single corpus-sized word-count scan."""
+    single corpus-sized word-count scan. ``chunk`` is clamped to
+    [1, 4]: at 5+ the inlined tree (~6^chunk nodes per row) tips from
+    thousands into the 100k+ range and analysis itself OOMs the
+    driver (measured: chunk=8 kills a 6g JVM)."""
+    chunk = min(max(chunk, 1), 4)
     out = vocab
     carried = [c for c in vocab.columns if c != "syms"]
     for i in range(0, len(merges), max(chunk, 1)):

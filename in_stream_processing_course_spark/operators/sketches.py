@@ -161,3 +161,82 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .where(F.col(col).isNotNull() & (F.col("n_rows") * k > F.col("_n")))
         .drop("_n")
     )
+
+
+# --- Count-Min sketch (integer keys, engine-portable hashing) ---------------
+#
+# The second sketch family beside Misra-Gries: MG answers "which keys
+# are frequent" (top-k, candidate superset); CM answers "how frequent
+# is ANY key" (point estimates, overcount-only) in d·w counters. The
+# hash family is EXPLICIT 2-universal modular hashing
+# h_i(x) = ((a_i·x' + b_i) mod p) mod w with x' = x mod p and the
+# Mersenne prime p = 2^31 − 1, so a SQL oracle can replay the sketch
+# bit-for-bit (xxhash/md5-based hashing would be engine-private).
+# Overflow-safe in 64-bit: (p−1)² < 2^62. Constants are fixed odd
+# values < p (documented model state, like k-means seeds).
+
+CM_P = 2_147_483_647  # 2^31 − 1
+CM_PARAMS: tuple[tuple[int, int], ...] = (
+    (1_000_003, 12_345),
+    (19_999_999, 54_321),
+    (262_147, 999_331),
+    (104_729, 7_777_777),
+)
+
+
+def _cm_bucket(key, a: int, b: int, w: int):
+    kp = F.pmod(key.cast("long"), F.lit(CM_P))
+    return F.pmod(F.pmod(kp * F.lit(a) + F.lit(b), F.lit(CM_P)), F.lit(w))
+
+
+def cm_sketch(df: DataFrame, col: str, w: int = 1024) -> DataFrame:
+    """Build the d×w Count-Min counter table (row, bucket, c) over an
+    integer key column: ONE scan — each input row explodes into its d
+    (row, bucket) cells and a partially-aggregated count reduces them,
+    so only d·w summary rows ever shuffle (the mergeability that makes
+    CM a streaming/distributed-native structure). NULL keys are
+    excluded (not a key, same convention as heavy_hitters)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cm_bucket(F.col(col), a, b, w).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CM_PARAMS)
+        ]
+    )
+    return (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("h"))
+        .groupBy(F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(
+    keys: DataFrame, col: str, sketch: DataFrame, w: int = 1024
+) -> DataFrame:
+    """Point estimates for every key in ``keys`` (one row per key):
+    est = min over the d rows of the key's counter. The counter table
+    is d·w rows at ANY corpus size, so the lookup join broadcasts and
+    the keys side never shuffles for the join (one aggregate by key
+    afterwards). Guarantee: est ≥ true count always (overcount-only);
+    est ≤ true + εn w.h.p. with ε = e/w."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cm_bucket(F.col(col), a, b, w).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CM_PARAMS)
+        ]
+    )
+    probes = keys.select(col, F.explode(cells).alias("h")).select(
+        col, F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("c").alias("cm_est"))
+    )

@@ -852,3 +852,73 @@ HAVING count(*) * {HH_K}
        > (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
 ORDER BY user_id
 """
+
+
+CM_W = 1024  # buckets per hash row; epsilon = e/w over n events
+
+
+def events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates vs exact per-user event counts
+    (round 6; operators/sketches.cm_sketch) — the second sketch family
+    beside Misra-Gries: CM answers "how frequent is ANY key" from d·w
+    counters instead of finding the top keys. The hash family is
+    explicit 2-universal modular hashing over the Mersenne prime
+    2^31−1 (engine-portable — xxhash/md5 would be private to one
+    engine), so the DuckDB oracle REBUILDS the sketch and the
+    estimates bit-for-bit: the hash match proves the mergeable build,
+    the lookup, and (since the output carries both columns) the
+    overcount-only guarantee est ≥ exact on real data.
+
+    Scale: the build is one scan with partial aggregation (only d·w
+    summary rows shuffle); the estimate join broadcasts the d·w
+    counter table. The per-user exact side is this query's
+    verification yardstick, not part of the sketch's cost."""
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sk = cm_sketch(ev, "user_id", w=CM_W)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    est = cm_estimate(exact.select("user_id"), "user_id", sk, w=CM_W)
+    return (
+        exact.join(est, "user_id")
+        .select("user_id", "n_rows", "cm_est")
+        .orderBy("user_id")
+    )
+
+
+def _oracle_cm_user_counts() -> str:
+    from ..operators.sketches import CM_P, CM_PARAMS
+
+    params = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CM_PARAMS))
+    return f"""
+WITH params(row, a, b) AS (VALUES {params}),
+keys AS (
+  SELECT user_id, ((user_id % {CM_P}) + {CM_P}) % {CM_P} AS kp,
+         count(*) AS n_rows
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+cells AS (
+  SELECT p.row, ((k.kp * p.a + p.b) % {CM_P}) % {CM_W} AS bucket,
+         CAST(SUM(k.n_rows) AS BIGINT) AS c
+  FROM keys k CROSS JOIN params p
+  GROUP BY p.row, bucket
+),
+est AS (
+  SELECT k.user_id, MIN(c.c) AS cm_est
+  FROM keys k CROSS JOIN params p
+  JOIN cells c
+    ON c.row = p.row
+   AND c.bucket = ((k.kp * p.a + p.b) % {CM_P}) % {CM_W}
+  GROUP BY k.user_id
+)
+SELECT k.user_id, CAST(k.n_rows AS BIGINT) AS n_rows, e.cm_est
+FROM keys k JOIN est e USING (user_id)
+ORDER BY k.user_id
+"""
+
+
+ORACLE_CM_USER_COUNTS = _oracle_cm_user_counts()

@@ -681,3 +681,15 @@ register(
     tkq.bpe_doc_token_counts,
     tkq.ORACLE_BPE_DOC_TOKEN_COUNTS,
 )
+register(
+    "bpe_lang_fertility",
+    tkq.bpe_lang_fertility,
+    tkq.ORACLE_BPE_LANG_FERTILITY,
+)
+# Count-Min sketch with explicit 2-universal modular hashing — the
+# oracle rebuilds sketch + estimates bit-for-bit
+register(
+    "events_cm_user_counts",
+    ev.events_cm_user_counts,
+    ev.ORACLE_CM_USER_COUNTS,
+)

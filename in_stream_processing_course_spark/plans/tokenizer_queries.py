@@ -243,6 +243,76 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 )
 
 
+def bpe_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EQUITY across languages (round 6): per language, the
+    tokens-per-word and characters-per-token fertility under the
+    single corpus-trained merge table — the standard multilingual
+    tokenizer audit (a language with high fertility pays more sequence
+    positions per unit of text, so mixing weights and context budgets
+    must correct for it).
+
+    Same scale shape as ``bpe_doc_token_counts`` — vocabulary-sized
+    broadcast fertility map, corpus-sized word explode, enum-sized
+    output — aggregated by language instead of document. Ratios are
+    single divisions of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    voc = corpus_vocab(docs)
+    merges = [
+        p for _, p, _ in learn_merges(docs, _N_MERGES, vocab=voc)
+    ]
+    fert = word_fertility(docs, merges, vocab=voc)
+    words = docs.select(
+        "lang",
+        F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("word"),
+    )
+    return (
+        words.join(F.broadcast(fert), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum(F.length("word")).alias("_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.col("_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_BPE_LANG_FERTILITY = (
+    _bpe_rounds_cte()
+    + rf""",
+word_toks AS (
+  SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_toks
+  FROM vocab{_N_MERGES}
+),
+docw AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w.n_toks) AS BIGINT) AS n_tokens,
+       round(sum(w.n_toks) / CAST(count(*) AS DOUBLE), 6)
+         AS tokens_per_word,
+       round(sum(len(d.word)) / CAST(sum(w.n_toks) AS DOUBLE), 6)
+         AS chars_per_token
+FROM docw d JOIN word_toks w USING (word)
+GROUP BY d.lang ORDER BY d.lang
+"""
+)
+
+
 ORACLE_BPE_LEARNED_MERGES = (
     _bpe_rounds_cte()
     + "\nSELECT merge_rank, pair, n_occurrences FROM (\n"

@@ -163,6 +163,29 @@ def test_encode_applies_learned_merges_to_unseen_corpus(spark):
     assert got == _ref_encode_token_counts(unseen, merges)
 
 
+def test_encode_vocab_chunking_is_invariant(spark):
+    """Batching merges between checkpoints is a pure scheduling choice:
+    chunk=1 (one barrier per merge), the default 3, and the clamp
+    ceiling must produce identical symbol tables. (Values above the
+    clamp are pinned to it: a fully-chained fold is ~6^n expression
+    nodes and measurably OOMs the driver at n=8.)"""
+    from in_stream_processing_course_spark.operators.bpe import (
+        corpus_vocab,
+        encode_vocab,
+    )
+
+    merges = [p for _, p, _ in _ref_learn(TEXTS, 8)]
+    vocab = corpus_vocab(_docs(spark)).select("word", "syms")
+    outs = [
+        {
+            r["word"]: tuple(r["syms"])
+            for r in encode_vocab(vocab, merges, chunk=c).collect()
+        }
+        for c in (1, 3, 99)  # 99 exercises the clamp
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_word_fertility_matches_reference(spark):
     """The fertility map (word -> encoded token count) — the
     vocabulary-sized broadcast side of per-document tokenizer

@@ -382,6 +382,7 @@ def test_registry_wide_plan_guards(spark):
         "semantic_dedup_kmeans",  # connected-components rounds
         "bpe_encoded_token_counts",  # learn + encode rounds (localCheckpoint)
         "bpe_doc_token_counts",  # learn + fertility rounds (localCheckpoint)
+        "bpe_lang_fertility",  # learn + fertility rounds (localCheckpoint)
     }
     window_allowed = {"quality_calibration"}
     nl_adjudicated = {

@@ -131,6 +131,75 @@ def test_heavy_hitters_excludes_null_keys(spark):
     assert got == {(1, 200), (0, 100)}
 
 
+def test_cm_sketch_overcount_only_and_mostly_exact(spark):
+    """Count-Min hard guarantee: est >= true count for EVERY key
+    (counters only ever add). With 97 keys spread over 4x1024
+    counters, the min-over-rows estimate is exact for almost all keys
+    — deterministic here because the hash family is fixed explicit
+    modular hashing."""
+    from in_stream_processing_course_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.range(0, 6000, 1, 8).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.col("id") % 97)
+        .alias("user_id")
+    )
+    exact = Counter(r["user_id"] for r in df.collect())
+    sk = cm_sketch(df, "user_id")
+    assert sk.count() <= 4 * 1024
+    keys = df.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["cm_est"]
+        for r in cm_estimate(keys, "user_id", sk).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= c for k, c in exact.items())
+    n_exact = sum(1 for k, c in exact.items() if est[k] == c)
+    assert n_exact >= 0.9 * len(exact)
+
+
+def test_cm_sketch_is_mergeable(spark):
+    """Distributed semantics: the sketch of a union equals the
+    cell-wise SUM of per-part sketches — what lets partial aggregation
+    (and a streaming fold) build it without ever shuffling keys."""
+    from in_stream_processing_course_spark.operators.sketches import (
+        cm_sketch,
+    )
+
+    a = spark.range(0, 2000, 1, 4).select((F.col("id") % 53).alias("k"))
+    b = spark.range(0, 1000, 1, 4).select((F.col("id") % 11).alias("k"))
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cm_sketch(a.unionAll(b), "k").collect()
+    }
+    summed: dict = {}
+    for part in (a, b):
+        for r in cm_sketch(part, "k").collect():
+            key = (r["row"], r["bucket"])
+            summed[key] = summed.get(key, 0) + r["c"]
+    assert merged == summed
+
+
+def test_cm_sketch_excludes_null_keys(spark):
+    from in_stream_processing_course_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    df = spark.range(0, 100, 1, 2).select(
+        F.when(F.col("id") % 2 == 0, None).otherwise(F.lit(7)).alias("k")
+    )
+    sk = cm_sketch(df, "k")
+    # every non-null row lands in exactly d cells
+    total = sum(r["c"] for r in sk.collect())
+    assert total == 50 * 4
+    est = cm_estimate(df.select("k").distinct(), "k", sk).collect()
+    assert {(r["k"], r["cm_est"]) for r in est} == {(7, 50)}
+
+
 def test_heavy_hitters_ignores_unrelated_reserved_columns(spark):
     """ADVICE r5 (low): an unrelated input column named like an
     internal ('_cand') used to make the exact-pass join ambiguous.

@@ -42,6 +42,7 @@ ITERATIVE_EXCLUDED = {
     "semantic_dedup_kmeans": "connected-components rounds",
     "bpe_encoded_token_counts": "20 learn + 20 encode rounds (localCheckpoint)",
     "bpe_doc_token_counts": "learn + fertility-encode rounds (localCheckpoint)",
+    "bpe_lang_fertility": "learn + fertility-encode rounds (localCheckpoint)",
 }
 
 _LEGACY_AUDITED = [
