@@ -87,6 +87,8 @@ R6_FAMILY = [
     "events_twap_per_user_windowed",
     "lm_doc_scores_thresholded",
     "embedding_kmeans_update",
+    "events_cm_user_counts",
+    "bpe_lang_fertility",
 ]
 
 

@@ -25,6 +25,28 @@ from ..sources.batch import load_table
 _TOP_PAIRS = 100
 _N_MERGES = 20
 
+# Train-once / reuse-artifact: the merge table is deterministic per
+# corpus (exact long counts, lexicographic tie-break), so queries in
+# the same session share one learned table instead of each re-running
+# the 20-round loop — the same session-scoped model cache the IVF
+# index fit keeps (operators/similarity._ivf_cache), and the in-plan
+# analogue of persisting the artifact (save/load_centroids pattern).
+# Correctness is unaffected: every consumer would learn the identical
+# table (pinned by the oracle replay and tests/test_bpe.py).
+_MERGES_CACHE: dict[tuple[str, int], list[tuple[int, str, int]]] = {}
+
+
+def _learned_merges(
+    spark: SparkSession, sf_dir: str, vocab=None
+) -> list[tuple[int, str, int]]:
+    key = (sf_dir, _N_MERGES)
+    if key not in _MERGES_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _MERGES_CACHE[key] = learn_merges(
+            docs, _N_MERGES, vocab=vocab
+        )
+    return _MERGES_CACHE[key]
+
 
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 0 of BPE training: the top adjacent character pairs by
@@ -78,7 +100,7 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     check. Also pinned against a pure-Python BPE reference in
     tests/test_bpe.py (exact long counts, lexicographic tie-break)."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = learn_merges(docs, _N_MERGES)
+    merges = _learned_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, n_occurrences long"
     ).orderBy("merge_rank")
@@ -102,7 +124,7 @@ def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the final arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     voc = corpus_vocab(docs)
-    merges = learn_merges(docs, _N_MERGES, vocab=voc)
+    merges = _learned_merges(spark, sf_dir, vocab=voc)
     return (
         encode_token_counts(docs, [p for _, p, _ in merges], vocab=voc)
         .orderBy("token")
@@ -193,7 +215,7 @@ def bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     voc = corpus_vocab(docs)
     merges = [
-        p for _, p, _ in learn_merges(docs, _N_MERGES, vocab=voc)
+        p for _, p, _ in _learned_merges(spark, sf_dir, vocab=voc)
     ]
     fert = word_fertility(docs, merges, vocab=voc)
     words = docs.select(
@@ -258,7 +280,7 @@ def bpe_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     voc = corpus_vocab(docs)
     merges = [
-        p for _, p, _ in learn_merges(docs, _N_MERGES, vocab=voc)
+        p for _, p, _ in _learned_merges(spark, sf_dir, vocab=voc)
     ]
     fert = word_fertility(docs, merges, vocab=voc)
     words = docs.select(

@@ -183,6 +183,48 @@ def test_cm_sketch_is_mergeable(spark):
     assert merged == summed
 
 
+def test_cm_sketch_streams_equal_batch(spark, tmp_path):
+    """cm_sketch is a plain streaming aggregation (explode cells ->
+    groupBy count): fed the same rows through readStream in multiple
+    micro-batches, the final counter table equals the batch sketch
+    bit-for-bit — the deploy-time continuous-sketch path needs no
+    separate operator."""
+    from in_stream_processing_course_spark.operators.sketches import (
+        cm_sketch,
+    )
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_to_memory,
+    )
+
+    base = spark.range(0, 3000, 1, 4)
+    df = base.select((F.col("id") % 37).alias("user_id"))
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    base.where(F.col("id") < 1500).select(
+        (F.col("id") % 37).alias("user_id")
+    ).write.parquet(str(tmp_path / "in" / "a"))
+    base.where(F.col("id") >= 1500).select(
+        (F.col("id") % 37).alias("user_id")
+    ).write.parquet(str(tmp_path / "in" / "b"))
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    got = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in run_stream_to_memory(
+            cm_sketch(stream, "user_id"),
+            output_mode="complete",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in cm_sketch(df, "user_id").collect()
+    }
+    assert got == want and got
+
+
 def test_cm_sketch_excludes_null_keys(spark):
     from in_stream_processing_course_spark.operators.sketches import (
         cm_estimate,
