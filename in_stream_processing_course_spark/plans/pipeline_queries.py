@@ -620,6 +620,73 @@ ORDER BY doc_id, copy_id
 """
 
 
+def mixing_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-temperature mixing weights (round 6): per language,
+    the raw corpus share p = n/N and the temperature-rebalanced
+    sampling share q = p^α / Σ p^α with α = 1/2 — the multilingual
+    upsampling rule (XLM-R style) that keeps low-resource languages
+    from vanishing under proportional sampling; the emitted
+    ``upsample`` factor q/p is exactly what ``mix_documents_weighted``
+    materializes downstream.
+
+    α is pinned at 1/2 because sqrt is the ONE power IEEE 754 requires
+    correctly rounded, so both engines compute bit-identical doubles —
+    pow(x, 0.7) may differ by an ulp between libm implementations (the
+    same no-transcendentals rule as the linear-idf / integer-ratio-LM
+    choices). The Σ folds the enum-sized language list in lang-sorted
+    order via the single-row pack (collect → sort_array → aggregate +
+    explode, no subtree diamond). Scale: one corpus scan, one
+    enum-sized shuffle; everything after is model-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    packed = counts.agg(
+        F.sort_array(F.collect_list(F.struct("lang", "n_docs"))).alias("a")
+    )
+    row = packed.select(
+        F.aggregate(
+            "a", F.lit(0.0), lambda acc, s: acc + F.sqrt(s["n_docs"])
+        ).alias("_dsq"),
+        F.aggregate(
+            "a",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["n_docs"],
+        ).alias("_ntot"),
+        F.explode("a").alias("x"),
+    )
+    n = F.col("x.n_docs").cast("double")
+    share = n / F.col("_ntot")
+    temp_share = F.sqrt(n) / F.col("_dsq")
+    return row.select(
+        F.col("x.lang").alias("lang"),
+        F.col("x.n_docs").alias("n_docs"),
+        F.round(share, 6).alias("share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / share, 6).alias("upsample"),
+    ).orderBy("lang")
+
+
+ORACLE_MIXING_WEIGHTS = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+packed AS (
+  SELECT list(n_docs ORDER BY lang) AS ns FROM c
+),
+denom AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list_transform(ns, x -> sqrt(CAST(x AS DOUBLE)))),
+           (a, b) -> a + b) AS dsq,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), ns),
+           (a, b) -> a + b) AS ntot
+  FROM packed
+)
+SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+       round(c.n_docs / CAST(d.ntot AS DOUBLE), 6) AS share,
+       round(sqrt(CAST(c.n_docs AS DOUBLE)) / d.dsq, 6) AS temp_share,
+       round((sqrt(CAST(c.n_docs AS DOUBLE)) / d.dsq)
+             / (c.n_docs / CAST(d.ntot AS DOUBLE)), 6) AS upsample
+FROM c CROSS JOIN denom d ORDER BY c.lang
+"""
+
+
 # --- balanced shard assignment ----------------------------------------------
 
 _N_SHARDS = 8

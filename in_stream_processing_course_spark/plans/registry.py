@@ -693,3 +693,10 @@ register(
     ev.events_cm_user_counts,
     ev.ORACLE_CM_USER_COUNTS,
 )
+# the weight-DERIVATION step feeding mix_documents_weighted (sqrt is
+# the one IEEE-correctly-rounded power, so alpha=1/2 hash-matches)
+register(
+    "mixing_weights_temperature",
+    pq.mixing_weights_temperature,
+    pq.ORACLE_MIXING_WEIGHTS,
+)
