@@ -222,7 +222,16 @@ def cm_estimate(
     is d·w rows at ANY corpus size, so the lookup join broadcasts and
     the keys side never shuffles for the join (one aggregate by key
     afterwards). Guarantee: est ≥ true count always (overcount-only);
-    est ≤ true + εn w.h.p. with ε = e/w."""
+    est ≤ true + εn w.h.p. with ε = e/w.
+
+    The lookup is a LEFT join with absent cells counting 0 (ADVICE r6):
+    a sparse sketch table omits never-touched (row, bucket) cells, so
+    an inner join would silently drop a probe key whose cells are all
+    empty and take the min over only the non-empty cells otherwise —
+    violating the one-row-per-key contract AND the est ≥ true bound's
+    tightness for unseen keys (whose true count is 0, so est must be
+    allowed to BE 0). NULL probes are excluded, mirroring the build
+    (NULL is not a key; its cells are NULL, not cells)."""
     cells = F.array(
         *[
             F.struct(
@@ -232,11 +241,22 @@ def cm_estimate(
             for i, (a, b) in enumerate(CM_PARAMS)
         ]
     )
-    probes = keys.select(col, F.explode(cells).alias("h")).select(
-        col, F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket")
+    probes = (
+        keys.select(col)
+        .where(F.col(col).isNotNull())
+        .select(col, F.explode(cells).alias("h"))
+        .select(
+            col,
+            F.col("h.row").alias("row"),
+            F.col("h.bucket").alias("bucket"),
+        )
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("c").alias("cm_est"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias(
+                "cm_est"
+            )
+        )
     )

@@ -908,9 +908,12 @@ cells AS (
   GROUP BY p.row, bucket
 ),
 est AS (
-  SELECT k.user_id, MIN(c.c) AS cm_est
+  -- LEFT join + coalesce 0: mirrors cm_estimate's unseen-key contract
+  -- (absent cells count 0); for keys the sketch saw every cell is
+  -- populated, so the hash is unchanged on this all-seen-keys probe
+  SELECT k.user_id, MIN(COALESCE(c.c, 0)) AS cm_est
   FROM keys k CROSS JOIN params p
-  JOIN cells c
+  LEFT JOIN cells c
     ON c.row = p.row
    AND c.bucket = ((k.kp * p.a + p.b) % {CM_P}) % {CM_W}
   GROUP BY k.user_id

@@ -636,8 +636,16 @@ def mixing_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     choices). The Σ folds the enum-sized language list in lang-sorted
     order via the single-row pack (collect → sort_array → aggregate +
     explode, no subtree diamond). Scale: one corpus scan, one
-    enum-sized shuffle; everything after is model-sized."""
-    docs = load_table(spark, sf_dir, "documents")
+    enum-sized shuffle; everything after is model-sized.
+
+    NULL langs are excluded on BOTH sides (ADVICE r6): Spark's
+    sort_array puts NULL structs FIRST while DuckDB's ORDER BY puts
+    NULLs LAST, so a NULL language would silently flip the fold order
+    (and the output order) between engines — an unlabeled document has
+    no language to weight anyway."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     packed = counts.agg(
         F.sort_array(F.collect_list(F.struct("lang", "n_docs"))).alias("a")
@@ -666,7 +674,8 @@ def mixing_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MIXING_WEIGHTS = """
-WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
 packed AS (
   SELECT list(n_docs ORDER BY lang) AS ns FROM c
 ),

@@ -616,9 +616,13 @@ register(
     cq.embedding_kmeans_assign,
     cq.ORACLE_KMEANS_ASSIGN,
 )
-# rows-only: 5-round Lloyd's driver loop; fit pinned bit-for-bit in
-# tests/test_clustering.py
-register("embedding_kmeans_fit", cq.embedding_kmeans_fit)
+# oracle-backed since r7: the oracle replays all 5 Lloyd's rounds as
+# chained CTEs (md5 fit sample -> seed -> per-round argmin + sorted
+# per-dim mean with empty-cluster carryover), the r6 BPE pattern;
+# also pinned vs a pure-Python replay in tests/test_clustering.py
+register(
+    "embedding_kmeans_fit", cq.embedding_kmeans_fit, cq.ORACLE_KMEANS_FIT
+)
 register("bpe_pair_counts", tkq.bpe_pair_counts, tkq.ORACLE_BPE_PAIR_COUNTS)
 # oracle-backed since r6: the oracle replays all 20 merge rounds as
 # chained CTEs (also pinned vs a pure-Python reference in test_bpe.py)

@@ -32,14 +32,42 @@ _N_MERGES = 20
 # index fit keeps (operators/similarity._ivf_cache), and the in-plan
 # analogue of persisting the artifact (save/load_centroids pattern).
 # Correctness is unaffected: every consumer would learn the identical
-# table (pinned by the oracle replay and tests/test_bpe.py).
-_MERGES_CACHE: dict[tuple[str, int], list[tuple[int, str, int]]] = {}
+# table (pinned by the oracle replay and tests/test_bpe.py). The key
+# carries a CORPUS FINGERPRINT (file sizes + mtimes, ADVICE r6): a
+# path whose parquet is regenerated mid-process — the FIXTURES regen
+# path, tmp-dir reuse in tests — gets retrained instead of silently
+# serving merges learned on the old corpus.
+_MERGES_CACHE: dict[tuple, list[tuple[int, str, int]]] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content identity for ``sf_dir``'s documents table: the
+    (name, size, mtime_ns) of the parquet file, or of every file under
+    it when the table is a directory. Never reads data."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            out = []
+            for root, _, files in os.walk(path):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), path)
+                    out.append((rel, st.st_size, st.st_mtime_ns))
+            return tuple(sorted(out))
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        # missing path: let the Spark read raise the real error; an
+        # un-statable corpus just never caches
+        return ("unstat", id(object()))
 
 
 def _learned_merges(
     spark: SparkSession, sf_dir: str, vocab=None
 ) -> list[tuple[int, str, int]]:
-    key = (sf_dir, _N_MERGES)
+    key = (sf_dir, _N_MERGES, _corpus_fingerprint(sf_dir))
     if key not in _MERGES_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         _MERGES_CACHE[key] = learn_merges(

