@@ -704,3 +704,10 @@ register(
     pq.mixing_weights_temperature,
     pq.ORACLE_MIXING_WEIGHTS,
 )
+# the TOKEN-budget form (r8): docs-based and tokens-based upsample
+# factors side by side, tokens from the corpus-trained BPE fertility
+register(
+    "mixing_weights_token_budget",
+    tkq.mixing_weights_token_budget,
+    tkq.ORACLE_MIXING_TOKEN_BUDGET,
+)

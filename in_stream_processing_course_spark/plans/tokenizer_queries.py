@@ -373,6 +373,154 @@ GROUP BY d.lang ORDER BY d.lang
 )
 
 
+def mixing_weights_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing weights (VERDICT r6 #3 / r7 next-round #4):
+    per language, BOTH the document-count and the TOKEN-count shares
+    with their temperature-rebalanced (α = 1/2) upsample factors side
+    by side. An LLM pipeline budgets sequence POSITIONS, not
+    documents: a high-fertility language (more tokens per word under
+    the shared corpus-trained BPE table) occupies more of the token
+    budget than its document share suggests, so the docs-based
+    ``upsample_docs`` over- or under-samples it — ``upsample_tokens``
+    is the factor that actually equalizes compute. Temperature uses
+    sqrt (α pinned at 1/2 — the one power IEEE 754 requires correctly
+    rounded; same no-transcendentals rule as mixing_weights_temperature).
+
+    Shape: the merge table and fertility map are learned from the FULL
+    corpus (identical artifact to bpe_lang_fertility — the session
+    merge cache stays consistent); the per-language aggregates are one
+    corpus scan each (word explode + broadcast fertility join; plain
+    doc count); everything after is enum-sized, folded in lang-sorted
+    order via the single-row pack (the mixing_weights_temperature
+    pattern). NULL langs excluded on both sides (an unlabeled document
+    has no language to weight; and sort_array vs ORDER BY NULL
+    placement would silently flip the fold order). ``upsample_tokens``
+    is NULL for a language with zero in-vocabulary tokens (q/p is
+    undefined at p = 0) — mirrored by the oracle's CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    voc = corpus_vocab(docs)
+    merges = [p for _, p, _ in _learned_merges(spark, sf_dir, vocab=voc)]
+    fert = word_fertility(docs, merges, vocab=voc)
+    labeled = docs.where(F.col("lang").isNotNull())
+    tok = (
+        labeled.select(
+            "lang",
+            F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("word"),
+        )
+        .join(F.broadcast(fert), "word")
+        .groupBy("lang")
+        .agg(F.sum("n_toks").alias("n_tokens"))
+    )
+    counts = (
+        labeled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(tok, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct("lang", "n_docs", "n_tokens"))
+        ).alias("a")
+    )
+    row = packed.select(
+        F.aggregate(
+            "a", F.lit(0.0), lambda acc, s: acc + F.sqrt(s["n_docs"])
+        ).alias("_dsqd"),
+        F.aggregate(
+            "a", F.lit(0.0), lambda acc, s: acc + F.sqrt(s["n_tokens"])
+        ).alias("_dsqt"),
+        F.aggregate(
+            "a", F.lit(0).cast("long"), lambda acc, s: acc + s["n_docs"]
+        ).alias("_ndtot"),
+        F.aggregate(
+            "a", F.lit(0).cast("long"), lambda acc, s: acc + s["n_tokens"]
+        ).alias("_nttot"),
+        F.explode("a").alias("x"),
+    )
+    nd = F.col("x.n_docs").cast("double")
+    nt = F.col("x.n_tokens").cast("double")
+    doc_share = nd / F.col("_ndtot")
+    token_share = nt / F.col("_nttot")
+    up_docs = (F.sqrt(nd) / F.col("_dsqd")) / doc_share
+    up_tokens = (F.sqrt(nt) / F.col("_dsqt")) / token_share
+    return row.select(
+        F.col("x.lang").alias("lang"),
+        F.col("x.n_docs").alias("n_docs"),
+        F.col("x.n_tokens").alias("n_tokens"),
+        F.round(doc_share, 6).alias("doc_share"),
+        F.round(token_share, 6).alias("token_share"),
+        F.round(up_docs, 6).alias("upsample_docs"),
+        F.when(
+            F.col("x.n_tokens") > 0, F.round(up_tokens, 6)
+        ).alias("upsample_tokens"),
+    ).orderBy("lang")
+
+
+ORACLE_MIXING_TOKEN_BUDGET = (
+    _bpe_rounds_cte()
+    + rf""",
+word_toks AS (
+  SELECT word, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_toks
+  FROM vocab{_N_MERGES}
+),
+docw AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS word
+  FROM documents WHERE lang IS NOT NULL
+),
+toks AS (
+  SELECT d.lang, SUM(w.n_toks) AS n_tokens
+  FROM docw d JOIN word_toks w USING (word) GROUP BY d.lang
+),
+nd AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+c AS (
+  SELECT nd.lang, nd.n_docs,
+         COALESCE(t.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+  FROM nd LEFT JOIN toks t USING (lang)
+),
+packed AS (
+  SELECT list(n_docs ORDER BY lang) AS nds,
+         list(n_tokens ORDER BY lang) AS nts
+  FROM c
+),
+denom AS (
+  SELECT list_reduce(list_prepend(0.0,
+           list_transform(nds, x -> sqrt(CAST(x AS DOUBLE)))),
+           (a, b) -> a + b) AS dsqd,
+         list_reduce(list_prepend(0.0,
+           list_transform(nts, x -> sqrt(CAST(x AS DOUBLE)))),
+           (a, b) -> a + b) AS dsqt,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), nds),
+           (a, b) -> a + b) AS ndtot,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), nts),
+           (a, b) -> a + b) AS nttot
+  FROM packed
+)
+SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       round(c.n_docs / CAST(d.ndtot AS DOUBLE), 6) AS doc_share,
+       round(c.n_tokens / CAST(d.nttot AS DOUBLE), 6) AS token_share,
+       round((sqrt(CAST(c.n_docs AS DOUBLE)) / d.dsqd)
+             / (c.n_docs / CAST(d.ndtot AS DOUBLE)), 6) AS upsample_docs,
+       CASE WHEN c.n_tokens > 0 THEN
+         round((sqrt(CAST(c.n_tokens AS DOUBLE)) / d.dsqt)
+               / (c.n_tokens / CAST(d.nttot AS DOUBLE)), 6)
+       END AS upsample_tokens
+FROM c CROSS JOIN denom d ORDER BY c.lang
+"""
+)
+
+
 ORACLE_BPE_LEARNED_MERGES = (
     _bpe_rounds_cte()
     + "\nSELECT merge_rank, pair, n_occurrences FROM (\n"
