@@ -17,7 +17,7 @@ from ..operators.bpe import (
     chars_col,
     corpus_vocab,
     encode_token_counts,
-    learn_merges,
+    learn_merges_batched,
     pair_counts,
     word_fertility,
     word_frequencies,
@@ -80,7 +80,11 @@ def _learned_merges(
     key = (sf_dir, _N_MERGES, _corpus_fingerprint(sf_dir))
     if key not in _MERGES_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _MERGES_CACHE[key] = learn_merges(
+        # the batched loop is provably output-equal to the sequential
+        # one (tests/test_bpe.py randomized pins; the oracle replay
+        # below re-proves it per corpus) and cuts the per-merge
+        # driver-barrier count
+        _MERGES_CACHE[key] = learn_merges_batched(
             docs, _N_MERGES, vocab=vocab
         )
     return _MERGES_CACHE[key]
