@@ -547,7 +547,13 @@ register(
     rel.customer_order_gap_stats,
     rel.ORACLE_ORDER_GAPS,
 )
-register("embedding_principal_direction", sq.embedding_principal_direction)
+# oracle-backed since r8: chained-CTE power-iteration replay (the
+# last replayable rows-only holdout, VERDICT r6 #7)
+register(
+    "embedding_principal_direction",
+    sq.embedding_principal_direction,
+    sq.ORACLE_PRINCIPAL_DIRECTION,
+)
 register(
     "events_error_rate_daily", ev.events_error_rate_daily, ev.ORACLE_ERROR_RATE
 )
