@@ -79,9 +79,10 @@ CLUSTERING_FAMILY = [
     "lm_quality_buckets",
 ]
 
-# round-6 family: BPE encode (learn + encode rounds — the one iterative
-# entry, timed because encode IS the deploy-time cost), windowed TWAP,
-# broadcastable LM scoring, isolated Lloyd's update
+# round-6 family: BPE encode (ENCODE-ONLY since r8 — training is
+# pre-warmed into the session merge cache and timed separately as
+# bpe_train_wall_sec), windowed TWAP, broadcastable LM scoring,
+# isolated Lloyd's update
 R6_FAMILY = [
     "bpe_encoded_token_counts",
     "events_twap_per_user_windowed",
@@ -432,6 +433,18 @@ def main() -> None:
     retr_timings = _time_family(RETRIEVAL_FAMILY)
     lm_timings = _time_family(LM_FAMILY)
     cluster_timings = _time_family(CLUSTERING_FAMILY)
+    # isolate tokenizer TRAINING from the encode-only queries (VERDICT
+    # r6 wrong #2 / r7 next-round #7): train once here, timed, so the
+    # r6-family bpe_* numbers below hit the session merge cache and
+    # measure ENCODE — the deploy-time cost that should trend
+    # round-over-round — while training gets its own stable figure
+    from in_stream_processing_course_spark.plans import (
+        tokenizer_queries as _tkq,
+    )
+
+    train_start = time.perf_counter()
+    _tkq._learned_merges(spark, sf_dir)
+    bpe_train_sec = round(time.perf_counter() - train_start, 3)
     r6_timings = _time_family(R6_FAMILY)
     state_rows, state_sec = bench_stateful_stream(spark)
     win_rows, win_sec = bench_windowed_stream(spark)
@@ -464,6 +477,7 @@ def main() -> None:
                 "clustering_queries": cluster_timings,
                 "r6_family_wall_sec": round(sum(r6_timings.values()), 3),
                 "r6_queries": r6_timings,
+                "bpe_train_wall_sec": bpe_train_sec,
                 "prereduce_bot_heavy": prereduce_ab,
                 **(
                     {"stateful_pipeline_v2_rows_per_sec": round(v2[0] / v2[1])}

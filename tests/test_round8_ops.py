@@ -129,3 +129,31 @@ def test_principal_direction_replay_tracks_numpy_fit(spark, sf_dir):
         )
         assert 0 <= rep[lab]["top_dim"] < 64
         assert rep[lab]["top_weight"] > 0
+
+
+# --- DSIR-style importance weights (r8 extension) ----------------------------
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """The dual-LM importance weight must systematically favor
+    documents of the target domain: the mean weight of target-language
+    docs exceeds the mean weight of the rest, and the selection gate
+    picks a strictly higher share of the target domain."""
+    from in_stream_processing_course_spark.plans.lm_queries import (
+        _DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    weights = dsir_importance_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = weights.join(docs, "doc_id").collect()
+    tgt = [r for r in joined if r["lang"] == _DSIR_TARGET_LANG]
+    rest = [r for r in joined if r["lang"] != _DSIR_TARGET_LANG]
+    assert tgt and rest
+    mean_tgt = sum(r["weight"] for r in tgt) / len(tgt)
+    mean_rest = sum(r["weight"] for r in rest) / len(rest)
+    assert mean_tgt > mean_rest
+    sel_tgt = sum(r["selected"] for r in tgt) / len(tgt)
+    sel_rest = sum(r["selected"] for r in rest) / len(rest)
+    assert sel_tgt > sel_rest
