@@ -1,0 +1,118 @@
+"""Streaming near-dup gate (streaming/dedup_gate.py): arrivals screen
+against the persisted band index (cross-batch dupes caught through
+index GROWTH), in-batch duplicate pairs resolve to the min id, a
+checkpoint restart with more data converges exactly, and the verdicts
+agree with the batch incremental operator run over the same split."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from in_stream_processing_course_spark.operators.dedup import (
+    minhash_bands,
+    minhash_index_matches,
+)
+from in_stream_processing_course_spark.streaming.dedup_gate import (
+    MinHashDedupGate,
+    build_band_index,
+    screen_document_stream,
+)
+from in_stream_processing_course_spark.streaming.runner import await_drained
+
+_DOC_SCHEMA = "doc_id long, text string"
+
+_CORPUS_TEXT = "the quick brown fox jumps over the lazy dog again and again"
+_NOVEL_TEXT = "entirely different content about spark structured streaming"
+_NOVEL2_TEXT = "a third unrelated passage concerning byte pair encoding"
+
+
+def _write_chunk(in_dir, name: str, rows: list[tuple[int, str]]) -> None:
+    with open(in_dir / name, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _verdicts(spark, path) -> dict:
+    return {
+        r["doc_id"]: (r["matched_doc_id"], r["is_novel"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_dedup_gate_screens_grows_and_restarts(spark, tmp_path):
+    index = str(tmp_path / "index")
+    verdicts = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    # corpus of one known document (id 1); the index starts from it
+    corpus = spark.createDataFrame([(1, _CORPUS_TEXT)], _DOC_SCHEMA)
+    build_band_index(corpus, index)
+
+    # batch 1: 10 = dup of corpus, 11+12 = in-batch dup pair (novel to
+    # the index), 13 = novel singleton
+    _write_chunk(
+        in_dir,
+        "c0.json",
+        [(10, _CORPUS_TEXT), (11, _NOVEL_TEXT), (12, _NOVEL_TEXT), (13, _NOVEL2_TEXT)],
+    )
+    time.sleep(1.1)
+    # batch 2: 20 = dup of batch-1 NOVEL doc 11 (only catchable if the
+    # index grew), 21 = dup of corpus
+    _write_chunk(in_dir, "c1.json", [(20, _NOVEL_TEXT), (21, _CORPUS_TEXT)])
+
+    gate = MinHashDedupGate(spark, index, verdicts)
+    stream = spark.readStream.schema(_DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(in_dir))
+    await_drained(screen_document_stream(stream, gate, ckpt))
+
+    got = _verdicts(spark, verdicts)
+    assert got[10] == (1, False)  # cross: corpus dup
+    assert got[11] == (None, True)  # novel, becomes the group anchor
+    assert got[12] == (11, False)  # in-batch dup resolves to min id
+    assert got[13] == (None, True)
+    assert got[20] == (11, False)  # caught via INDEX GROWTH
+    assert got[21] == (1, False)
+
+    # index grew by exactly the novel docs' bands
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(index).select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 11, 13}
+
+    # restart with a third batch, SAME checkpoint: 30 dups batch-2's
+    # rejected doc 20? no — 20 was not novel, so 30 must match 11 too;
+    # 31 dups the other anchor 13
+    time.sleep(1.1)
+    _write_chunk(in_dir, "c2.json", [(30, _NOVEL_TEXT), (31, _NOVEL2_TEXT)])
+    gate2 = MinHashDedupGate(spark, index, verdicts)
+    stream2 = spark.readStream.schema(_DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(in_dir))
+    await_drained(screen_document_stream(stream2, gate2, ckpt))
+    got = _verdicts(spark, verdicts)
+    assert got[30] == (11, False)
+    assert got[31] == (13, False)
+    assert len(got) == 8  # no re-screening of committed batches
+
+    # batch-operator agreement: probing all arrivals against the FINAL
+    # grown index with the one-shot batch operator reproduces every
+    # streamed verdict (anchors 11/13 excluded — they ARE index rows
+    # now, and the batch operator has no self-exclusion)
+    final_idx = spark.read.parquet(index)
+    arrivals = spark.read.schema(_DOC_SCHEMA).json(str(in_dir))
+    probe_ids = [10, 12, 20, 21, 30, 31]
+    batch_verdict = {
+        r["doc_id"]: (r["matched_doc_id"], r["is_novel"])
+        for r in minhash_index_matches(
+            final_idx,
+            minhash_bands(arrivals.where(F.col("doc_id").isin(probe_ids))),
+        ).collect()
+    }
+    assert {d: got[d] for d in probe_ids} == batch_verdict
