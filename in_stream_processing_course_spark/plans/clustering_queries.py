@@ -20,7 +20,6 @@ from ..operators.clustering import (
     DEFAULT_FIT_SAMPLE,
     assign_to_centroids,
     lloyd_fit,
-    per_dim_means,
     seed_centroids,
 )
 from ..sources.batch import load_table
@@ -143,26 +142,39 @@ def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE Lloyd's update round, isolated and oracle-backed (round 6):
     assign every vector to its seed centroid, then the per-(cluster,
-    dim) mean — the aggregation ``embedding_kmeans_fit`` repeats per
-    round but cannot hash-check through its driver loop. Together with
-    ``embedding_kmeans_assign`` (the distance/argmin rule) this pins
-    both halves of a k-means round in-engine.
+    dim) mean. Together with ``embedding_kmeans_assign`` (the
+    distance/argmin rule) this pins both halves of a k-means round
+    in-engine; the full training loop is hash-checked end-to-end by
+    ``embedding_kmeans_fit`` since r7.
 
-    This registered twin uses the EXACT sorted fold (per-group arrays
-    — model-sized inputs only) because that is what an oracle can
-    reproduce bit-for-bit; the production fit path defaults to the
-    bounded-state ``avg`` (see operators/clustering.per_dim_means for
-    the trade-off, and tests/test_clustering.py for the
-    default-vs-exact ulp pin + the no-collect_list plan shape of the
-    default)."""
+    Scale-safe since r8 (the fixed-point pattern of the fit's inertia
+    profile): each coordinate rounds to integer micro-units and a
+    plain partially-aggregated integer SUM — order-invariant,
+    bit-identical in both engines, ONE long of per-group state —
+    replaces the sorted collect_list fold this twin used to carry
+    (a (cluster, dim) group holds n/k coordinates: corpus-sized at
+    scale). The 1e-6 coordinate quantization is immaterial to a 6-dp
+    mean and identical on both sides. The exact sorted fold remains in
+    ``per_dim_means(exact_fold=True)`` for the bounded-sample fit
+    replay and the pure-Python bit-for-bit pins; the production fit
+    default stays the bounded-state ``avg``."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = seed_centroids(emb, _K)
     assigned = assign_to_centroids(emb, centroids, dist_col=None)
-    return (
-        per_dim_means(assigned, exact_fold=True)
-        .select(
-            "cluster", "dim", F.round(F.col("mean_v"), 6).alias("mean_v")
+    mean_fixed = (
+        F.sum(
+            F.round(F.col("v").cast("double") * F.lit(1e6), 0).cast(
+                "bigint"
+            )
         )
+        / F.lit(1e6)
+    ) / F.count(F.lit(1))
+    return (
+        assigned.select(
+            "cluster", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("cluster", "dim")
+        .agg(F.round(mean_fixed, 6).alias("mean_v"))
         .orderBy("cluster", "dim")
     )
 
@@ -193,8 +205,8 @@ vals AS (
   FROM assigned, unnest(generate_series(1, len(embedding))) AS t(i)
 )
 SELECT cluster, dim,
-       round(list_reduce(list_prepend(0.0, list_sort(list(v))),
-                         (a, x) -> a + x) / count(*), 6) AS mean_v
+       round((sum(CAST(round(v * 1000000.0) AS BIGINT)) / 1000000.0)
+             / count(*), 6) AS mean_v
 FROM vals GROUP BY cluster, dim ORDER BY cluster, dim
 """
 

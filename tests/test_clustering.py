@@ -152,6 +152,21 @@ def test_registered_fit_query_plan_has_no_unbounded_group_array(spark):
     assert "sum(" in plan or "partial_sum" in plan
 
 
+def test_registered_update_query_plan_has_no_unbounded_group_array(spark):
+    """Same bound for the registered ONE-round update twin (r8): its
+    per-(cluster, dim) mean is the fixed-point integer sum, never a
+    group-sized sorted array (a (cluster, dim) group holds n/k
+    coordinates at corpus scale)."""
+    from in_stream_processing_course_spark.plans.clustering_queries import (
+        embedding_kmeans_update,
+    )
+
+    df = embedding_kmeans_update(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+    assert "sum(" in plan or "partial_sum" in plan
+
+
 def test_lloyd_fit_sample_bound_is_deterministic(spark):
     """fit_sample bounds training to a content-addressed md5-ordered
     subset: two fits with the same bound agree exactly, and a bound
