@@ -406,6 +406,7 @@ def test_registry_wide_plan_guards(spark):
         "lm_outlier_docs",  # same scalar + bounded bottom-k broadcast
         "lm_quality_buckets",  # same vocabulary-size scalar
         "text_lang_ngram_confusion",  # doc-trigrams x langs enum cross
+        "dsir_importance_weights",  # 1-row target + raw vocab scalars
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):
