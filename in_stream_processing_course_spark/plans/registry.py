@@ -725,3 +725,10 @@ register(
     tkq.mixing_weights_token_budget,
     tkq.ORACLE_MIXING_TOKEN_BUDGET,
 )
+# vocabulary coverage curve (r8): top-k encoded tokens with cumulative
+# position share — TakeOrdered slice + bounded 200-row window
+register(
+    "bpe_token_coverage_curve",
+    tkq.bpe_token_coverage_curve,
+    tkq.ORACLE_BPE_COVERAGE,
+)

@@ -554,3 +554,79 @@ ORACLE_BPE_LEARNED_MERGES = (
     )
     + "\n) ORDER BY merge_rank\n"
 )
+
+
+# coverage-curve depth: enough to exhibit the Zipf knee, bounded so
+# the cumulative window runs over a fixed-size frame
+_COVERAGE_TOP = 200
+
+
+def bpe_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve of the deployed tokenizer (r8): the
+    top tokens of the encoded-corpus histogram ranked by frequency,
+    each with its share and the CUMULATIVE share of all token
+    positions — the audit that sizes a vocabulary budget ("the top k
+    tokens cover X% of positions") and exposes Zipf-tail waste.
+
+    Scale shape: the histogram is the vocabulary-sized output of the
+    shared encode (one corpus scan through the cached artifacts); the
+    top slice is a TakeOrderedAndProject (never a full sort); the
+    cumulative window then runs over exactly _COVERAGE_TOP rows (a
+    bounded single-partition frame, the same exemption as the
+    mixing-weight pack); the grand total is a 1-row scalar broadcast.
+    Cumulative sums are exact longs, so shares are single divisions of
+    exact integers — deterministic on both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    voc = _corpus_vocab_cached(spark, sf_dir)
+    merges = _learned_merges(spark, sf_dir, vocab=voc)
+    hist = encode_token_counts(
+        docs, [p for _, p, _ in merges], vocab=voc
+    )
+    top = (
+        hist.orderBy(F.col("n_tokens").desc(), F.col("token").asc())
+        .limit(_COVERAGE_TOP)
+    )
+    total = hist.agg(F.sum("n_tokens").alias("_total"))
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("token").asc())
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("_total").cast("double")
+    return (
+        top.join(total)
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n_tokens",
+            F.round(F.col("n_tokens") / t, 6).alias("share"),
+            F.round(cum / t, 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_BPE_COVERAGE = (
+    _bpe_rounds_cte()
+    + f""",
+hist AS (
+  SELECT token, CAST(SUM(freq) AS BIGINT) AS n_tokens
+  FROM (SELECT unnest(string_split(trim(s), '  ')) AS token, freq
+        FROM vocab{_N_MERGES})
+  GROUP BY token
+),
+total AS (SELECT SUM(n_tokens) AS t FROM hist),
+top AS (
+  SELECT token, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens DESC, token ASC)
+              AS INT) AS rank
+  FROM hist ORDER BY n_tokens DESC, token ASC LIMIT {_COVERAGE_TOP}
+)
+SELECT rank, token, n_tokens,
+       round(n_tokens / CAST(t.t AS DOUBLE), 6) AS share,
+       round(sum(n_tokens) OVER (ORDER BY rank) / CAST(t.t AS DOUBLE), 6)
+         AS cum_share
+FROM top CROSS JOIN total t ORDER BY rank
+"""
+)
