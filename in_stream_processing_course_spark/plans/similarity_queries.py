@@ -471,7 +471,12 @@ def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array(*[F.lit(float(tws[l])) for l in labels]),
     )
     return (
-        emb.select("label", s.alias("_s"), r2.alias("_r2"))
+        # profile only labels the fit actually modeled — mirrors the
+        # oracle's inner JOIN ml at any scale (a label so rare the
+        # md5 sample missed it has no model row on either engine; a
+        # pass-through below DEFAULT_FIT_SAMPLE rows)
+        emb.where(F.col("label").isin([int(l) for l in labels]))
+        .select("label", s.alias("_s"), r2.alias("_r2"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
