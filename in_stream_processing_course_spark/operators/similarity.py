@@ -104,6 +104,59 @@ def brute_force_topk(
     return _ranked_topk(scored, k)
 
 
+def hard_negatives_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    lo: float = 0.5,
+    hi: float = 0.95,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training data (the DPR /
+    SimCSE recipe): for each probe, the top-k most-similar vectors of
+    a DIFFERENT label whose cosine falls in the [lo, hi) band — close
+    enough to be informative negatives, below the near-duplicate zone
+    where a "negative" is probably a labeling error (hi) and above
+    the uninformative easy-negative floor (lo).
+
+    Same scale shape as :func:`brute_force_topk` (probes broadcast,
+    corpus scan embarrassingly parallel, per-query top-k window over
+    band-filtered rows); the band test runs on the 6-dp ROUNDED cosine
+    so the keep/drop bit is engine-deterministic. At 100 TB, swap the
+    corpus scan for the IVF/LSH bucketed candidates exactly as the
+    knn family does — the band filter and ranking are unchanged."""
+    p = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_q"),
+        norm_col(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nl"),
+        F.col(vec_col).alias("_v"),
+        norm_col(F.col(vec_col)).alias("_vn"),
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("_ql") != F.col("_nl"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_col(F.col("_q"), F.col("_v"))
+                / (F.col("_qn") * F.col("_vn")),
+                6,
+            ),
+        )
+        .where(
+            (F.col("cosine") >= F.lit(lo)) & (F.col("cosine") < F.lit(hi))
+        )
+        .drop("_q", "_v", "_qn", "_vn", "_ql", "_nl")
+    )
+    return _ranked_topk(scored, k)
+
+
 def bucketed_topk(
     corpus: DataFrame,
     probes: DataFrame,

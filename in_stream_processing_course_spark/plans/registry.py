@@ -554,6 +554,13 @@ register(
     sq.embedding_principal_direction,
     sq.ORACLE_PRINCIPAL_DIRECTION,
 )
+# hard-negative mining for contrastive training pairs (r8): banded
+# other-label cosine top-k, probes broadcast
+register(
+    "embedding_hard_negatives",
+    sq.embedding_hard_negatives,
+    sq.ORACLE_HARD_NEGATIVES,
+)
 register(
     "events_error_rate_daily", ev.events_error_rate_daily, ev.ORACLE_ERROR_RATE
 )

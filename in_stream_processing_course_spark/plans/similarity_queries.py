@@ -614,3 +614,53 @@ SELECT f.label, CAST(f.n AS BIGINT) AS n,
 FROM fin f JOIN top t USING (label) ORDER BY f.label
 """
 )
+
+
+# hard-negative band for THIS near-isotropic synthetic embedding set
+# (cross-label cosines top out ~0.39 here; production text embeddings
+# run the classic 0.5-0.95 band — the operator takes lo/hi)
+_HN_LO = 0.15
+_HN_HI = 0.35
+_HN_K = 5
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the DPR /
+    SimCSE recipe, operators/similarity.hard_negatives_topk): per
+    probe, the top-k most-similar OTHER-label vectors inside a cosine
+    band — informative negatives above the easy floor, below the
+    likely-mislabeled near-dup zone. Probes broadcast, corpus scan
+    embarrassingly parallel; the band tests the 6-dp rounded cosine so
+    the keep/drop bit is engine-deterministic; ranks tie-break on
+    neighbor id."""
+    from ..operators.similarity import hard_negatives_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    return hard_negatives_topk(
+        emb, probes, _HN_K, lo=_HN_LO, hi=_HN_HI
+    ).orderBy("query_id", "rank")
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH probes AS (SELECT vec_id AS query_id, label AS ql, embedding AS q
+                FROM embeddings WHERE vec_id < {_N_PROBES}),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('p.q', 'e.embedding')} AS cosine
+  FROM probes p JOIN embeddings e ON e.label <> p.ql
+),
+banded AS (
+  SELECT * FROM scored WHERE cosine >= {_HN_LO} AND cosine < {_HN_HI}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC)
+              AS INT) AS rank
+  FROM banded
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_HN_K}
+ORDER BY query_id, rank
+"""

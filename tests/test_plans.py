@@ -408,6 +408,7 @@ def test_registry_wide_plan_guards(spark):
         "text_lang_ngram_confusion",  # doc-trigrams x langs enum cross
         "dsir_importance_weights",  # 1-row target + raw vocab scalars
         "bpe_token_coverage_curve",  # 1-row grand-total scalar
+        "embedding_hard_negatives",  # bounded probe broadcast (label-mismatch join)
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):

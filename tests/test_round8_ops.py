@@ -157,3 +157,36 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     sel_tgt = sum(r["selected"] for r in tgt) / len(tgt)
     sel_rest = sum(r["selected"] for r in rest) / len(rest)
     assert sel_tgt > sel_rest
+
+
+# --- hard-negative mining (r8 extension) --------------------------------------
+
+
+def test_hard_negatives_are_cross_label_and_banded(spark, sf_dir):
+    """Every mined negative must carry a DIFFERENT label than its
+    query and a cosine inside the configured band; ranks are dense
+    per query and capped at k."""
+    from in_stream_processing_course_spark.plans.similarity_queries import (
+        _HN_HI,
+        _HN_K,
+        _HN_LO,
+        embedding_hard_negatives,
+    )
+    from in_stream_processing_course_spark.sources.batch import load_table
+
+    rows = embedding_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    per_query: dict[int, list[int]] = {}
+    for r in rows:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        assert _HN_LO <= r["cosine"] < _HN_HI
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= _HN_K
