@@ -443,7 +443,11 @@ def main() -> None:
     )
 
     train_start = time.perf_counter()
-    _tkq._learned_merges(spark, sf_dir)
+    # pass the cached vocab so the figure is TRAINING-only (the encode
+    # queries share the same artifact path; review r8)
+    _tkq._learned_merges(
+        spark, sf_dir, vocab=_tkq._corpus_vocab_cached(spark, sf_dir)
+    )
     bpe_train_sec = round(time.perf_counter() - train_start, 3)
     r6_timings = _time_family(R6_FAMILY)
     state_rows, state_sec = bench_stateful_stream(spark)

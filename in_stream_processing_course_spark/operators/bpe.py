@@ -332,7 +332,8 @@ def learn_merges_batched(
         selected: list[tuple[str, int]] = []
         used: set[str] = set()
         conflict_bound = outside_bound
-        for r in top:
+        cap = min(max_batch, n_merges - len(merges))
+        for idx, r in enumerate(top):
             pair, n = r["pair"], int(r["n_occurrences"])
             left, right = pair.split(" ")
             ext = {left, right, left + right}
@@ -342,7 +343,17 @@ def learn_merges_batched(
                 break
             selected.append((pair, n))
             used |= ext
-            if len(selected) >= min(max_batch, n_merges - len(merges)):
+            if len(selected) >= cap:
+                # batch cap hit BEFORE the scan found a conflict: the
+                # unscanned scouted pairs may conflict too, and the
+                # next pair's count bounds them all (descending scan) —
+                # without this, a conflicting pair hiding past the cap
+                # could seed a new pair that outsorts a later selection
+                # in the sequential order (review r8 finding)
+                if idx + 1 < len(top):
+                    conflict_bound = max(
+                        conflict_bound, int(top[idx + 1]["n_occurrences"])
+                    )
                 break
         # the first pick is the sequential argmax verbatim; later picks
         # must STRICTLY beat every count a batch merge could touch

@@ -53,9 +53,21 @@ _VOCAB_CACHE: dict[tuple, DataFrame] = {}
 _FERTILITY_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _evict_stale(cache: dict, sf_dir: str, live_key: tuple) -> None:
+    """Drop every cached entry for ``sf_dir`` other than ``live_key``:
+    a corpus regenerated under the same path would otherwise pin its
+    SUPERSEDED checkpointed tables (executor block storage, not tiny
+    driver lists) for the whole session — the caches stay bounded at
+    one corpus per path (review r8). The dropped DataFrames' blocks
+    free when the ContextCleaner GCs the unreferenced RDDs."""
+    for k in [k for k in cache if k[0] == sf_dir and k != live_key]:
+        del cache[k]
+
+
 def _corpus_vocab_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, _corpus_fingerprint(sf_dir))
     if key not in _VOCAB_CACHE:
+        _evict_stale(_VOCAB_CACHE, sf_dir, key)
         _VOCAB_CACHE[key] = corpus_vocab(
             load_table(spark, sf_dir, "documents")
         )
@@ -65,6 +77,7 @@ def _corpus_vocab_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _fertility_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, _N_MERGES, _corpus_fingerprint(sf_dir))
     if key not in _FERTILITY_CACHE:
+        _evict_stale(_FERTILITY_CACHE, sf_dir, key)
         voc = _corpus_vocab_cached(spark, sf_dir)
         merges = [
             p for _, p, _ in _learned_merges(spark, sf_dir, vocab=voc)
@@ -110,6 +123,7 @@ def _learned_merges(
 ) -> list[tuple[int, str, int]]:
     key = (sf_dir, _N_MERGES, _corpus_fingerprint(sf_dir))
     if key not in _MERGES_CACHE:
+        _evict_stale(_MERGES_CACHE, sf_dir, key)
         docs = load_table(spark, sf_dir, "documents")
         # the batched loop is provably output-equal to the sequential
         # one (tests/test_bpe.py randomized pins; the oracle replay
@@ -130,8 +144,14 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of tokenizer training) → a vocabulary-sized pair explode +
     (pair) aggregate → 100-row TakeOrderedAndProject. Overlapping
     positions each count ("aaa" contributes ("a","a") twice) — the
-    standard BPE convention, and what the oracle reproduces."""
-    vocab = _corpus_vocab_cached(spark, sf_dir)
+    standard BPE convention, and what the oracle reproduces.
+
+    Deliberately UNCACHED (review r8): this query's whole point is to
+    exhibit the corpus-sized pass, and it is the one tokenizer entry
+    in the bench's round-over-round CLUSTERING_FAMILY — routing it
+    through the session vocab cache would silently change what the
+    committed trend measures."""
+    vocab = corpus_vocab(load_table(spark, sf_dir, "documents"))
     return (
         pair_counts(vocab)
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())

@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 from ..operators.dedup import minhash_bands
 from ..sinks.upsert import KeyedUpsertSink
 
-BAND_SCHEMA = "doc_id long, band_id int, band_key string"
+def _band_schema(id_col: str) -> str:
+    return f"{id_col} long, band_id int, band_key string"
 
 
 def build_band_index(
@@ -100,7 +101,9 @@ class MinHashDedupGate:
         new = bands_df.select(
             F.col(self.id_col).alias("_new_id"), "band_id", "band_key"
         )
-        idx = self.spark.read.schema(BAND_SCHEMA).parquet(self.index_path)
+        idx = self.spark.read.schema(_band_schema(self.id_col)).parquet(
+            self.index_path
+        )
         # index match: min colliding corpus id, SELF-matches excluded
         # (a crashed attempt may have appended this doc's bands already)
         hits = (

@@ -278,3 +278,29 @@ def test_batched_learn_equals_sequential_randomized(spark):
         bat = learn_merges_batched(docs, 12)
         assert bat == seq, (seed, texts)
         assert seq == _ref_learn(texts, 12), seed
+
+
+def test_batched_learn_cap_path_stays_sequential(spark):
+    """Regression (r8 review): when the batch CAP truncates the scan
+    before any conflict is seen, an unscanned conflicting pair can
+    spawn a new pair that outsorts a later selection — 'azw' merges
+    (a,z) into 'az', and the new pair 'az w' sorts lexicographically
+    BEFORE the selected (c,d) at equal count, so sequential picks it
+    second while an unbounded batch would emit (c,d). The cap path
+    must bound later selections by the first unscanned count."""
+    from in_stream_processing_course_spark.operators.bpe import (
+        learn_merges_batched,
+    )
+
+    texts = [
+        "az az az az",
+        "azw azw azw azw azw azw",
+        "cd cd cd cd cd cd",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = learn_merges(docs, 3)
+    # sequential: (a z), then the SPAWNED (az w), then (c d)
+    assert [p for _, p, _ in seq] == ["a z", "az w", "c d"]
+    assert learn_merges_batched(docs, 3, max_batch=2) == seq

@@ -190,3 +190,52 @@ def test_hard_negatives_are_cross_label_and_banded(spark, sf_dir):
     for ranks in per_query.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= _HN_K
+
+
+# --- artifact-cache eviction (r8 review) --------------------------------------
+
+
+def test_tokenizer_caches_evict_superseded_corpora(spark, tmp_path):
+    """Regenerating a corpus under the same path must EVICT the
+    superseded cache entries (they pin checkpointed executor blocks),
+    not accumulate one per fingerprint — the caches stay bounded at
+    one corpus per path."""
+    import os
+
+    import duckdb
+
+    from in_stream_processing_course_spark.plans import (
+        tokenizer_queries as tkq,
+    )
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    docs = os.path.join(d, "documents.parquet")
+
+    def write_corpus(word: str) -> None:
+        duckdb.sql(
+            "COPY (SELECT * FROM (VALUES "
+            f"(0, '{word} {word}', 'en', 'src0', {2 * len(word) + 1})) "
+            "t(doc_id, text, lang, source, n_chars)) "
+            f"TO '{docs}' (FORMAT PARQUET)"
+        )
+
+    def keys(cache):
+        return [k for k in cache if k[0] == d]
+
+    write_corpus("aaaa")
+    tkq._fertility_cached(spark, d)  # warms vocab + merges + fertility
+    assert (
+        len(keys(tkq._VOCAB_CACHE))
+        == len(keys(tkq._MERGES_CACHE))
+        == len(keys(tkq._FERTILITY_CACHE))
+        == 1
+    )
+    write_corpus("zzzz")
+    tkq._fertility_cached(spark, d)
+    assert (
+        len(keys(tkq._VOCAB_CACHE))
+        == len(keys(tkq._MERGES_CACHE))
+        == len(keys(tkq._FERTILITY_CACHE))
+        == 1
+    )

@@ -43,7 +43,7 @@ ITERATIVE_EXCLUDED = {
     "bpe_encoded_token_counts": "20 learn + 20 encode rounds (localCheckpoint)",
     "bpe_doc_token_counts": "learn + fertility-encode rounds (localCheckpoint)",
     "bpe_lang_fertility": "learn + fertility-encode rounds (localCheckpoint)",
-    "bpe_pair_counts": "reads the session-cached corpus vocab (localCheckpoint)",
+    "bpe_token_coverage_curve": "learn + encode rounds (localCheckpoint)",
     "mixing_weights_token_budget": "learn + fertility-encode rounds (localCheckpoint)",
     "embedding_principal_direction": "8 power-iteration rounds (per-round driver collect)",
 }
