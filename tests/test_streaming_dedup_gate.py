@@ -116,3 +116,35 @@ def test_dedup_gate_screens_grows_and_restarts(spark, tmp_path):
         ).collect()
     }
     assert {d: got[d] for d in probe_ids} == batch_verdict
+
+
+def test_dedup_gate_honors_custom_id_col(spark, tmp_path):
+    """Regression (r8 review): the index read schema must derive from
+    id_col — a hardcoded doc_id schema read a vec_id-keyed index as
+    all-NULL and every duplicate screened as novel."""
+    index = str(tmp_path / "index")
+    verdicts = str(tmp_path / "verdicts")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    corpus = spark.createDataFrame(
+        [(1, _CORPUS_TEXT)], "vec_id long, text string"
+    )
+    build_band_index(corpus, index, id_col="vec_id")
+    with open(in_dir / "c0.json", "w") as f:
+        for vec_id, text in [(10, _CORPUS_TEXT), (11, _NOVEL_TEXT)]:
+            f.write(json.dumps({"vec_id": vec_id, "text": text}) + "\n")
+
+    gate = MinHashDedupGate(spark, index, verdicts, id_col="vec_id")
+    stream = spark.readStream.schema("vec_id long, text string").json(
+        str(in_dir)
+    )
+    await_drained(
+        screen_document_stream(stream, gate, str(tmp_path / "ckpt"))
+    )
+    got = {
+        r["vec_id"]: (r["matched_doc_id"], r["is_novel"])
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert got[10] == (1, False)  # would be (None, True) under the bug
+    assert got[11] == (None, True)
