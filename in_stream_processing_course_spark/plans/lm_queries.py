@@ -598,3 +598,49 @@ SELECT s.doc_id, s.n_bigrams, s.mean_p_target, r.mean_p_raw,
        round(s.mean_p_target - r.mean_p_raw, 6) > 0 AS selected
 FROM st s JOIN sr r USING (doc_id) ORDER BY s.doc_id
 """
+
+
+def dsir_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE rollup of the DSIR selection (r8): document count,
+    selected count, acceptance share, and mean importance weight by
+    source — the report a curation run reads to decide which sources
+    to keep crawling for the target domain. Mean weights fold in
+    FIXED POINT (weights are already 6-dp rounded, so micro-unit
+    integers are LOSSLESS and the per-source sum is order-invariant
+    with one long of group state — never a source-sized buffer); the
+    shares are single divisions of exact integers."""
+    w = dsir_importance_weights(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fixed = F.sum(
+        F.round(F.col("weight") * F.lit(1e6), 0).cast("bigint")
+    )
+    n_sel = F.sum(F.col("selected").cast("long"))
+    n = F.count(F.lit(1))
+    return (
+        w.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            n_sel.alias("n_selected"),
+            F.round((fixed / F.lit(1e6)) / n, 6).alias("mean_weight"),
+            F.round(n_sel / n.cast("double"), 6).alias("selected_share"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DSIR_SOURCE = f"""
+WITH dsirw AS ({ORACLE_DSIR}),
+j AS (
+  SELECT w.weight, w.selected, d.source
+  FROM dsirw w JOIN documents d USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       round((sum(CAST(round(weight * 1000000.0) AS BIGINT)) / 1000000.0)
+             / count(*), 6) AS mean_weight,
+       round(sum(CASE WHEN selected THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS selected_share
+FROM j GROUP BY source ORDER BY source
+"""

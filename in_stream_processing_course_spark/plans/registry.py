@@ -622,10 +622,18 @@ register(
     lm.ORACLE_DSIR,
 )
 register(
+    "dsir_source_report", lm.dsir_source_report, lm.ORACLE_DSIR_SOURCE
+)
+register(
     "events_heavy_hitters", ev.events_heavy_hitters, ev.ORACLE_HEAVY_HITTERS
 )
 register(
     "text_repetition_stats", tq.text_repetition_stats, tq.ORACLE_REPETITION
+)
+# Heaps'-law vocabulary growth per ingest bucket (r8): novelty
+# saturation diagnostic, two aggregations, no windows
+register(
+    "corpus_vocab_growth", tq.corpus_vocab_growth, tq.ORACLE_VOCAB_GROWTH
 )
 
 # --- clustering (k-means) + tokenizer training + LM buckets (round 5) --------

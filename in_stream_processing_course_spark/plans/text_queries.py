@@ -1155,3 +1155,82 @@ predicted AS (
 SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM predicted GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 """
+
+
+# vocabulary-growth bucket width (doc_ids per ingest batch)
+_VG_BUCKET = 500
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law exhibit, r8): per ingest
+    bucket of _VG_BUCKET doc_ids, the total word occurrences, the
+    count of NEVER-BEFORE-SEEN distinct words (first occurrence lands
+    in that bucket), and their ratio — the curation diagnostic that
+    shows novelty drying up as a corpus saturates (flat new-word
+    ratio = keep crawling; collapsing ratio = dedup and move on).
+
+    Scale shape: two corpus-sized aggregations and nothing else — a
+    (word) groupBy taking min(doc_id) (map-side partials; the
+    first-seen rule makes the curve independent of partitioning) and a
+    (bucket) occurrence count; the join is bucket-count-sized. NO
+    windows, NO cumulative pass — deliberately per-bucket so no single
+    task ever sees more than an aggregate row per bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(tx.tokens_col(F.lower(F.col("text")))).alias("word"),
+    )
+    occ = (
+        words.groupBy(
+            F.floor(F.col("doc_id") / _VG_BUCKET).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_word_occurrences"))
+    )
+    new = (
+        words.groupBy("word")
+        .agg(F.min("doc_id").alias("_first"))
+        .groupBy(
+            F.floor(F.col("_first") / _VG_BUCKET).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_new_words"))
+    )
+    return (
+        occ.join(new, "bucket", "left")
+        .select(
+            "bucket",
+            "n_word_occurrences",
+            F.coalesce(F.col("n_new_words"), F.lit(0).cast("long")).alias(
+                "n_new_words"
+            ),
+            F.round(
+                F.coalesce(F.col("n_new_words"), F.lit(0).cast("long"))
+                / F.col("n_word_occurrences").cast("double"),
+                6,
+            ).alias("new_word_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_VOCAB_GROWTH = rf"""
+WITH words AS (
+  SELECT doc_id, unnest({_sql_tokens('text')}) AS word FROM documents
+),
+occ AS (
+  SELECT CAST(doc_id // {_VG_BUCKET} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_word_occurrences
+  FROM words GROUP BY 1
+),
+new AS (
+  SELECT CAST(first_doc // {_VG_BUCKET} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_new_words
+  FROM (SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY word)
+  GROUP BY 1
+)
+SELECT o.bucket, o.n_word_occurrences,
+       COALESCE(n.n_new_words, CAST(0 AS BIGINT)) AS n_new_words,
+       round(COALESCE(n.n_new_words, 0)
+             / CAST(o.n_word_occurrences AS DOUBLE), 6) AS new_word_ratio
+FROM occ o LEFT JOIN new n USING (bucket)
+ORDER BY o.bucket
+"""

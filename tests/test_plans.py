@@ -409,6 +409,7 @@ def test_registry_wide_plan_guards(spark):
         "dsir_importance_weights",  # 1-row target + raw vocab scalars
         "bpe_token_coverage_curve",  # 1-row grand-total scalar
         "embedding_hard_negatives",  # bounded probe broadcast (label-mismatch join)
+        "dsir_source_report",  # inherits dsir's 1-row vocab scalars
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):
