@@ -43,8 +43,13 @@ from pyspark.sql import functions as F
 from ..operators.dedup import minhash_bands
 from ..sinks.upsert import KeyedUpsertSink
 
-def _band_schema(id_col: str) -> str:
-    return f"{id_col} long, band_id int, band_key string"
+def _band_schema(id_col: str, id_type: str = "long") -> str:
+    """Index read schema. ``id_type`` must mirror the incoming batch's
+    id column type — an index keyed by e.g. string doc ids read back as
+    long would surface as all-NULL ids and every duplicate would
+    silently screen as novel (the same failure mode the custom-id_col
+    fix addressed for the column NAME)."""
+    return f"{id_col} {id_type}, band_id int, band_key string"
 
 
 def build_band_index(
@@ -101,9 +106,10 @@ class MinHashDedupGate:
         new = bands_df.select(
             F.col(self.id_col).alias("_new_id"), "band_id", "band_key"
         )
-        idx = self.spark.read.schema(_band_schema(self.id_col)).parquet(
-            self.index_path
-        )
+        id_type = bands_df.schema[self.id_col].dataType.simpleString()
+        idx = self.spark.read.schema(
+            _band_schema(self.id_col, id_type)
+        ).parquet(self.index_path)
         # index match: min colliding corpus id, SELF-matches excluded
         # (a crashed attempt may have appended this doc's bands already)
         hits = (

@@ -148,3 +148,47 @@ def test_dedup_gate_honors_custom_id_col(spark, tmp_path):
     }
     assert got[10] == (1, False)  # would be (None, True) under the bug
     assert got[11] == (None, True)
+
+
+def test_dedup_gate_honors_non_long_id_type(spark, tmp_path):
+    """Regression (r8 advice): the index read schema must derive the id
+    column's TYPE from the batch, not hardcode long — a string-keyed
+    index read back as long surfaces as all-NULL ids and every
+    duplicate silently screens as novel."""
+    index = str(tmp_path / "index")
+    verdicts = str(tmp_path / "verdicts")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    corpus = spark.createDataFrame(
+        [("corpus-001", _CORPUS_TEXT)], "doc_id string, text string"
+    )
+    build_band_index(corpus, index)
+    with open(in_dir / "c0.json", "w") as f:
+        for doc_id, text in [
+            ("arrival-b", _CORPUS_TEXT),  # dup of corpus
+            ("arrival-c", _NOVEL_TEXT),  # novel anchor
+            ("arrival-d", _NOVEL_TEXT),  # in-batch dup → min string id
+        ]:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    gate = MinHashDedupGate(spark, index, verdicts)
+    stream = spark.readStream.schema("doc_id string, text string").json(
+        str(in_dir)
+    )
+    await_drained(
+        screen_document_stream(stream, gate, str(tmp_path / "ckpt"))
+    )
+    got = {
+        r["doc_id"]: (r["matched_doc_id"], r["is_novel"])
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert got["arrival-b"] == ("corpus-001", False)  # NULL-id bug → novel
+    assert got["arrival-c"] == (None, True)
+    assert got["arrival-d"] == ("arrival-c", False)
+    # the grown index keeps string ids readable
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(index).select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {"corpus-001", "arrival-c"}
