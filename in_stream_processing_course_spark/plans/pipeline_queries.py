@@ -356,16 +356,75 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ceil(p*n) under a deterministic total order — engines
     disagree on percentile interpolation arithmetic, but rank
     selection is portable (the same trick as the median query,
-    generalized to a percentile profile in ONE window pass)."""
+    generalized to a percentile profile).
+
+    TWO-PHASE ranks (r9 — VERDICT r8 "What's wrong #1" audit): event
+    types are enum-bounded, so a per-type window holds corpus/|types|
+    rows in ONE task. Instead the global per-type rank assembles from
+    (1) per-(type, value-range) LOCAL row_numbers — ranges come from
+    per-type approx-percentile boundaries collected as literals
+    (|types| × N doubles, a model-sized driver crossing; deterministic
+    bucket = #(boundaries < value), so equal values share a bucket and
+    the event_id tie-break stays inside one local window) — plus
+    (2) broadcast prefix OFFSETS from the (|types| × N)-row bucket
+    rollup. Boundary placement affects balance only: the assembled
+    rank is the same total order, so the selected elements (and the
+    hash) are identical to the one-window form."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
+    n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    brows = (
+        ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", qs, 1000).alias("bs"))
+        .collect()
+    )
+    bounds_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (r["event_type"], sorted(set(r["bs"] or [])))
+                for r in brows
+            ],
+            "event_type string, _bs array<double>",
+        )
+    )
+    bucketed = ev.join(bounds_df, "event_type").select(
         "event_type",
         "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        "event_id",
+        F.size(
+            F.filter(F.col("_bs"), lambda b: b < F.col("value"))
+        ).alias("_pid"),
+    )
+    local_w = Window.partitionBy("event_type", "_pid").orderBy(
+        "value", "event_id"
+    )
+    local = bucketed.select(
+        "event_type",
+        "value",
+        "_pid",
+        F.row_number().over(local_w).cast("long").alias("_lrn"),
+    )
+    grp = bucketed.groupBy("event_type", "_pid").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    off_w = Window.partitionBy("event_type").orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grp.select(
+        "event_type",
+        "_pid",
+        F.coalesce(F.sum("_bn").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("_bn")
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    ranked = local.join(F.broadcast(offsets), ["event_type", "_pid"]).select(
+        "event_type",
+        "value",
+        (F.col("_off") + F.col("_lrn")).alias("rn"),
+        "n",
     )
 
     def at(p: float) -> F.Column:

@@ -32,6 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranks import (
+    exact_ntile,
+    two_phase_rank,
+    two_phase_rank_discrete,
+)
 from ..sources.batch import load_table
 
 # --- shared decimal casts ---------------------------------------------------
@@ -1273,14 +1278,28 @@ ORDER BY l_returnflag, l_linestatus
 
 def supplier_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) analytic over per-supplier revenue (deterministic
-    total order: revenue exact-decimal desc, suppkey asc)."""
+    total order: revenue exact-decimal desc, suppkey asc). The
+    supplier rollup grows with the corpus, so the quartile comes from
+    a two-phase global rank + ``exact_ntile`` instead of one
+    partition-less window (r9, VERDICT r8 #1); revenue is continuous,
+    so the boundary-bucketed form applies."""
     li = _li_money(load_table(spark, sf_dir, "lineitem"))
     rev = li.groupBy("l_suppkey").agg(F.sum("disc_price").alias("_rev"))
-    w = Window.orderBy(F.col("_rev").desc(), F.col("l_suppkey").asc())
-    return rev.select(
+    ranked = two_phase_rank(
+        spark,
+        rev,
+        key="_rev",
+        tiebreak="l_suppkey",
+        desc=True,
+        rank_name="_rk",
+        n_name="_n",
+    )
+    return ranked.select(
         F.col("l_suppkey").cast("long").alias("suppkey"),
         F.col("_rev").cast("double").alias("revenue"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        exact_ntile(F.col("_rk"), F.col("_n"), 4)
+        .cast("long")
+        .alias("quartile"),
     ).orderBy("suppkey")
 
 
@@ -2032,10 +2051,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer recency (last order date), frequency (order count),
     monetary (exact-decimal lifetime spend), each quartiled with
     ntile(4) over a custkey-tie-broken total order, concatenated into
-    the 'RFM' segment code (recency quartile 1 = most recent). Three
-    window passes over the |customers|-sized rollup — the scan-side
-    aggregate is the only event-scale work; ntile over an aggregate
-    this bounded is cheap at any corpus size."""
+    the 'RFM' segment code (recency quartile 1 = most recent).
+
+    The per-customer rollup GROWS with the corpus, so each ntile runs
+    as a two-phase global rank (``operators.ranks.two_phase_rank``) +
+    ``exact_ntile`` — Spark's ntile arithmetic reproduced from
+    (rank, n), bit-identical to the window form — instead of three
+    partition-less single-task windows (r9, VERDICT r8 #1)."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(
@@ -2046,18 +2068,39 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    cur = per_cust
+    # recency (calendar-day cardinality) and frequency (max orders per
+    # customer) are DISCRETE keys — the boundary-bucketed form would
+    # single-task each heavy key value; monetary is continuous
+    for dim, q_name, ranker in (
+        ("last_order", "r_q", two_phase_rank_discrete),
+        ("frequency", "f_q", two_phase_rank_discrete),
+        ("monetary", "m_q", two_phase_rank),
+    ):
+        ranked = ranker(
+            spark,
+            cur,
+            key=dim,
+            tiebreak="o_custkey",
+            desc=True,
+            rank_name="_rk",
+            n_name="_n",
+        )
+        cur = ranked.select(
+            *cur.columns,
+            exact_ntile(F.col("_rk"), F.col("_n"), 4)
+            .cast("int")
+            .alias(q_name),
+        )
     return (
-        per_cust.select(
+        cur.select(
             F.col("o_custkey").alias("custkey"),
             "last_order",
             "frequency",
             "monetary",
-            F.ntile(4).over(w_r).alias("r_q"),
-            F.ntile(4).over(w_f).alias("f_q"),
-            F.ntile(4).over(w_m).alias("m_q"),
+            "r_q",
+            "f_q",
+            "m_q",
         )
         .withColumn(
             "segment",
@@ -2162,34 +2205,47 @@ def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Pareto) curve: customers ranked by
     exact-decimal lifetime spend, with each prefix's cumulative share
     of total revenue and the top-decile flag — "how true is 80/20
-    here". All money prefix sums stay DECIMAL (order-stable) and only
-    the final share divides two identically-derived doubles; the rank
-    windows run over the customers-sized rollup."""
+    here".
+
+    TWO-PHASE prefix sum (r9 rewrite — VERDICT r8 next-round #1): the
+    per-customer rollup grows with the corpus (~15 M rows at TPC-H
+    sf100), so the old single partition-less ``row_number`` +
+    running-sum window single-tasked the whole table. The global rank
+    and the exact-decimal running spend now assemble via
+    ``operators.ranks.two_phase_rank`` — deterministic literal-driven
+    range buckets, per-range local windows, broadcast offsets from the
+    config-bounded per-range rollup. Bit-identical to the one-window
+    form (see the operator docstring); only the final share divides
+    two identically-derived doubles."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    order_w = Window.orderBy(F.col("spend_dec").desc(), F.col("o_custkey"))
-    run_w = order_w.rowsBetween(Window.unboundedPreceding, 0)
-    all_w = Window.partitionBy()
-    ranked = per_cust.select(
-        F.col("o_custkey").alias("custkey"),
-        "n_orders",
-        F.col("spend_dec").cast("double").alias("spend"),
-        F.row_number().over(order_w).alias("rank"),
-        F.sum("spend_dec").over(run_w).cast("double").alias("_run"),
-        F.sum("spend_dec").over(all_w).cast("double").alias("_tot"),
-        F.count(F.lit(1)).over(all_w).alias("_n"),
+    ranked = two_phase_rank(
+        spark,
+        per_cust,
+        key="spend_dec",
+        tiebreak="o_custkey",
+        desc=True,
+        rank_name="_grank",
+        n_name="_n",
+        prefix_sums={"_run": "spend_dec"},
     )
-    return ranked.select(
-        "custkey",
-        "n_orders",
-        "spend",
-        "rank",
-        (F.col("_run") / F.col("_tot")).alias("cum_share"),
-        (F.col("rank") * 10 <= F.col("_n")).alias("is_top_decile"),
-    ).orderBy("rank")
+    return (
+        ranked.select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders",
+            F.col("spend_dec").cast("double").alias("spend"),
+            F.col("_grank").cast("int").alias("rank"),
+            (
+                F.col("_run").cast("double")
+                / F.col("_run_total").cast("double")
+            ).alias("cum_share"),
+            (F.col("_grank") * 10 <= F.col("_n")).alias("is_top_decile"),
+        )
+        .orderBy("rank")
+    )
 
 
 ORACLE_PARETO = """

