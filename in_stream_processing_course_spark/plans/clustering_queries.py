@@ -217,7 +217,13 @@ FROM vals GROUP BY cluster, dim ORDER BY cluster, dim
 _FIT_SAMPLE = DEFAULT_FIT_SAMPLE
 
 
-def _kmeans_rounds_cte() -> str:
+def _kmeans_rounds_cte(
+    src: str = "embeddings",
+    k: int = _K,
+    n_iters: int = _N_ITERS,
+    fit_sample: int = _FIT_SAMPLE,
+    lead: str = "WITH ",
+) -> str:
     """Replay the full Lloyd's fit in SQL (the round-6 BPE pattern,
     VERDICT r6 next-round #1): fit0 is the md5-ordered fit sample
     (lloyd_fit's bound — DuckDB md5(VARCHAR) and Spark md5(binary of
@@ -229,21 +235,26 @@ def _kmeans_rounds_cte() -> str:
     an array with empty-cluster carryover (LEFT JOIN + coalesce keeps
     the previous coordinate — update_centroids' fixed-k convention).
     MATERIALIZED pins each round's centroid table, exactly as
-    _bpe_rounds_cte pins each round's vocab."""
+    _bpe_rounds_cte pins each round's vocab.
+
+    Parameterized since r9 so the IVF oracle can replay the same
+    chain over a normalized source CTE (``src`` must expose
+    (vec_id, embedding); pass ``lead=','`` to splice after earlier
+    CTEs); defaults reproduce ORACLE_KMEANS_FIT exactly."""
     parts = [
         f"""
-WITH fit0 AS MATERIALIZED (
-  SELECT vec_id, embedding FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_FIT_SAMPLE}
+{lead}fit0 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM {src}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {fit_sample}
 ),
 centv0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM fit0 WHERE vec_id IN (
-    SELECT vec_id FROM fit0 ORDER BY vec_id LIMIT {_K})
+    SELECT vec_id FROM fit0 ORDER BY vec_id LIMIT {k})
 )"""
     ]
-    for r in range(1, _N_ITERS + 1):
+    for r in range(1, n_iters + 1):
         dist = _SQL_SQDIST.format(a="f.embedding", b="c.cv")
         parts.append(
             f""",

