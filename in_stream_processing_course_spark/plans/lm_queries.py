@@ -475,6 +475,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # target-domain model + vocab (broadcastable seed-set artifacts)
     target = docs.where(F.col("lang") == _DSIR_TARGET_LANG)
+    # precondition (ADVICE r8): an empty target slice makes v = 0 and
+    # c_ctx = 0, so the smoothed denominator 2*0+0 = 0 would surface as
+    # an opaque ANSI divide-by-zero deep in the scoring join — fail
+    # loud and early instead. take(1) is a LIMIT-1 scan that
+    # short-circuits at the first matching row, not a full count.
+    if not target.take(1):
+        raise ValueError(
+            "DSIR target domain slice is empty (no documents with "
+            f"lang={_DSIR_TARGET_LANG!r}); an n-gram model cannot be "
+            "trained on an empty seed set"
+        )
     bi_t = bigrams_of(target)
     mt = _model_with_ctx(bi_t)
     v_t = (
