@@ -72,10 +72,21 @@ def two_phase_rank(
     bounds = sorted(set(row["b"] or [])) if row is not None else []
     key_d = F.col(key).cast("double")
     if bounds:
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        pid = F.size(
-            F.filter(arr, lambda b: (b > key_d) if desc else (b < key_d))
-        )
+        # plain CASE-sum (no higher-order function: a lambda inside a
+        # grouping expression trips an executor-side attribute-binding
+        # bug when the optimizer inlines it under the offsets window)
+        terms = [
+            F.when(
+                (F.lit(float(b)) > key_d)
+                if desc
+                else (F.lit(float(b)) < key_d),
+                1,
+            ).otherwise(0)
+            for b in bounds
+        ]
+        pid = terms[0]
+        for t in terms[1:]:
+            pid = pid + t
     else:
         pid = F.lit(0)
     parts = df.withColumn("_pid", pid)

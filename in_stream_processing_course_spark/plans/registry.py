@@ -543,6 +543,9 @@ register(
 register(
     "customer_pareto_curve", rel.customer_pareto_curve, rel.ORACLE_PARETO
 )
+# rows-only by design: sketch thresholds are engine-specific; the
+# exact two-phase curve above bounds it (the 100 TB curve default)
+register("customer_pareto_curve_approx", rel.customer_pareto_curve_approx)
 register(
     "customer_order_gap_stats",
     rel.customer_order_gap_stats,

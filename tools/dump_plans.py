@@ -46,6 +46,7 @@ ITERATIVE_EXCLUDED = {
     "bpe_token_coverage_curve": "learn + encode rounds (localCheckpoint)",
     "mixing_weights_token_budget": "learn + fertility-encode rounds (localCheckpoint)",
     "embedding_principal_direction": "8 power-iteration rounds (per-round driver collect)",
+    "customer_pareto_curve_approx": "grid thresholds + one conditional-aggregate pass execute at construction; result is a 99-row local table",
 }
 
 _LEGACY_AUDITED = [
@@ -224,8 +225,9 @@ def main() -> None:
         "  approx_users_sketch_union, events_value_trend,",
         "  quality_calibration_approx, tpch_q11, tpch_q22 join a 1-row",
         "  aggregate scalar (sketch union / regression moments / quantile",
-        "  array / thresholds); knn_ivf crosses the probe queries with the",
-        "  BROADCAST k-centroid table (bounded by k, never data-sized);",
+        "  array / thresholds); knn_ivf and embedding_hard_negatives_ivf",
+        "  inline their k centroids as literals since r9 (Lloyd index) —",
+        "  no nested loop remains in either;",
         "  retrieval_bm25_topk / retrieval_hybrid_rrf join the 1-row",
         "  (N, avgdl) corpus-stats scalar, retrieval_mmr_diversified",
         "  additionally crosses the bounded depth-50 candidate set;",
@@ -249,6 +251,25 @@ def main() -> None:
         "(`test_near_dup_queries_have_no_cross_product`, the CC operator's",
         "one-shuffle-per-round docstring + unit tests).",
         "",
+        "## 100 TB deployment defaults: exact vs `_approx` twins (r9)",
+        "",
+        "Where both forms exist, the deployment default depends on how the",
+        "export is CONSUMED:",
+        "- curve/chart/health-metric consumers call the `_approx` twin —",
+        "  `customer_pareto_curve_approx` (99 grid rows, one mergeable",
+        "  percentile sketch + one conditional-aggregate pass, no rank) and",
+        "  `event_value_percentiles_approx` (KLL-style mergeable summary,",
+        "  one map-side accumulator);",
+        "- per-row exports (every customer with its rank / every event",
+        "  type's exact rank-selected percentile) call the exact forms,",
+        "  which since r9 assemble their global ranks as two-phase prefix",
+        "  ranks (`operators/ranks.py`) — per-range local windows +",
+        "  broadcast offsets from a config-bounded rollup — so the exact",
+        "  path no longer single-tasks a corpus-growing rollup either.",
+        "The `_approx` twins are rows-only by design (sketch internals are",
+        "engine-specific); their exact twins bound them, and",
+        "`tests/test_round9_ops.py` pins approx-vs-exact agreement.",
+        "",
         "## Heavy-query spot check at sf0.1 (local[32], noop sink, single pass)",
         "",
         "The non-headline composition/iterative queries, which never appear in",
@@ -257,7 +278,7 @@ def main() -> None:
         "",
         "| query | wall | dominated by |",
         "|---|---|---|",
-        "| dedup_fuzzy_part_names | 15.1s | 8M in-block threshold-levenshtein pairs (brand blocking + length band + banded DP; was 25.3s with the unbounded DP) |",
+        "| dedup_fuzzy_part_names | 6.2s | brand-blocked pair join probing the distinct-name-pair distance table (r9: the banded DP runs once per distinct name pair — vocabulary-sized — instead of once per part pair; 25.3s unbounded DP -> 15.1s banded-per-pair -> 6.2s) |",
         "| curation_manifest | 11.6s | blocked cosine pair join (SemDeDup-quadratic within label block — bounded by block size at scale; norms now precomputed per row) |",
         "| dedup_winnowed_candidates | 5.2s | per-doc gram hashing (md5+conv per k-gram; window minima already reduced to two zip_with passes — 25.7s before) |",
         "| semantic_dedup_keep | 8.7s | same pair join |",
