@@ -279,6 +279,7 @@ def main() -> None:
         "| query | wall | dominated by |",
         "|---|---|---|",
         "| dedup_fuzzy_part_names | 6.2s | brand-blocked pair join probing the distinct-name-pair distance table (r9: the banded DP runs once per distinct name pair — vocabulary-sized — instead of once per part pair; 25.3s unbounded DP -> 15.1s banded-per-pair -> 6.2s) |",
+        "| embedding_hard_negatives_ivf / knn_ivf | 35.6s / 26.8s | measured split (same-session A/B): Lloyd fit ~17s ONE-TIME (cached by corpus key; the second query reuses it) + ~20s execution = the 16x64 ordered-fold distance/cosine arithmetic, which runs INTERPRETED (zip_with/aggregate are CodegenFallback — the price of the oracle-replayable determinism contract). Linear in corpus x k, no super-linear hazard; a deploy-time run uses the pyspark.ml `ivf_topk` or plain-sum folds and keeps the Lloyd path for auditability |",
         "| curation_manifest | 11.6s | blocked cosine pair join (SemDeDup-quadratic within label block — bounded by block size at scale; norms now precomputed per row) |",
         "| dedup_winnowed_candidates | 5.2s | per-doc gram hashing (md5+conv per k-gram; window minima already reduced to two zip_with passes — 25.7s before) |",
         "| semantic_dedup_keep | 8.7s | same pair join |",
