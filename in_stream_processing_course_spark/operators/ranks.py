@@ -60,7 +60,10 @@ def two_phase_rank(
 
     ``key`` must be numeric (cast to double for bucketing only — rank
     comparisons use the original column), ``(key, tiebreak)`` must be
-    a unique total order.
+    a unique total order, and both must be NON-NULL: a NULL key would
+    bucket to range 0 (every boundary comparison is false) while the
+    window order sorts it last — every registered caller ranks an
+    aggregate (sum/count/max), which cannot be NULL.
     """
     prefix_sums = prefix_sums or {}
     if n_ranges is None:
