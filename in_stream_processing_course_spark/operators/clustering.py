@@ -85,19 +85,29 @@ def assign_to_centroids(
     semantic cluster)."""
     # internal scratch column — a caller column with this name would be
     # silently clobbered and dropped (same guard as sketches._RESERVED)
-    if "_dists" in df.columns:
+    if "_best" in df.columns:
         raise ValueError(
-            "input column '_dists' collides with the operator's "
-            "internal distance array"
+            "input column '_best' collides with the operator's "
+            "internal argmin struct"
         )
+    # argmin as the head of an array_sort over (dist, index) structs:
+    # struct order is (d asc, c asc), so ties break to the LOWEST
+    # centroid index — identical to the previous
+    # array_position(dists, array_min(dists)) form, but the k-fold
+    # distance array is referenced ONCE instead of three times (r9
+    # perf: each reference was a full re-evaluation of the k
+    # interpreted sqdist folds once Catalyst inlined the alias).
     dists = distances_col(F.col(vec_col), centroids)
-    out = df.withColumn("_dists", dists).withColumn(
-        cluster_col,
-        (F.array_position("_dists", F.array_min("_dists")) - 1).cast("int"),
+    idx = F.array(*[F.lit(i) for i in range(len(centroids))])
+    best = F.array_sort(
+        F.zip_with(dists, idx, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
+    )[0]
+    out = df.withColumn("_best", best).withColumn(
+        cluster_col, F.col("_best").getField("c").cast("int")
     )
     if dist_col is not None:
-        out = out.withColumn(dist_col, F.array_min("_dists"))
-    return out.drop("_dists")
+        out = out.withColumn(dist_col, F.col("_best").getField("d"))
+    return out.drop("_best")
 
 
 def seed_centroids(
@@ -250,3 +260,4 @@ def lloyd_fit(
             assigned, centroids, vec_col=vec_col, exact_fold=exact_fold
         )
     return centroids
+
