@@ -79,23 +79,51 @@ def pair_counts(symbols: DataFrame) -> DataFrame:
     )
 
 
-def apply_merge_col(syms: Column, left: str, right: str) -> Column:
-    """Merge every non-overlapping left-to-right occurrence of the
-    adjacent pair (left, right) in a symbol array: one ordered fold
-    with a (merged-so-far, skip-next) struct accumulator. Column
-    algebra only — runs inside codegen over the vocabulary table."""
+def apply_merges_col(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Merge every non-overlapping left-to-right occurrence of any of
+    the PAIRWISE-DISJOINT adjacent pairs in a symbol array, in ONE
+    ordered fold with a (merged-so-far, skip-next) struct accumulator.
+    Column algebra only — no UDF, no Python.
+
+    Simultaneous == sequential for a disjoint batch: each pair's
+    extended symbol set {left, right, left+right} is disjoint from
+    every other's (the ``learn_merges_batched`` selection invariant,
+    and what ``disjoint_runs`` carves out of a ranked merge list), so
+    (a) two pairs can never match at overlapping positions — a shared
+    position would put one symbol in both sets; (b) applying one pair
+    neither creates nor destroys occurrences of another — the merged
+    token is in the applier's set only, and non-members keep their
+    adjacency; (c) lefts are distinct across the batch, so "which pair
+    matches here" is unambiguous. Hence one left-to-right pass with a
+    shared skip flag reproduces applying the pairs one at a time, in
+    any order — pinned against chained single-pair application in
+    tests/test_bpe.py.
+
+    One pass per BATCH is also the performance point (r9): chaining
+    single-pair projections lets ProjectCollapse inline each layer's
+    ~6 references to the previous layer's fold — an expression tree
+    (and interpreted per-row cost) EXPONENTIAL in the chain depth,
+    which is what made the old chunk-of-4 chain hang on realistic
+    word lengths (the Zipf fixture). This pass costs len·k symbol
+    comparisons per row, linear in everything."""
     empty = F.array().cast("array<string>")
+
+    def matched(cur: Column, nxt: Column) -> Column:
+        conds = [
+            (cur == F.lit(left)) & F.coalesce(nxt == F.lit(right), F.lit(False))
+            for left, right in pairs
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
 
     def step(acc: Column, i: Column) -> Column:
         # 0-based F.get: NULL past the end (element_at THROWS under
         # ANSI, which Spark 4 enables by default)
         cur = F.get(syms, (i - 1).cast("int"))
         nxt = F.get(syms, i.cast("int"))  # NULL at the end
-        here = (
-            ~acc["skip"]
-            & (cur == F.lit(left))
-            & F.coalesce(nxt == F.lit(right), F.lit(False))
-        )
+        here = ~acc["skip"] & matched(cur, nxt)
         grown = F.when(
             acc["skip"], acc["arr"]
         ).otherwise(
@@ -123,6 +151,35 @@ def apply_merge_col(syms: Column, left: str, right: str) -> Column:
     return F.when(F.size(syms) < 2, syms).otherwise(folded["arr"])
 
 
+def apply_merge_col(syms: Column, left: str, right: str) -> Column:
+    """Single-pair form of :func:`apply_merges_col` (a batch of one is
+    trivially disjoint)."""
+    return apply_merges_col(syms, [(left, right)])
+
+
+def disjoint_runs(merges: list[str]) -> list[list[tuple[str, str]]]:
+    """Greedily carve a RANKED merge list ("left right" strings, the
+    :func:`learn_merges` artifact) into maximal consecutive runs of
+    pairwise-disjoint pairs — each run applies in one
+    :func:`apply_merges_col` pass with sequential semantics (rank
+    order is preserved: a run only extends while the next merge's
+    extended symbol set avoids everything the run already touches)."""
+    runs: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for pair in merges:
+        left, right = pair.split(" ")
+        ext = {left, right, left + right}
+        if cur and (ext & used):
+            runs.append(cur)
+            cur, used = [], set()
+        cur.append((left, right))
+        used |= ext
+    if cur:
+        runs.append(cur)
+    return runs
+
+
 def corpus_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, syms, freq), eagerly checkpointed — THE corpus-sized
     pass of BPE (one scan + one word shuffle). Training, encoding and
@@ -145,30 +202,31 @@ def encode_vocab(
     a data pipeline actually runs with it). ``merges`` is the ranked
     list of "left right" pairs.
 
-    :func:`apply_merge_col` projections run over the VOCABULARY table
-    (never the corpus), with an eager ``localCheckpoint`` every
-    ``chunk`` merges: fully chaining the fold expressions would let
-    ProjectCollapse inline each round's ~6 references to the previous
-    round's output — an expression tree EXPONENTIAL in the merge count
-    — while checkpointing every round (as the training loop must, to
-    see each round's argmax) pays one driver-paced job barrier per
-    merge. chunk=3 keeps the inlined tree ~6³ nodes and cuts the
-    barrier count 3x; unlike training, encoding has no per-round
-    driver decision, so batching is free. Encoding a corpus is
-    therefore ceil(n_merges/chunk) vocabulary-sized rounds after the
-    single corpus-sized word-count scan. ``chunk`` is clamped to
-    [1, 4]: at 5+ the inlined tree (~6^chunk nodes per row) tips from
-    thousands into the 100k+ range and analysis itself OOMs the
-    driver (measured: chunk=8 kills a 6g JVM)."""
-    chunk = min(max(chunk, 1), 4)
+    :func:`apply_merges_col` projections run over the VOCABULARY table
+    (never the corpus), one PASS per maximal pairwise-disjoint run of
+    the ranked list (``disjoint_runs``) with an eager
+    ``localCheckpoint`` after each — r9: the old form CHAINED up to
+    ``chunk`` single-pair folds per projection, and ProjectCollapse
+    inlines each chained layer's ~6 references to the previous
+    layer's fold, an expression tree (and interpreted per-row cost)
+    EXPONENTIAL in the chain depth — tolerable on the tiny-word
+    driver fixture, a hang on realistic word lengths (measured on the
+    Zipf fixture: the chunk-4 chain ran >40 min where single-pass
+    runs take seconds). A disjoint run of ANY length costs one
+    len·k-comparison pass, so the blowup is gone by construction;
+    consecutive non-disjoint merges each get their own checkpointed
+    pass (they cannot share one — the later merge consumes the
+    earlier's output). ``chunk`` is kept for API compatibility and
+    ignored. Encoding a corpus is therefore len(disjoint_runs)
+    vocabulary-sized rounds after the single corpus-sized word-count
+    scan."""
+    del chunk  # r9: chaining removed (exponential interpreted cost)
     out = vocab
     carried = [c for c in vocab.columns if c != "syms"]
-    for i in range(0, len(merges), max(chunk, 1)):
-        col = F.col("syms")
-        for pair in merges[i : i + max(chunk, 1)]:
-            left, right = pair.split(" ")
-            col = apply_merge_col(col, left, right)
-        out = out.select(col.alias("syms"), *carried).localCheckpoint()
+    for run in disjoint_runs(merges):
+        out = out.select(
+            apply_merges_col(F.col("syms"), run).alias("syms"), *carried
+        ).localCheckpoint()
     return out
 
 
@@ -250,11 +308,6 @@ def learn_merges(
     return merges
 
 
-# chained apply_merge_col projections inline to a ~6^n expression tree
-# (see encode_vocab) — the per-checkpoint batch cap, NOT the merge
-# batch cap (a batch of 8 safe merges runs as two chained projections)
-_APPLY_CHUNK = 4
-
 
 def learn_merges_batched(
     docs: DataFrame,
@@ -296,22 +349,30 @@ def learn_merges_batched(
     in tests/test_bpe.py (batched-vs-sequential, multiple seeds).
 
     Scale: same vocabulary-sized rounds as :func:`learn_merges`; job
-    count drops from 2·n_merges to ~n_merges·(2/batch + 1/4) (one
-    scout + one symbol probe per batch, one chained projection
-    checkpoint per 4 merges).
+    count drops from 2·n_merges to ~n_merges·(3/batch) (one scout +
+    one symbol probe + ONE single-pass ``apply_merges_col``
+    checkpoint per batch — r9: the whole disjoint batch applies in
+    one fold, replacing the chunk-of-4 projection chain whose
+    interpreted cost was exponential in chain depth and hung on
+    realistic word lengths).
 
-    Measured (sf0.1, local[32], 2026-08-15 — the r6/r7 carried
-    merge-budget question): sequential training walls 7.0 s / 18.5 s /
-    15.3 s at n_merges = 20 / 100 / 500; batched 6.2 s / 16.8 s /
-    15.9 s, equal output at every budget. The synthetic sf0.1 corpus
-    EXHAUSTS at 89 merges (random short words — both loops early-break
-    there, which is why 500 costs the same as 100), so the practical
-    bound is ~0.2 s per merge of driver-paced barriers: a 30k-merge
-    production vocabulary costs ~100 driver-minutes sequentially and
-    proportionally less batched — batching wins exactly when pair
-    counts are Zipf-separated (real text), and degenerates safely to
-    batch-of-1 sequential behavior in tie-dense regimes like this
-    fixture."""
+    Measured on the Zipf-realistic fixture (tools/bpe_zipf_bench.py:
+    4000 docs x 150 tokens, 26k observed types, Zipf s=1.07,
+    English-ish letter mix; local[32], 2026-08-16 — un-censoring the
+    r8 walls, whose random-short-word corpus exhausted at 89 merges):
+    sequential 203.6 s / 891.5 s at n_merges = 500 / 2000 (a flat
+    0.41-0.45 s/merge — per-25-merge instrumentation shows no
+    super-linear growth); batched 134.2 s / 456.7 s (0.27 / 0.23
+    s/merge), speedup x1.52 / x1.95, byte-EQUAL output at both
+    budgets. Batching wins exactly when pair counts are
+    Zipf-separated (real text) — the deeper the budget, the longer
+    the safe batches as the count curve flattens — and degenerates
+    safely to batch-of-1 sequential behavior in tie-dense regimes
+    (the old r8 fixture: 7.0/6.2 s at 20 merges, 18.5/16.8 s at 100).
+    A 30k-merge production vocabulary extrapolates to ~3.7 driver-
+    hours sequential and roughly half that batched at this fixture's
+    per-merge wall; the per-round arithmetic stays vocabulary-sized
+    throughout."""
     if vocab is None:
         vocab = corpus_vocab(docs, text_col)
     vocab = vocab.select("syms", "freq")
@@ -374,12 +435,16 @@ def learn_merges_batched(
                 if m in hits:
                     selected = selected[: max(i, 1)]
                     break
-        for i in range(0, len(selected), _APPLY_CHUNK):
-            col = F.col("syms")
-            for pair, _ in selected[i : i + _APPLY_CHUNK]:
-                left, right = pair.split(" ")
-                col = apply_merge_col(col, left, right)
-            vocab = vocab.select(col.alias("syms"), "freq").localCheckpoint()
+        # the batch is pairwise-disjoint by selection, so it applies
+        # in ONE fold pass (r9 — the old chunk-of-4 projection chain
+        # was exponential in interpreted per-row cost; see
+        # apply_merges_col)
+        vocab = vocab.select(
+            apply_merges_col(
+                F.col("syms"), [tuple(p.split(" ")) for p, _ in selected]
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
         for pair, n in selected:
             merges.append((len(merges), pair, n))
     return merges

@@ -163,12 +163,12 @@ def test_encode_applies_learned_merges_to_unseen_corpus(spark):
     assert got == _ref_encode_token_counts(unseen, merges)
 
 
-def test_encode_vocab_chunking_is_invariant(spark):
-    """Batching merges between checkpoints is a pure scheduling choice:
-    chunk=1 (one barrier per merge), the default 3, and the clamp
-    ceiling must produce identical symbol tables. (Values above the
-    clamp are pinned to it: a fully-chained fold is ~6^n expression
-    nodes and measurably OOMs the driver at n=8.)"""
+def test_encode_vocab_runs_match_one_at_a_time(spark):
+    """Run-batched encoding (one apply_merges_col pass per maximal
+    pairwise-disjoint run, r9) must equal applying the ranked merges
+    strictly one per checkpointed pass — the sequential semantics the
+    merge artifact defines. The legacy ``chunk`` argument is ignored
+    and must not change the result."""
     from in_stream_processing_course_spark.operators.bpe import (
         corpus_vocab,
         encode_vocab,
@@ -176,14 +176,91 @@ def test_encode_vocab_chunking_is_invariant(spark):
 
     merges = [p for _, p, _ in _ref_learn(TEXTS, 8)]
     vocab = corpus_vocab(_docs(spark)).select("word", "syms")
-    outs = [
-        {
+    one_at_a_time = vocab
+    for pair in merges:
+        left, right = pair.split(" ")
+        one_at_a_time = one_at_a_time.select(
+            "word",
+            apply_merge_col(F.col("syms"), left, right).alias("syms"),
+        ).localCheckpoint()
+    want = {
+        r["word"]: tuple(r["syms"]) for r in one_at_a_time.collect()
+    }
+    for c in (1, 3, 99):
+        got = {
             r["word"]: tuple(r["syms"])
             for r in encode_vocab(vocab, merges, chunk=c).collect()
         }
-        for c in (1, 3, 99)  # 99 exercises the clamp
+        assert got == want
+
+
+def test_apply_merges_col_equals_chained_singles(spark):
+    """One fold pass over a pairwise-disjoint batch == chaining the
+    single-pair folds, on randomized symbol arrays — the equivalence
+    learn_merges_batched and the run-based encode stand on."""
+    import random
+
+    from in_stream_processing_course_spark.operators.bpe import (
+        apply_merges_col,
+    )
+
+    rng = random.Random(41)
+    # disjoint batch over the alphabet {a..f}: ext sets don't overlap
+    batch = [("a", "b"), ("c", "c"), ("d", "e")]
+    rows = [
+        (i, [rng.choice("abcdef") for _ in range(rng.randint(0, 14))])
+        for i in range(300)
     ]
-    assert outs[0] == outs[1] == outs[2]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    got = {
+        r["id"]: tuple(r["syms"])
+        for r in df.select(
+            "id", apply_merges_col(F.col("syms"), batch).alias("syms")
+        ).collect()
+    }
+    chained = F.col("syms")
+    for left, right in batch:
+        chained = apply_merge_col(chained, left, right)
+    want = {
+        r["id"]: tuple(r["syms"])
+        for r in df.select("id", chained.alias("syms")).collect()
+    }
+    assert got == want
+    # and in reversed batch order — disjointness makes order irrelevant
+    chained_rev = F.col("syms")
+    for left, right in reversed(batch):
+        chained_rev = apply_merge_col(chained_rev, left, right)
+    want_rev = {
+        r["id"]: tuple(r["syms"])
+        for r in df.select("id", chained_rev.alias("syms")).collect()
+    }
+    assert got == want_rev
+
+
+def test_disjoint_runs_properties():
+    from in_stream_processing_course_spark.operators.bpe import (
+        disjoint_runs,
+    )
+
+    merges = ["a b", "c d", "ab c", "e f", "g h", "ef g"]
+    runs = disjoint_runs(merges)
+    # order-preserving partition of the input
+    flat = [f"{left} {right}" for run in runs for left, right in run]
+    assert flat == merges
+    # each run pairwise-disjoint on extended symbol sets
+    for run in runs:
+        seen: set[str] = set()
+        for left, right in run:
+            ext = {left, right, left + right}
+            assert not (ext & seen)
+            seen |= ext
+    # the crafted conflicts break exactly where they must:
+    # "ab c" consumes "a b"'s output; "ef g" consumes "e f"'s
+    assert runs == [
+        [("a", "b"), ("c", "d")],
+        [("ab", "c"), ("e", "f"), ("g", "h")],
+        [("ef", "g")],
+    ]
 
 
 def test_word_fertility_matches_reference(spark):
