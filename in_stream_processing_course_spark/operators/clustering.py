@@ -27,7 +27,8 @@ Determinism contract (what lets tests pin the fit bit-for-bit under
 dims left-to-right (identical to the DuckDB oracle's ``list_reduce``),
 per-dim means fold the cluster's values in SORTED order
 (``F.aggregate(F.array_sort(...))``), ties in the argmin break to the
-lowest centroid index (``array_position`` returns the FIRST minimum).
+lowest centroid index (the (dist, index) struct sort is ascending on
+both fields, so the head is the first minimum).
 A pure-Python reference replaying the same folds reproduces the fit
 exactly (tests/test_clustering.py). The DEFAULT update is a plain
 ``avg`` — bounded per-group aggregation state, order-dependent only in
@@ -50,7 +51,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import sqdist_col
 
 # the md5-ordered training-sample bound shared by lloyd_fit's default
 # and the oracle replay in plans/clustering_queries (ADVICE r7: one
@@ -59,16 +59,41 @@ from ..functions.vectors import sqdist_col
 DEFAULT_FIT_SAMPLE = 20_000
 
 
-def _centroid_lit(vec: list[float]) -> Column:
-    """A centroid as an array<double> literal (plan-time constant)."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+def _dlit_sql(x: float) -> str:
+    """One double as exact SQL: repr() is the shortest round-trip
+    decimal and CAST(string AS DOUBLE) is correctly rounded, so the
+    parsed literal is bit-identical to F.lit(float(x)) — and Catalyst
+    constant-folds the cast away before execution."""
+    return f"CAST('{repr(float(x))}' AS DOUBLE)"
 
 
-def distances_col(vec: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of squared Euclidean distances from ``vec`` to
-    each centroid, in centroid order. Each distance is a left-to-right
-    fold over dims (bit-identical to the oracle's list_reduce)."""
-    return F.array(*[sqdist_col(vec, _centroid_lit(c)) for c in centroids])
+def _centroid_sql(vec: list[float]) -> str:
+    """A centroid as an array<double> SQL literal (plan-time
+    constant)."""
+    return "array(" + ",".join(_dlit_sql(x) for x in vec) + ")"
+
+
+def distances_col(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """array<double> of squared Euclidean distances from the vector
+    expression ``vec_sql`` (a SQL snippet, e.g. a backquoted column
+    name) to each centroid, in centroid order. Each distance is a
+    left-to-right fold over dims (bit-identical to the oracle's
+    list_reduce), built as ONE F.expr string: the Column-by-Column
+    form cost k·dim py4j round-trips per call (~1k for k=16, dim=64 —
+    seconds of driver latency per plan build at local scale), the
+    exact construction trap the verify recipe documents. The parsed
+    tree is the same zip_with/aggregate algebra as
+    functions.vectors.sqdist_col, value-identical per element."""
+    dists = ",".join(
+        "aggregate(zip_with({v}, {c}, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))".format(
+            v=vec_sql, c=_centroid_sql(c)
+        )
+        for c in centroids
+    )
+    return F.expr(f"array({dists})")
 
 
 def assign_to_centroids(
@@ -97,7 +122,7 @@ def assign_to_centroids(
     # distance array is referenced ONCE instead of three times (r9
     # perf: each reference was a full re-evaluation of the k
     # interpreted sqdist folds once Catalyst inlined the alias).
-    dists = distances_col(F.col(vec_col), centroids)
+    dists = distances_col(f"`{vec_col}`", centroids)
     idx = F.array(*[F.lit(i) for i in range(len(centroids))])
     best = F.array_sort(
         F.zip_with(dists, idx, lambda d, c: F.struct(d.alias("d"), c.alias("c")))
@@ -261,3 +286,67 @@ def lloyd_fit(
         )
     return centroids
 
+
+def linear_probe_fit(
+    fit: DataFrame,
+    dim: int,
+    n_iters: int,
+    lr: float,
+    y_col: str = "_y",
+    feat_col: str = "_x",
+) -> list[float]:
+    """Distributed full-batch gradient descent for a least-squares
+    LINEAR PROBE (the standard "can a linear map read this signal out
+    of the embeddings?" diagnostic a curation pipeline runs before
+    spending GPU time): ``n_iters`` rounds of
+    w += lr * Xᵀ(y - Xw) / n from w = 0, returning the final weight
+    vector. ``fit`` must already carry a double label column ``y_col``
+    and an array<double> feature column ``feat_col`` of length ``dim``
+    (callers append a bias term themselves) and should be materialized
+    (localCheckpoint) — every round re-scans it.
+
+    Engine-portable by the same contract as ``lloyd_fit`` /
+    the power-iteration replay in plans/similarity_queries.py:
+    per-row residuals are ordered dim folds (zip_with == DuckDB
+    list_transform + list_reduce), every cross-ROW gradient sum is a
+    FIXED-POINT integer sum (round to 1e-9 units → bigint; integer
+    addition is order-invariant with one long of per-(dim) state —
+    never a corpus-sized collect_list buffer), and the driver-side
+    weight update uses only correctly-rounded IEEE ops (Python doubles
+    == DuckDB doubles), so a SQL oracle replays the whole loop
+    bit-for-bit as chained CTEs. Headroom: the bigint gradient cell
+    overflows at ~9.2e18 nano-units ≈ 9.2e9 of summed |residual·x|
+    per dim — residuals are O(1) and unit-normalized features are
+    O(0.1), so that is ~1e11 rows per dim; shard the fit sample (the
+    md5-ordered bound callers already apply) long before that.
+
+    Scale: per round ONE job over the bounded fit set — a scan, a
+    posexplode to (dim, value), a 64-ish-group integer aggregation,
+    and a dim-sized collect; only ``dim`` doubles cross the driver per
+    round, exactly the k·dim contract of ``lloyd_fit``."""
+    n = float(fit.count())
+    if n == 0:
+        raise ValueError("linear_probe_fit: empty fit set")
+    w = [0.0] * dim
+    for _ in range(n_iters):
+        w_lit = F.array(*[F.lit(float(x)) for x in w])
+        resid = F.col(y_col) - F.aggregate(
+            F.zip_with(F.col(feat_col), w_lit, lambda x, v: x * v),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rows = (
+            fit.select(resid.alias("_r"), F.posexplode(feat_col).alias("dim", "v"))
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("_r") * F.col("v") * F.lit(1e9), 0).cast(
+                        "bigint"
+                    )
+                ).alias("gsum")
+            )
+            .collect()
+        )
+        g = {r["dim"]: int(r["gsum"]) for r in rows}
+        w = [w[d] + lr * ((g.get(d, 0) / 1e9) / n) for d in range(dim)]
+    return w

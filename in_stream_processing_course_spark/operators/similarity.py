@@ -426,7 +426,7 @@ def ivf_topk_lloyd(
         norm_col(F.col(vec_col)).alias("_qn"),
         l2_normalize_col(F.col(vec_col)).alias("_nq"),
     )
-    dists = distances_col(F.col("_nq"), centroids)
+    dists = distances_col("`_nq`", centroids)
     idx = F.array(*[F.lit(i) for i in range(len(centroids))])
     probe_cells = p.select(
         "query_id",
@@ -536,7 +536,7 @@ def hard_negatives_topk_ivf(
         norm_col(F.col(vec_col)).alias("_qn"),
         l2_normalize_col(F.col(vec_col)).alias("_nq"),
     )
-    dists = distances_col(F.col("_nq"), centroids)
+    dists = distances_col("`_nq`", centroids)
     idx = F.array(*[F.lit(i) for i in range(len(centroids))])
     probe_cells = p.select(
         "query_id",

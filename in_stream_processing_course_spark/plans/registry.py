@@ -572,6 +572,27 @@ register(
     sq.embedding_hard_negatives_ivf,
     sq.ORACLE_HARD_NEGATIVES_IVF,
 )
+# r9: least-squares linear probe on embeddings — 8 full-batch GD
+# rounds, fixed-point gradient sums, oracle replays every round as
+# chained CTEs (the kmeans-fit / power-iteration pattern); margins
+# profile scores the full corpus with the fitted weights
+register(
+    "embedding_linear_probe_fit",
+    sq.embedding_linear_probe_fit,
+    sq.ORACLE_LINEAR_PROBE_FIT,
+)
+register(
+    "embedding_linear_probe_margins",
+    sq.embedding_linear_probe_margins,
+    sq.ORACLE_LINEAR_PROBE_MARGINS,
+)
+# per-vector gate verdicts (batch twin of streaming/probe_gate.py):
+# selected = raw margin above the fit set's mean prediction
+register(
+    "embedding_probe_gate",
+    sq.embedding_probe_gate,
+    sq.ORACLE_PROBE_GATE,
+)
 register(
     "events_error_rate_daily", ev.events_error_rate_daily, ev.ORACLE_ERROR_RATE
 )

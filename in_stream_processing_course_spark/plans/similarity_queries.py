@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.vectors import l2_normalize_col
 from ..operators.similarity import (
     brute_force_topk,
     bucketed_topk,
@@ -445,14 +446,18 @@ def _pi_fixed(c):
 def _pi_label_arrays(d: dict[int, list[float]]):
     """Driver-held per-label model vectors as one map literal
     (label -> array<double>) — kilobytes at any corpus scale, the same
-    model-state contract as k-means centroid literals."""
-    keys = sorted(d)
-    return F.map_from_arrays(
-        F.array(*[F.lit(int(k)) for k in keys]),
-        F.array(
-            *[F.array(*[F.lit(float(x)) for x in d[k]]) for k in keys]
-        ),
+    model-state contract as k-means centroid literals. Built as ONE
+    F.expr string (r9): the Column-by-Column form cost
+    labels·dim py4j round-trips per ROUND (~640 here), the
+    construction trap distances_col documents; CAST('<repr>' AS
+    DOUBLE) parses bit-identically to F.lit(float(x)) and
+    constant-folds before execution."""
+    from ..operators.clustering import _centroid_sql
+
+    entries = ", ".join(
+        f"{int(k)}, {_centroid_sql(d[k])}" for k in sorted(d)
     )
+    return F.expr(f"map({entries})")
 
 
 def embedding_principal_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,3 +860,322 @@ ORDER BY query_id, rank
 
 
 ORACLE_HARD_NEGATIVES_IVF = _oracle_hard_negatives_ivf()
+
+
+# linear-probe constants: fixed GD rounds (hash parity pins the
+# arithmetic of every round, like _PI_ITERS), lr stable for
+# unit-normalized features (empirically safe up to ~2; 4 diverges),
+# target = label 0 one-vs-rest, bias appended as feature dim 64
+_LP_ITERS = 8
+_LP_LR = 2.0
+_LP_TARGET = 0
+_LP_DIM = _RP_IN_DIMS + 1
+# gradient fixed point: nano-units (residual·feature products are
+# O(0.1); 1e9 keeps 9 significant decimals through the bigint sum)
+_LP_GSCALE = "1000000000.0"
+
+_lp_model_cache: dict[str, tuple[list[float], float]] = {}
+
+
+def _probe_feats_col():
+    """L2-normalized embedding with a trailing 1.0 bias term — the
+    feature map shared bit-for-bit by both probe queries and the
+    oracle replay (normalize folds in element order, like every
+    vector op in functions/vectors.py)."""
+    return F.concat(
+        l2_normalize_col(F.col("embedding")), F.array(F.lit(1.0))
+    )
+
+
+def _margin_col(w: list[float], feat_col):
+    """Ordered dim fold of feats·w — the one margin expression every
+    probe consumer (fit profile, gate, streaming scorer) shares."""
+    from ..operators.clustering import _centroid_sql
+
+    w_lit = F.expr(_centroid_sql(w))
+    return F.aggregate(
+        F.zip_with(feat_col, w_lit, lambda x, v: x * v),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _probe_fit_frame(spark: SparkSession, sf_dir: str):
+    from ..operators.clustering import DEFAULT_FIT_SAMPLE
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("label").isNotNull()
+    )
+    return (
+        emb.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")),
+            F.col("vec_id"),
+        )
+        .limit(DEFAULT_FIT_SAMPLE)
+        .select(
+            F.when(F.col("label") == _LP_TARGET, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("_y"),
+            _probe_feats_col().alias("_x"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _linear_probe_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], float]:
+    """Fit (or reuse) the probe model for one sf_dir — the same
+    session-scoped model-artifact contract as the IVF centroid cache
+    (operators/similarity._ivf_cache): train once, score in every
+    downstream query. Returns (weights, threshold) where the
+    threshold is the fit set's mean prediction (fixed-point
+    micro-unit sum — order-invariant and oracle-replayable), i.e. the
+    gate passes what reads MORE target-like than the training
+    average, the DSIR-style calibration."""
+    key = f"{sf_dir}:{_LP_ITERS}:{_LP_LR}:{_LP_TARGET}"
+    model = _lp_model_cache.get(key)
+    if model is not None:
+        return model
+    from ..operators.clustering import linear_probe_fit
+
+    fit = _probe_fit_frame(spark, sf_dir)
+    w = linear_probe_fit(fit, _LP_DIM, _LP_ITERS, _LP_LR)
+    thr_row = fit.select(
+        (
+            (
+                F.sum(
+                    F.round(
+                        _margin_col(w, F.col("_x")) * F.lit(1e6), 0
+                    ).cast("bigint")
+                )
+                / F.lit(1e6)
+            )
+            / F.count(F.lit(1))
+        ).alias("thr")
+    ).head()
+    model = (w, float(thr_row["thr"]))
+    _lp_model_cache[key] = model
+    return model
+
+
+def _linear_probe_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    return _linear_probe_model(spark, sf_dir)[0]
+
+
+def embedding_linear_probe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares LINEAR PROBE on the embedding column (one-vs-rest
+    for label 0, L2-normalized features + bias), trained with
+    ``operators.clustering.linear_probe_fit`` — 8 full-batch GD rounds
+    over the md5-ordered fit sample — and emitted as the weight vector
+    itself (dim 64 is the bias). The standard "is this signal linearly
+    readable?" diagnostic before spending GPU time on a learned data
+    filter.
+
+    FULLY oracle-backed: the DuckDB oracle replays the whole loop as
+    chained CTEs (one residual projection + one per-dim FIXED-POINT
+    gradient sum + one IEEE weight update per round — the
+    ORACLE_KMEANS_FIT / ORACLE_PRINCIPAL_DIRECTION pattern), so the
+    hash pins every round's arithmetic. Scale: per round one job over
+    the bounded fit sample, 65 integer aggregation groups, 65 doubles
+    to the driver; the weights table below is model-sized output (the
+    persisted-artifact contract of lm_gate / centroid tables)."""
+    w = _linear_probe_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        [(d, float(w[d])) for d in range(_LP_DIM)],
+        "dim int, weight double",
+    ).orderBy("dim")
+
+
+def embedding_linear_probe_margins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Score the FULL corpus with the fitted probe and profile margins
+    per label: the deploy-time read of the probe (a curation gate
+    would threshold this margin; the profile shows the target label's
+    margin mass separating from the rest). Mean margin is a
+    fixed-point micro-unit sum (order-invariant, one long of per-label
+    state — the embedding_kmeans_fit inertia pattern); min/max are
+    exact on bit-identical per-row doubles. Same oracle chain as the
+    fit, applied corpus-wide."""
+    w = _linear_probe_weights(spark, sf_dir)
+    margin = _margin_col(w, _probe_feats_col())
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("label").isNotNull()
+    )
+    mean_fixed = F.sum(
+        F.round(F.col("_m") * F.lit(1e6), 0).cast("bigint")
+    ) / F.lit(1e6)
+    return (
+        emb.select("label", margin.alias("_m"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(mean_fixed / F.count(F.lit(1)), 6).alias("mean_margin"),
+            F.round(F.min("_m"), 6).alias("min_margin"),
+            F.round(F.max("_m"), 6).alias("max_margin"),
+        )
+        .withColumn("is_target", F.col("label") == F.lit(_LP_TARGET))
+        .orderBy("label")
+    )
+
+
+def _lp_rounds_cte() -> str:
+    """Replay the probe fit in SQL: src (normalized features + bias +
+    one-vs-rest y), the md5-ordered fit sample, then per round one
+    residual CTE (ordered dim fold against the previous weight array),
+    one per-dim fixed-point gradient sum, and one IEEE weight update —
+    w{r} tables are model-sized (one 65-element list)."""
+    d = _LP_DIM
+    sq_norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+    )
+    parts = [
+        f"""
+WITH src AS MATERIALIZED (
+  SELECT vec_id, label,
+         CASE WHEN label = {_LP_TARGET} THEN 1.0 ELSE 0.0 END AS y,
+         list_append(list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           (CASE WHEN {sq_norm} > 0 THEN {sq_norm} ELSE 1.0 END)), 1.0) AS f
+  FROM embeddings WHERE label IS NOT NULL
+),
+fit0 AS MATERIALIZED (
+  SELECT y, f FROM src
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {{fs}}
+),
+n0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fit0),
+w0 AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {d}), i -> 0.0) AS wl
+)"""
+    ]
+    for r in range(1, _LP_ITERS + 1):
+        parts.append(
+            f""",
+r{r} AS (
+  SELECT f.y - list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, {d}),
+                          i -> f.f[i] * w.wl[i])),
+           (acc, x) -> acc + x) AS r,
+         f.f
+  FROM fit0 f CROSS JOIN w{r - 1} w
+),
+g{r} AS (
+  SELECT t.i AS i,
+         sum(CAST(round(r.r * r.f[t.i] * {_LP_GSCALE}) AS BIGINT)) AS gsum
+  FROM r{r} r, unnest(generate_series(1, {d})) AS t(i)
+  GROUP BY t.i
+),
+w{r} AS MATERIALIZED (
+  SELECT list(wv ORDER BY i) AS wl FROM (
+    SELECT g.i,
+           w.wl[g.i] + {_LP_LR} * ((CAST(g.gsum AS DOUBLE)
+                                    / {_LP_GSCALE}) / n0.n) AS wv
+    FROM g{r} g CROSS JOIN w{r - 1} w CROSS JOIN n0)
+)"""
+        )
+    return "".join(parts)
+
+
+def _oracle_linear_probe_fit() -> str:
+    from ..operators.clustering import DEFAULT_FIT_SAMPLE
+
+    return (
+        _lp_rounds_cte().format(fs=DEFAULT_FIT_SAMPLE)
+        + f"""
+SELECT CAST(t.i - 1 AS INT) AS dim, w.wl[t.i] AS weight
+FROM w{_LP_ITERS} w, unnest(generate_series(1, {_LP_DIM})) AS t(i)
+ORDER BY dim
+"""
+    )
+
+
+def _oracle_linear_probe_margins() -> str:
+    from ..operators.clustering import DEFAULT_FIT_SAMPLE
+
+    return (
+        _lp_rounds_cte().format(fs=DEFAULT_FIT_SAMPLE)
+        + f""",
+m AS (
+  SELECT s.label,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, {_LP_DIM}),
+                          i -> s.f[i] * w.wl[i])),
+           (acc, x) -> acc + x) AS m
+  FROM src s CROSS JOIN w{_LP_ITERS} w
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round((sum(CAST(round(m * 1000000.0) AS BIGINT)) / 1000000.0)
+             / count(*), 6) AS mean_margin,
+       round(min(m), 6) AS min_margin,
+       round(max(m), 6) AS max_margin,
+       label = {_LP_TARGET} AS is_target
+FROM m GROUP BY label ORDER BY label
+"""
+    )
+
+
+ORACLE_LINEAR_PROBE_FIT = _oracle_linear_probe_fit()
+ORACLE_LINEAR_PROBE_MARGINS = _oracle_linear_probe_margins()
+
+
+def embedding_probe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector probe gate verdicts — the batch twin of
+    ``streaming/probe_gate.py`` (the 7th streaming-curation module):
+    every labeled vector scored with the fitted probe, selected when
+    its raw margin clears the fit set's mean prediction (the
+    DSIR-style "more target-like than the training average"
+    calibration, computed once at fit time and shipped with the
+    weights). Margins are bit-identical per-row doubles, so the
+    6-dp rounding is display-stable and ``selected`` compares the
+    UNROUNDED margin against the bit-identical threshold. Oracle
+    replays fit + threshold + corpus scoring in one chain."""
+    w, thr = _linear_probe_model(spark, sf_dir)
+    margin = _margin_col(w, _probe_feats_col())
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("label").isNotNull()
+    )
+    return (
+        emb.select("vec_id", "label", margin.alias("_m"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("_m"), 6).alias("margin"),
+            (F.col("_m") > F.lit(float(thr))).alias("selected"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_probe_gate() -> str:
+    from ..operators.clustering import DEFAULT_FIT_SAMPLE
+
+    fold = (
+        "list_reduce(list_prepend(0.0,"
+        f" list_transform(generate_series(1, {_LP_DIM}),"
+        " i -> {src}.f[i] * w.wl[i])), (acc, x) -> acc + x)"
+    )
+    return (
+        _lp_rounds_cte().format(fs=DEFAULT_FIT_SAMPLE)
+        + f""",
+fm AS (
+  SELECT {fold.format(src='f')} AS m
+  FROM fit0 f CROSS JOIN w{_LP_ITERS} w
+),
+thr AS (
+  SELECT (sum(CAST(round(m * 1000000.0) AS BIGINT)) / 1000000.0)
+         / count(*) AS t
+  FROM fm
+),
+m AS (
+  SELECT s.vec_id, s.label, {fold.format(src='s')} AS m
+  FROM src s CROSS JOIN w{_LP_ITERS} w
+)
+SELECT vec_id, label, round(m, 6) AS margin, m > thr.t AS selected
+FROM m CROSS JOIN thr ORDER BY vec_id
+"""
+    )
+
+
+ORACLE_PROBE_GATE = _oracle_probe_gate()

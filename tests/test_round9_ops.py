@@ -136,3 +136,90 @@ def test_pareto_approx_tracks_exact_curve(spark):
         assert abs(a["cum_share"] - want) < 0.01, (q, a, want)
         # and the sketch's count stays near the nominal fraction
         assert abs(a["n_customers"] / n - q) < 0.03
+
+
+# --- linear probe (r9): distributed GD vs a pure-Python replay ---------------
+
+
+def _probe_fit_frame(spark, n=400, dim=6, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        x = [rng.uniform(-1, 1) for _ in range(dim - 1)] + [1.0]
+        y = 1.0 if rng.random() < 0.3 else 0.0
+        rows.append((y, x))
+    return spark.createDataFrame(rows, "_y double, _x array<double>")
+
+
+def _python_probe_replay(rows, dim, n_iters, lr):
+    """The exact contract of operators.clustering.linear_probe_fit:
+    per-row residual as a left-to-right dim fold, cross-row gradient
+    as a fixed-point nano-unit integer sum, IEEE weight update."""
+    n = float(len(rows))
+    w = [0.0] * dim
+    for _ in range(n_iters):
+        gsum = [0] * dim
+        for y, x in rows:
+            acc = 0.0
+            for d in range(dim):
+                acc = acc + x[d] * w[d]
+            r = y - acc
+            for d in range(dim):
+                v = r * x[d] * 1e9
+                # round-half-away-from-zero, like F.round/DuckDB round
+                gsum[d] += int(v + 0.5) if v >= 0 else -int(-v + 0.5)
+        w = [w[d] + lr * ((gsum[d] / 1e9) / n) for d in range(dim)]
+    return w
+
+
+def test_linear_probe_fit_matches_python_replay(spark):
+    from in_stream_processing_course_spark.operators.clustering import (
+        linear_probe_fit,
+    )
+
+    df = _probe_fit_frame(spark)
+    rows = [(r["_y"], list(r["_x"])) for r in df.collect()]
+    got = linear_probe_fit(df.localCheckpoint(), 6, 4, 2.0)
+    want = _python_probe_replay(rows, 6, 4, 2.0)
+    assert got == want
+
+
+def test_linear_probe_fit_partitioning_invariant(spark):
+    from in_stream_processing_course_spark.operators.clustering import (
+        linear_probe_fit,
+    )
+
+    df = _probe_fit_frame(spark, seed=12)
+    w1 = linear_probe_fit(df.repartition(1).localCheckpoint(), 6, 3, 2.0)
+    w32 = linear_probe_fit(df.repartition(32).localCheckpoint(), 6, 3, 2.0)
+    # fixed-point gradient sums make the fit bit-identical on ANY
+    # partitioning -- the property that lets the oracle replay it
+    assert w1 == w32
+
+
+def test_linear_probe_margins_separate_target(spark):
+    from in_stream_processing_course_spark.plans.similarity_queries import (
+        embedding_linear_probe_margins,
+    )
+
+    rows = embedding_linear_probe_margins(spark, SF).collect()
+    target = [r for r in rows if r["is_target"]]
+    rest = [r for r in rows if not r["is_target"]]
+    assert len(target) == 1 and rest
+    # the probe learns a real direction: the target label's margin
+    # mass sits strictly above every other label's
+    assert all(
+        target[0]["mean_margin"] > r["mean_margin"] for r in rest
+    )
+
+
+def test_linear_probe_fit_empty_raises(spark):
+    import pytest
+
+    from in_stream_processing_course_spark.operators.clustering import (
+        linear_probe_fit,
+    )
+
+    empty = spark.createDataFrame([], "_y double, _x array<double>")
+    with pytest.raises(ValueError, match="empty fit set"):
+        linear_probe_fit(empty, 6, 2, 2.0)
