@@ -762,3 +762,145 @@ def ivf_topk_on_index(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def lloyd_index_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_iters: int = 5,
+    cache_key: str | None = None,
+    fit_sample: int | None = None,
+) -> list[list[float]]:
+    """The shared Lloyd IVF index fit + session cache — the EXACT
+    key format and arithmetic :func:`ivf_topk_lloyd` and
+    :func:`hard_negatives_topk_ivf` use, factored out (r9) so every
+    IVF consumer (knn, hard negatives, the label-noise audit) shares
+    ONE fit per corpus within a session."""
+    from .clustering import DEFAULT_FIT_SAMPLE, lloyd_fit
+
+    if fit_sample is None:
+        fit_sample = DEFAULT_FIT_SAMPLE
+    full_key = (
+        cache_key
+        and f"lloyd:{cache_key}:{n_lists}:{n_iters}:{fit_sample}"
+    )
+    centroids = _ivf_cache_get(full_key) if full_key else None
+    if centroids is None:
+        normed = corpus.select(
+            id_col, l2_normalize_col(F.col(vec_col)).alias("_nv")
+        )
+        centroids = lloyd_fit(
+            normed,
+            n_lists,
+            n_iters,
+            id_col=id_col,
+            vec_col="_nv",
+            exact_fold=True,
+            fit_sample=fit_sample,
+        )
+        if full_key:
+            _ivf_cache_put(full_key, centroids)
+    return centroids
+
+
+def label_noise_same_cell(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_lists: int = 16,
+    n_iters: int = 5,
+    cache_key: str | None = None,
+    fit_sample: int | None = None,
+) -> DataFrame:
+    """Label-noise audit (confident-learning style): for every labeled
+    vector, find its nearest SAME-CELL neighbor under the shared Lloyd
+    IVF index and report, per label, how often that neighbor carries
+    the same label. Labels whose members' nearest semantic neighbors
+    disagree are where annotation noise (or genuinely mixed classes)
+    concentrates — the standard pre-training triage before trusting a
+    label column for filtering or supervised curation.
+
+    Scale shape: the ONLY join is the cell self-equi-join — the
+    SemDeDup block discipline, bounded by cell population (grow
+    n_lists to keep cells bounded as the corpus grows), never
+    all-pairs. 1-NN per vector is an order-invariant struct max
+    ((cosine desc, neighbor_id asc) — the 6-dp rounded cosine is
+    bit-identical across engines, so ties break identically), one
+    struct of per-group state. Vectors alone in their cell have no
+    candidate and drop out (the oracle's inner join does the same).
+    Approximate exactly the way knn_ivf is: the true nearest neighbor
+    may live in an unprobed (here: different) cell."""
+    centroids = lloyd_index_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        n_iters=n_iters,
+        cache_key=cache_key,
+        fit_sample=fit_sample,
+    )
+    from .clustering import assign_to_centroids
+
+    labeled = corpus.where(F.col(label_col).isNotNull()).select(
+        id_col,
+        vec_col,
+        label_col,
+        l2_normalize_col(F.col(vec_col)).alias("_nv"),
+    )
+    cells = assign_to_centroids(
+        labeled, centroids, vec_col="_nv", cluster_col="_cell", dist_col=None
+    ).select(
+        id_col, vec_col, label_col, norm_col(F.col(vec_col)).alias("_n"), "_cell"
+    )
+    a = cells.select(
+        F.col(id_col).alias("a_id"),
+        F.col(label_col).alias("a_label"),
+        F.col(vec_col).alias("_a"),
+        F.col("_n").alias("_an"),
+        "_cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("b_id"),
+        F.col(label_col).alias("b_label"),
+        F.col(vec_col).alias("_b"),
+        F.col("_n").alias("_bn"),
+        "_cell",
+    )
+    pairs = a.join(b, "_cell").where(F.col("a_id") != F.col("b_id"))
+    cos = F.round(
+        dot_col(F.col("_a"), F.col("_b")) / (F.col("_an") * F.col("_bn")), 6
+    )
+    best = (
+        pairs.select(
+            "a_id",
+            "a_label",
+            F.struct(
+                cos.alias("c"),
+                (-F.col("b_id")).alias("nb"),
+                F.col("b_label").alias("bl"),
+            ).alias("_cand"),
+        )
+        .groupBy("a_id", "a_label")
+        .agg(F.max("_cand").alias("_nn"))
+    )
+    return (
+        best.groupBy(F.col("a_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                (F.col("_nn.bl") == F.col("a_label")).cast("long")
+            ).alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_agree",
+            F.round(
+                F.col("n_agree") / F.col("n_vectors").cast("double"), 6
+            ).alias("agreement_rate"),
+        )
+        .orderBy("label")
+    )

@@ -593,6 +593,13 @@ register(
     sq.embedding_probe_gate,
     sq.ORACLE_PROBE_GATE,
 )
+# r9: label-noise audit — per-label 1-NN agreement within Lloyd IVF
+# cells (cell-bounded self-join, shared index cache with knn_ivf)
+register(
+    "embedding_label_noise_knn",
+    sq.embedding_label_noise_knn,
+    sq.ORACLE_LABEL_NOISE,
+)
 register(
     "events_error_rate_daily", ev.events_error_rate_daily, ev.ORACLE_ERROR_RATE
 )

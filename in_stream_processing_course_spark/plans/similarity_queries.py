@@ -1179,3 +1179,83 @@ FROM m CROSS JOIN thr ORDER BY vec_id
 
 
 ORACLE_PROBE_GATE = _oracle_probe_gate()
+
+
+def embedding_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label 1-NN agreement within Lloyd IVF cells — the label-
+    noise triage of ``operators.similarity.label_noise_same_cell``,
+    on the SAME session-cached index as knn_ivf / the IVF hard
+    negatives (one fit per corpus serves all three). Fully
+    oracle-backed: the chain replays the normalized fit, the
+    full-corpus cell assignment, the cell-bounded self-join, the
+    (cosine desc, neighbor asc) 1-NN pick, and the per-label
+    agreement counts."""
+    from ..operators.similarity import label_noise_same_cell
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_noise_same_cell(
+        emb,
+        n_lists=_IVF_LISTS,
+        n_iters=_IVF_ITERS,
+        cache_key=f"{sf_dir}/embeddings",
+    )
+
+
+def _oracle_label_noise() -> str:
+    from .clustering_queries import _SQL_SQDIST, _kmeans_rounds_cte
+    from ..operators.clustering import DEFAULT_FIT_SAMPLE
+
+    sq_norm = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+    )
+    dist_corpus = _SQL_SQDIST.format(a="n.embedding", b="c.cv")
+    return f"""
+WITH normed AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           (CASE WHEN {sq_norm} > 0 THEN {sq_norm} ELSE 1.0 END))
+           AS embedding
+  FROM embeddings
+){_kmeans_rounds_cte(
+        src="normed",
+        k=_IVF_LISTS,
+        n_iters=_IVF_ITERS,
+        fit_sample=DEFAULT_FIT_SAMPLE,
+        lead=",",
+    )},
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cidx AS cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {dist_corpus} ASC, c.cidx ASC) AS rn
+    FROM normed n CROSS JOIN centv{_IVF_ITERS} c)
+  WHERE rn = 1
+),
+labeled AS (
+  SELECT e.vec_id, e.label, e.embedding, ce.cell
+  FROM embeddings e JOIN cells ce USING (vec_id)
+  WHERE e.label IS NOT NULL
+),
+nn AS (
+  SELECT a_id, a_label, b_label FROM (
+    SELECT a.vec_id AS a_id, a.label AS a_label, b.label AS b_label,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_sql_cosine('a.embedding', 'b.embedding')} DESC,
+                      b.vec_id ASC) AS rn
+    FROM labeled a JOIN labeled b
+      ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+  WHERE rn = 1
+)
+SELECT a_label AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       round(sum(CASE WHEN b_label = a_label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS agreement_rate
+FROM nn GROUP BY a_label ORDER BY label
+"""
+
+
+ORACLE_LABEL_NOISE = _oracle_label_noise()

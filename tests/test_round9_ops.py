@@ -223,3 +223,54 @@ def test_linear_probe_fit_empty_raises(spark):
     empty = spark.createDataFrame([], "_y double, _x array<double>")
     with pytest.raises(ValueError, match="empty fit set"):
         linear_probe_fit(empty, 6, 2, 2.0)
+
+
+# --- label-noise audit (r9): same-cell 1-NN agreement -----------------------
+
+
+def test_label_noise_audit_structure_and_verdict(spark):
+    """The audit reports every label with sane counts — and on THIS
+    synthetic corpus it must correctly flag chance-level coherence:
+    exact brute-force 1-NN label agreement is 0.096 (10 labels,
+    measured offline), i.e. the label column is NOT semantically
+    clustered, and the cell-restricted audit has to say so rather
+    than hallucinate structure. A corpus with genuinely clustered
+    labels would score near 1.0 (pinned by the synthetic case below)."""
+    from in_stream_processing_course_spark.plans.similarity_queries import (
+        embedding_label_noise_knn,
+    )
+
+    rows = embedding_label_noise_knn(spark, SF).collect()
+    assert [r["label"] for r in rows] == sorted(r["label"] for r in rows)
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_agree"] <= r["n_vectors"]
+        assert abs(r["agreement_rate"] - round(r["n_agree"] / r["n_vectors"], 6)) < 1e-9
+    overall = sum(r["n_agree"] for r in rows) / sum(r["n_vectors"] for r in rows)
+    assert overall < 0.3  # chance-level: the audit detects the noise
+
+
+def test_label_noise_audit_detects_clean_labels(spark):
+    """Sanity twin: on a corpus whose labels ARE tight cosine clusters
+    the same operator reports near-perfect agreement — so the
+    chance-level verdict above is the data's property, not the
+    operator's."""
+    import random
+
+    from in_stream_processing_course_spark.operators.similarity import (
+        label_noise_same_cell,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(300):
+        lab = i % 3
+        center = [0.0] * 8
+        center[lab] = 1.0
+        vec = [c + rng.uniform(-0.05, 0.05) for c in center]
+        rows.append((i, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = label_noise_same_cell(df, n_lists=4, n_iters=3).collect()
+    assert sum(r["n_agree"] for r in out) / sum(r["n_vectors"] for r in out) > 0.95
