@@ -63,8 +63,22 @@ def _dlit_sql(x: float) -> str:
     """One double as exact SQL: repr() is the shortest round-trip
     decimal and CAST(string AS DOUBLE) is correctly rounded, so the
     parsed literal is bit-identical to F.lit(float(x)) — and Catalyst
-    constant-folds the cast away before execution."""
-    return f"CAST('{repr(float(x))}' AS DOUBLE)"
+    constant-folds the cast away before execution.
+
+    Non-finite values are rejected loudly (ADVICE r9): repr() yields
+    'inf'/'nan', which Spark's string→double cast does NOT parse (it
+    wants 'Infinity'/'NaN'), so a diverged fit (e.g. a too-hot
+    linear-probe lr) would otherwise surface as an obscure ANSI cast
+    error at plan build — or a silent NULL non-ANSI — far from the
+    actual bug."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(
+            f"_dlit_sql: non-finite model value {v!r} — the fit "
+            "diverged or a centroid degenerated; refusing to inline "
+            "it as a plan literal"
+        )
+    return f"CAST('{repr(v)}' AS DOUBLE)"
 
 
 def _centroid_sql(vec: list[float]) -> str:
@@ -107,7 +121,13 @@ def assign_to_centroids(
     index) and optionally the squared distance to it. Pure projection:
     works identically on a batch frame and under ``readStream`` (the
     deploy-time routing path — e.g. sharding arriving documents by
-    semantic cluster)."""
+    semantic cluster).
+
+    ``vec_col`` must name a TOP-LEVEL column (it is backtick-quoted
+    into the distance SQL, so dotted strings are one literal
+    identifier, not a nested-field path — ADVICE r9: the pre-r9
+    ``F.col`` form resolved those; this documents the change).
+    Backticks inside the name are escaped, not a parse break."""
     # internal scratch column — a caller column with this name would be
     # silently clobbered and dropped (same guard as sketches._RESERVED)
     if "_best" in df.columns:
@@ -122,7 +142,7 @@ def assign_to_centroids(
     # distance array is referenced ONCE instead of three times (r9
     # perf: each reference was a full re-evaluation of the k
     # interpreted sqdist folds once Catalyst inlined the alias).
-    dists = distances_col(f"`{vec_col}`", centroids)
+    dists = distances_col("`" + vec_col.replace("`", "``") + "`", centroids)
     idx = F.array(*[F.lit(i) for i in range(len(centroids))])
     best = F.array_sort(
         F.zip_with(dists, idx, lambda d, c: F.struct(d.alias("d"), c.alias("c")))

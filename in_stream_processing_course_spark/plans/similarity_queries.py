@@ -204,6 +204,13 @@ FROM per_dim GROUP BY label ORDER BY label
 """
 
 
+# FIXED index constants for the registered queries — right-sized for
+# the test SFs and pinned for hash stability. A deployment derives the
+# cell count from the corpus instead:
+# operators.similarity.n_lists_for_corpus(corpus.count()) — √n-flavored
+# with a rows-per-cell cap so the same-cell quadratic blocks
+# (label_noise_same_cell, SemDeDup) stay bounded at 100×; the policy
+# arithmetic is pinned by tests/test_similarity.py on synthetic sizes
 _IVF_LISTS = 16
 _IVF_PROBE = 4
 _IVF_ITERS = 5
@@ -454,6 +461,14 @@ def _pi_label_arrays(d: dict[int, list[float]]):
     constant-folds before execution."""
     from ..operators.clustering import _centroid_sql
 
+    if not d:
+        # ADVICE r9: a zero-arg map() types as map<string,string>, so
+        # downstream int-keyed element_at fails analysis with a
+        # confusing type error far from the real cause (no labels)
+        raise ValueError(
+            "_pi_label_arrays: empty per-label model dict — the fit "
+            "produced no labels (empty/unlabeled input?)"
+        )
     entries = ", ".join(
         f"{int(k)}, {_centroid_sql(d[k])}" for k in sorted(d)
     )

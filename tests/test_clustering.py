@@ -193,6 +193,50 @@ def test_assign_ties_break_to_lowest_centroid_index(spark):
     assert out["cluster"] == 0 and out["dist2"] == 0.25
 
 
+def test_assign_escapes_backticks_in_vec_col(spark):
+    """ADVICE r9: a backtick in the vector column name must be
+    escaped into the distance SQL, not break the parse."""
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.0])], "id long, `e``mb` array<float>"
+    )
+    out = assign_to_centroids(
+        df, [[0.0, 0.0], [1.0, 0.0]], vec_col="e`mb"
+    ).head()
+    assert out["cluster"] == 0
+
+
+def test_dlit_sql_rejects_non_finite_model_values():
+    """ADVICE r9: repr(inf/nan) is not Spark-parsable as a double —
+    fail at literal-build time with a diverged-fit message instead of
+    an obscure ANSI cast error deep in the plan."""
+    import math
+
+    import pytest
+
+    from in_stream_processing_course_spark.operators.clustering import (
+        _dlit_sql,
+    )
+
+    assert "0.1" in _dlit_sql(0.1)
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _dlit_sql(bad)
+    assert math.isfinite(float(_dlit_sql(1e308).split("'")[1]))
+
+
+def test_pi_label_arrays_rejects_empty_model():
+    """ADVICE r9: a zero-arg map() literal types as
+    map<string,string>; fail loud with the real cause instead."""
+    import pytest
+
+    from in_stream_processing_course_spark.plans.similarity_queries import (
+        _pi_label_arrays,
+    )
+
+    with pytest.raises(ValueError, match="empty per-label model"):
+        _pi_label_arrays({})
+
+
 def test_assign_covers_all_vectors_and_all_seeds_self_assign(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     centroids = seed_centroids(emb, K)
