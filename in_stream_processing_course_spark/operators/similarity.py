@@ -53,6 +53,62 @@ def _ivf_cache_put(key: str, model: object) -> None:
     _IVF_INDEX_CACHE[key] = model
 
 
+# deployment default for n_lists_for_corpus: bounds the quadratic
+# same-cell work (label_noise_same_cell, SemDeDup blocks) to
+# ~cap² ≈ 67M pair evaluations per cell — minutes of one executor
+# core, small enough to never be the straggler
+DEFAULT_MAX_ROWS_PER_CELL = 8192
+
+
+def n_lists_for_corpus(
+    n_rows: int,
+    max_rows_per_cell: int = DEFAULT_MAX_ROWS_PER_CELL,
+    floor: int = 16,
+) -> int:
+    """The IVF cell-count POLICY (VERDICT r9 next-round #2): how many
+    k-means cells an IVF-family index should use for a corpus of
+    ``n_rows`` vectors, so the registered ``n_lists=16`` constant —
+    right at test SFs — does not silently ride into a 100× deployment.
+
+    Two pressures, take the max:
+
+    - **√n (recall/speed balance, the classic IVF heuristic)**: probe
+      cost per query is ~n_probe·(n/n_lists) candidate reranks plus an
+      n_lists-sized centroid scan; n_lists = √n balances the two, so
+      per-query work grows as √n instead of n.
+    - **n / max_rows_per_cell (quadratic-block safety)**: the
+      same-cell SELF-joins (:func:`label_noise_same_cell`, the
+      SemDeDup blocks) do (cell population)² work per cell; capping
+      population at ``max_rows_per_cell`` caps total pair work at
+      n·max_rows_per_cell — linear in the corpus — instead of
+      (n/n_lists)²·n_lists, which with a FIXED n_lists grows
+      quadratically.
+
+    Clamped to [floor, n_rows] (floor keeps tiny corpora from
+    degenerating to 1-2 cells, where "same cell" stops meaning "near";
+    an index never needs more cells than vectors). Deterministic pure
+    arithmetic — callers at test SFs keep passing the registered
+    constants (hash stability), deployments derive::
+
+        n_lists = n_lists_for_corpus(corpus.count())
+
+    At 1e9 rows → 122,071 cells (the cap pressure dominates past
+    n = max_rows_per_cell², i.e. ~67M rows); at 60k rows (sf0.1) →
+    244 (√n); at 6k (sf0.01) → 77."""
+    import math
+
+    if n_rows <= 0:
+        raise ValueError(
+            f"n_lists_for_corpus: corpus row count must be positive, "
+            f"got {n_rows}"
+        )
+    if max_rows_per_cell <= 0 or floor <= 0:
+        raise ValueError("max_rows_per_cell and floor must be positive")
+    by_sqrt = math.isqrt(n_rows)
+    by_cap = -(-n_rows // max_rows_per_cell)  # ceil div
+    return max(1, min(n_rows, max(floor, by_sqrt, by_cap)))
+
+
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -824,9 +880,12 @@ def label_noise_same_cell(
     label column for filtering or supervised curation.
 
     Scale shape: the ONLY join is the cell self-equi-join — the
-    SemDeDup block discipline, bounded by cell population (grow
-    n_lists to keep cells bounded as the corpus grows), never
-    all-pairs. 1-NN per vector is an order-invariant struct max
+    SemDeDup block discipline, bounded by cell population. Cell
+    population is a POLICY, not prose: deployments size
+    ``n_lists = n_lists_for_corpus(corpus.count())`` (which caps
+    rows-per-cell so this join's per-cell pair work stays bounded as
+    the corpus grows); the registered queries keep the fixed test-SF
+    constant for hash stability. Never all-pairs. 1-NN per vector is an order-invariant struct max
     ((cosine desc, neighbor_id asc) — the 6-dp rounded cosine is
     bit-identical across engines, so ties break identically), one
     struct of per-group state. Vectors alone in their cell have no

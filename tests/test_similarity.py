@@ -14,6 +14,42 @@ from in_stream_processing_course_spark.operators.similarity import (
 from in_stream_processing_course_spark.sources.batch import load_table
 
 
+def test_n_lists_policy_scales_with_corpus():
+    """VERDICT r9 next-round #2: the cell-count policy, pinned on
+    synthetic sizes (the registered queries keep n_lists=16 — hashes
+    must not change — so the policy is tested here, not by
+    re-registering)."""
+    from in_stream_processing_course_spark.operators.similarity import (
+        DEFAULT_MAX_ROWS_PER_CELL,
+        n_lists_for_corpus,
+    )
+
+    # tiny corpora: the floor wins (cells must still mean "near")
+    assert n_lists_for_corpus(10) == 10  # never more cells than rows
+    assert n_lists_for_corpus(100) == 16
+    # test-SF territory: √n regime
+    assert n_lists_for_corpus(6_000) == 77
+    assert n_lists_for_corpus(60_000) == 244
+    # past max_rows_per_cell² the quadratic-block cap dominates:
+    # rows-per-cell stays bounded, so same-cell self-join work is
+    # linear in the corpus, not quadratic
+    for n in (10**8, 10**9, 10**10):
+        lists = n_lists_for_corpus(n)
+        assert n / lists <= DEFAULT_MAX_ROWS_PER_CELL
+        assert lists >= n // DEFAULT_MAX_ROWS_PER_CELL
+    # monotone in corpus size (no cliff where a bigger corpus gets a
+    # smaller index)
+    sizes = [10, 10**2, 10**4, 10**6, 10**8, 10**10]
+    got = [n_lists_for_corpus(n) for n in sizes]
+    assert got == sorted(got)
+    # custom cap is honored
+    assert n_lists_for_corpus(10**6, max_rows_per_cell=100) == 10_000
+    with pytest.raises(ValueError):
+        n_lists_for_corpus(0)
+    with pytest.raises(ValueError):
+        n_lists_for_corpus(10, max_rows_per_cell=0)
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 8)
