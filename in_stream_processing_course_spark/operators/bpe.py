@@ -278,13 +278,17 @@ def learn_merges(
     n_merges: int,
     text_col: str = "text",
     vocab: DataFrame | None = None,
+    progress=None,
 ) -> list[tuple[int, str, int]]:
     """The BPE training loop: returns [(merge_rank, "left right",
     n_occurrences), ...] — driver-sized model state (like the
     persisted LM of streaming/lm_gate.py). Stops early if the
     vocabulary runs out of adjacent pairs. Pass a prebuilt
     :func:`corpus_vocab` to share its single corpus scan with the
-    encode that follows."""
+    encode that follows. ``progress`` (optional ``merge_count -> None``
+    callable) fires after each learned merge — the wall-clock
+    instrumentation hook tools/bpe_zipf_bench.py uses; it must not
+    touch the DataFrame."""
     if vocab is None:
         vocab = corpus_vocab(docs, text_col)
     vocab = vocab.select("syms", "freq")
@@ -305,6 +309,8 @@ def learn_merges(
             apply_merge_col(F.col("syms"), left, right).alias("syms"),
             "freq",
         ).localCheckpoint()
+        if progress is not None:
+            progress(len(merges))
     return merges
 
 
@@ -316,6 +322,7 @@ def learn_merges_batched(
     vocab: DataFrame | None = None,
     max_batch: int = 8,
     scout: int = 32,
+    progress=None,
 ) -> list[tuple[int, str, int]]:
     """BPE training with PROVABLY-EQUAL batched rounds (VERDICT r6 #2
     / r7 next-round #3): returns byte-identical output to
@@ -447,4 +454,6 @@ def learn_merges_batched(
         ).localCheckpoint()
         for pair, n in selected:
             merges.append((len(merges), pair, n))
+        if progress is not None:
+            progress(len(merges))
     return merges

@@ -34,6 +34,7 @@ estimate.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -260,3 +261,91 @@ def cm_estimate(
             )
         )
     )
+
+
+# --- DD-style log-bucket quantile sketch ------------------------------------
+#
+# The third sketch family: mergeable QUANTILES with bounded relative
+# error (the DDSketch construction, Masson et al., VLDB'19 — public
+# algorithm). A positive value v lands in bucket ceil(log_gamma(v));
+# gamma = (1+alpha)/(1-alpha) guarantees every value in a bucket is
+# within relative error alpha of the bucket's representative
+# 2·gamma^i/(gamma+1). The sketch is a (bucket, count) histogram:
+# counts ADD under merge (map-side combinable, micro-batch mergeable),
+# state is bounded by the value RANGE, not the row count — values
+# spanning 1e-6..1e12 at alpha=1% occupy ~2,100 buckets — so a global
+# no-watermark streaming aggregation over it is bounded by
+# construction, the cm_sketch contract. Engine-portable: the bucket
+# rule is ln/ceil arithmetic any SQL engine replays.
+
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+# non-positive values cannot be log-bucketed; they count under one
+# sentinel bucket whose representative is 0.0 (sorted before every
+# real bucket: gamma^i > 0 for all i)
+DD_ZERO_BUCKET = -(2**31)
+
+
+def dd_bucket_col(value, gamma: float = DD_GAMMA):
+    """Bucket index for one value: ceil(ln(v)/ln(gamma)) for v > 0,
+    the sentinel for v <= 0 (NULLs are excluded by the build, the
+    cm_sketch convention)."""
+    v = value.cast("double")
+    return (
+        F.when(v > 0, F.ceil(F.log(v) / F.lit(math.log(gamma))))
+        .otherwise(F.lit(DD_ZERO_BUCKET))
+        .cast("long")
+    )
+
+
+def dd_histogram(
+    df: DataFrame, col: str, gamma: float = DD_GAMMA
+) -> DataFrame:
+    """Build the (bucket, c) histogram over a numeric column: ONE scan
+    with map-side partial aggregation; only the ~range/log(gamma)
+    bucket rows ever shuffle. Identical expression on batch and
+    streaming frames (what the stream==batch test pins)."""
+    return (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .select(dd_bucket_col(F.col(col), gamma).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dd_bucket_value(bucket: int, gamma: float = DD_GAMMA) -> float:
+    """A bucket's representative value (within alpha of every member)."""
+    if bucket == DD_ZERO_BUCKET:
+        return 0.0
+    return 2.0 * gamma**bucket / (gamma + 1.0)
+
+
+def dd_quantiles(
+    hist: list[tuple[int, int]], qs: list[float], gamma: float = DD_GAMMA
+) -> list[float]:
+    """Quantile estimates from a collected (bucket, count) histogram —
+    model-sized driver arithmetic (the histogram is ~2k rows at ANY
+    corpus size; collecting it is the centroid-table contract, never a
+    corpus collect). For q, walk buckets ascending until the
+    cumulative count exceeds q·(n-1); the bucket representative is
+    within relative error alpha of the true q-quantile for q-quantiles
+    that are positive values."""
+    rows = sorted(hist)
+    n = sum(c for _, c in rows)
+    if n == 0:
+        raise ValueError("dd_quantiles: empty histogram")
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        rank = q * (n - 1)
+        cum = 0
+        val = dd_bucket_value(rows[-1][0], gamma)
+        for b, c in rows:
+            cum += c
+            if cum > rank:
+                val = dd_bucket_value(b, gamma)
+                break
+        out.append(val)
+    return out

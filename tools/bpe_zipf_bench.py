@@ -10,9 +10,13 @@ shape with the registered ``corpus_vocab_growth`` machinery, and
 measures ``learn_merges`` (sequential) vs ``learn_merges_batched`` at
 n_merges in {500, 2000}, asserting byte-identical output.
 
-Usage: python tools/bpe_zipf_bench.py [n_docs] [tokens_per_doc]
-Writes nothing outside /tmp; commit the printed numbers into
-operators/bpe.py's docstring and the round evidence.
+Usage: python tools/bpe_zipf_bench.py [n_docs] [tokens_per_doc] [budgets]
+where budgets is a comma list of n_merges values (default "500,2000").
+Per-1000-merge milestone walls are printed for every budget (VERDICT
+r9 next-round #4: pull the 30k extrapolation within one order of
+magnitude of measurement). Writes nothing outside /tmp; commit the
+printed numbers into operators/bpe.py's docstring and the round
+evidence.
 """
 
 from __future__ import annotations
@@ -83,12 +87,34 @@ def main() -> int:
         f"heaps check: {n_types} observed types over {total_tokens} tokens "
         f"(type/token {n_types / total_tokens:.4f})"
     )
-    for n in (500, 2000):
+    budgets = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [500, 2000]
+    )
+
+    def milestone_hook(tag, t_start):
+        seen = {"next": 1000}
+
+        def hook(count):
+            if count >= seen["next"]:
+                print(
+                    f"  [{tag}] {count} merges at "
+                    f"{time.perf_counter() - t_start:.1f}s",
+                    flush=True,
+                )
+                seen["next"] = (count // 1000 + 1) * 1000
+
+        return hook
+
+    for n in budgets:
         t = time.perf_counter()
-        seq = learn_merges(docs, n, vocab=vocab)
+        seq = learn_merges(docs, n, vocab=vocab, progress=milestone_hook("seq", t))
         t_seq = time.perf_counter() - t
         t = time.perf_counter()
-        bat = learn_merges_batched(docs, n, vocab=vocab)
+        bat = learn_merges_batched(
+            docs, n, vocab=vocab, progress=milestone_hook("bat", t)
+        )
         t_bat = time.perf_counter() - t
         assert seq == bat, f"batched != sequential at n_merges={n}"
         # batch-size profile: rounds = scout jobs; infer from timings
