@@ -465,6 +465,141 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def event_value_percentiles_dd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90/p99 per event type from the DD-style log-bucket
+    histogram (operators/sketches.dd_histogram's bucket rule) — the
+    HASH-BACKED approx-percentile (r10): unlike ``percentile_approx``
+    (KLL internals are engine-private, rows-only forever), the DD
+    bucket is ln/ceil arithmetic both engines evaluate identically, so
+    the DuckDB oracle replays the sketch bit-for-bit — build, bucket
+    walk, and representative-value arithmetic. Each answer is within
+    relative error alpha=1% of the true order statistic at the
+    sketch's rank convention (cum > q·(n-1)); the exact query above
+    uses rank = ceil(q·n), one position away, so the two agree to
+    alpha PLUS one order-statistic gap (pinned in
+    tests/test_sketches.py).
+
+    Scale shape: ONE (type, bucket) map-side-combined aggregation —
+    bounded at |types| x ~2k buckets — then windows/aggregates over
+    that bounded table only; no per-group sort of the corpus (the
+    exact query's cost), no KLL buffer. The streaming twin
+    (streaming/percentiles.py) maintains the same histogram
+    continuously. Engine-portability detail: the bucket divides by the
+    PRECOMPUTED log(gamma) literal (one Python double both engines
+    parse), so the only cross-engine float op is ln(value); the
+    representative 2·gamma^b/(gamma+1) rounds to 6 dp on both sides."""
+    import math as _m
+
+    from pyspark.sql import Window
+
+    from ..operators.sketches import DD_GAMMA, DD_ZERO_BUCKET
+
+    lg = repr(_m.log(DD_GAMMA))
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN value > 0 THEN"
+                f" CAST(ceil(ln(value) / {lg}) AS BIGINT)"
+                f" ELSE CAST({DD_ZERO_BUCKET} AS BIGINT) END"
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def bucket_at(p: float):
+        return F.min(
+            F.when(
+                F.col("cum") > F.lit(p) * (F.col("n") - 1), F.col("bucket")
+            )
+        )
+
+    def est(b):
+        return F.when(
+            b == F.lit(DD_ZERO_BUCKET), F.lit(0.0)
+        ).otherwise(
+            F.round(
+                F.lit(2.0)
+                * F.pow(F.lit(DD_GAMMA), b)
+                / F.lit(DD_GAMMA + 1.0),
+                6,
+            )
+        )
+
+    sel = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        bucket_at(0.5).alias("_b50"),
+        bucket_at(0.9).alias("_b90"),
+        bucket_at(0.99).alias("_b99"),
+    )
+    return sel.select(
+        "event_type",
+        "n_events",
+        est(F.col("_b50")).alias("p50"),
+        est(F.col("_b90")).alias("p90"),
+        est(F.col("_b99")).alias("p99"),
+    ).orderBy("event_type")
+
+
+def _oracle_percentiles_dd() -> str:
+    import math as _m
+
+    from ..operators.sketches import DD_GAMMA, DD_ZERO_BUCKET
+
+    lg = repr(_m.log(DD_GAMMA))
+    g = repr(DD_GAMMA)
+    g1 = repr(DD_GAMMA + 1.0)
+
+    def est(b: str) -> str:
+        return (
+            f"CASE WHEN {b} = {DD_ZERO_BUCKET} THEN 0.0"
+            f" ELSE round(2.0 * pow({g}, {b}) / {g1}, 6) END"
+        )
+
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CASE WHEN value > 0
+              THEN CAST(ceil(ln(value) / {lg}) AS BIGINT)
+              ELSE CAST({DD_ZERO_BUCKET} AS BIGINT) END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+sel AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n_events,
+         MIN(CASE WHEN cum > 0.5 * (n - 1) THEN bucket END) AS b50,
+         MIN(CASE WHEN cum > 0.9 * (n - 1) THEN bucket END) AS b90,
+         MIN(CASE WHEN cum > 0.99 * (n - 1) THEN bucket END) AS b99
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n_events,
+       {est('b50')} AS p50,
+       {est('b90')} AS p90,
+       {est('b99')} AS p99
+FROM sel ORDER BY event_type
+"""
+
+
 ORACLE_PERCENTILES = """
 WITH ranked AS (
   SELECT event_type, value,

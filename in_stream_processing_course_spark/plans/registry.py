@@ -371,6 +371,11 @@ register(
     pq.event_value_percentiles,
     pq.ORACLE_PERCENTILES,
 )
+register(
+    "event_value_percentiles_dd",
+    pq.event_value_percentiles_dd,
+    pq._oracle_percentiles_dd(),
+)
 
 # --- time-series / product analytics over events (semi-structured
 # extraction, gap fill, cohorts, anomaly flags, interval sweep-line)
@@ -542,6 +547,13 @@ register(
 )
 register(
     "customer_pareto_curve", rel.customer_pareto_curve, rel.ORACLE_PARETO
+)
+# the DD-histogram grid twin IS oracle-replayable (log-bucket rule is
+# portable arithmetic, unlike percentile_approx's KLL internals)
+register(
+    "customer_pareto_curve_dd",
+    rel.customer_pareto_curve_dd,
+    rel._oracle_pareto_dd(),
 )
 # rows-only by design: sketch thresholds are engine-specific; the
 # exact two-phase curve above bounds it (the 100 TB curve default)

@@ -2305,6 +2305,155 @@ def customer_pareto_curve_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, schema).orderBy("top_frac")
 
 
+def customer_pareto_curve_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto grid served from the DD-style log-bucket histogram —
+    the HASH-BACKED approx twin (r10): ``customer_pareto_curve_approx``
+    stays rows-only because ``approx_percentile``'s KLL internals are
+    engine-private, but the DD bucket rule (ln/ceil against a
+    precomputed log-gamma literal) and the representative-value
+    arithmetic are portable, so the DuckDB oracle replays this sketch
+    END-TO-END: per-customer rollup → histogram → cumulative walk →
+    per-grid-point threshold, revenue share, and customer count. Every
+    answer is within relative error alpha of the sketch-rank truth
+    (thresholds) / ~2·alpha (value-mass shares); the exact two-phase
+    ``customer_pareto_curve`` remains the anchor.
+
+    Scale shape: one corpus-sized per-customer aggregation, one
+    bounded (bucket) aggregation, then ALL remaining work on the
+    ~range/log(gamma)-row histogram: the partition-less cumulative
+    window and the 99-point grid cross are bucket-bounded, never
+    corpus functions (adjudicated in tests/test_plans.py). The
+    streaming twin (streaming/percentiles.py) maintains the same
+    histogram continuously and serves the same grid."""
+    import math as _m
+
+    from ..operators.sketches import DD_GAMMA, DD_ZERO_BUCKET
+
+    lg = repr(_m.log(DD_GAMMA))
+    g, g1 = repr(DD_GAMMA), repr(DD_GAMMA + 1.0)
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    hist = (
+        per_cust.select(
+            F.expr(
+                "CASE WHEN spend > 0 THEN"
+                f" CAST(ceil(ln(spend) / {lg}) AS BIGINT)"
+                f" ELSE CAST({DD_ZERO_BUCKET} AS BIGINT) END"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep_sql = (
+        f"CASE WHEN bucket = {DD_ZERO_BUCKET} THEN 0.0"
+        f" ELSE 2.0 * pow({g}, bucket) / {g1} END"
+    )
+    w = Window.orderBy("bucket")
+    cum = hist.select(
+        "bucket",
+        "c",
+        F.expr(rep_sql).alias("rep"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum(F.expr(f"c * ({rep_sql})")).over(w).alias("cummass"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+        F.sum(F.expr(f"c * ({rep_sql})"))
+        .over(Window.partitionBy())
+        .alias("totmass"),
+    )
+    grid = spark.range(1, 100).select(
+        (F.col("id") / F.lit(100.0)).alias("top_frac")
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(grid))
+        .where(
+            F.col("cum")
+            > (F.lit(1.0) - F.col("top_frac")) * (F.col("n") - 1)
+        )
+        .groupBy("top_frac")
+        .agg(
+            F.min_by("rep", "bucket").alias("rep_sel"),
+            F.min_by("c", "bucket").alias("c_sel"),
+            F.min_by("cum", "bucket").alias("cum_sel"),
+            F.min_by("cummass", "bucket").alias("cm_sel"),
+            F.max("n").alias("n"),
+            F.max("totmass").alias("totmass"),
+        )
+    )
+    return sel.select(
+        F.round("top_frac", 2).alias("top_frac"),
+        F.round("rep_sel", 6).alias("spend_threshold"),
+        F.round(
+            (
+                F.col("totmass")
+                - F.col("cm_sel")
+                + F.col("c_sel") * F.col("rep_sel")
+            )
+            / F.col("totmass"),
+            6,
+        ).alias("cum_share"),
+        (F.col("n") - F.col("cum_sel") + F.col("c_sel"))
+        .cast("long")
+        .alias("n_customers"),
+    ).orderBy("top_frac")
+
+
+def _oracle_pareto_dd() -> str:
+    import math as _m
+
+    from ..operators.sketches import DD_GAMMA, DD_ZERO_BUCKET
+
+    lg = repr(_m.log(DD_GAMMA))
+    g, g1 = repr(DD_GAMMA), repr(DD_GAMMA + 1.0)
+    rep = (
+        f"CASE WHEN bucket = {DD_ZERO_BUCKET} THEN 0.0"
+        f" ELSE 2.0 * pow({g}, bucket) / {g1} END"
+    )
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+),
+h AS (
+  SELECT CASE WHEN spend > 0
+              THEN CAST(ceil(ln(spend) / {lg}) AS BIGINT)
+              ELSE CAST({DD_ZERO_BUCKET} AS BIGINT) END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM per_cust GROUP BY 1
+),
+cum AS (
+  SELECT bucket, c, {rep} AS rep,
+         SUM(c) OVER (ORDER BY bucket) AS cum,
+         SUM(c * ({rep})) OVER (ORDER BY bucket) AS cummass,
+         SUM(c) OVER () AS n,
+         SUM(c * ({rep})) OVER () AS totmass
+  FROM h
+),
+sel AS (
+  SELECT t.i / 100.0 AS top_frac,
+         arg_min(rep, bucket) AS rep_sel,
+         arg_min(c, bucket) AS c_sel,
+         arg_min(cum, bucket) AS cum_sel,
+         arg_min(cummass, bucket) AS cm_sel,
+         MAX(n) AS n,
+         MAX(totmass) AS totmass
+  FROM range(1, 100) t(i) CROSS JOIN cum
+  WHERE cum > (1.0 - t.i / 100.0) * (n - 1)
+  GROUP BY 1
+)
+SELECT round(top_frac, 2) AS top_frac,
+       round(rep_sel, 6) AS spend_threshold,
+       round((totmass - cm_sel + c_sel * rep_sel) / totmass, 6)
+         AS cum_share,
+       CAST(n - cum_sel + c_sel AS BIGINT) AS n_customers
+FROM sel ORDER BY top_frac
+"""
+
+
 ORACLE_PARETO = """
 WITH per_cust AS (
   SELECT o_custkey AS custkey,

@@ -443,6 +443,9 @@ def test_registry_wide_plan_guards(spark):
         "shard_documents_balanced",  # distinct token counts
         # sketch-bounded summaries
         "events_heavy_hitters",  # Misra-Gries candidates ≤ parts*k
+        # DD histogram cumulative walk: ≤ ~range/log(gamma) buckets
+        # (value-range-bounded, never a corpus function)
+        "customer_pareto_curve_dd",
         # TakeOrdered-200 slice joined to a 1-row scalar
         "bpe_token_coverage_curve",
     }
@@ -471,6 +474,7 @@ def test_registry_wide_plan_guards(spark):
         "bpe_token_coverage_curve",  # 1-row grand-total scalar
         "embedding_hard_negatives",  # bounded probe broadcast (label-mismatch join)
         "dsir_source_report",  # inherits dsir's 1-row vocab scalars
+        "customer_pareto_curve_dd",  # 99-point grid x bounded histogram
     }
     window_offenders, nl_offenders = [], []
     for name in sorted(Q):

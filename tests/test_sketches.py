@@ -280,3 +280,44 @@ def test_heavy_hitters_excludes_nan_keys(spark):
     }
     # NaN rows (100) excluded -> n=300, threshold 75; 1.0: 200, 0.0: 100
     assert got == {(1.0, 200), (0.0, 100)}
+
+
+def test_dd_percentile_query_within_alpha_of_order_stats(spark, sf_dir):
+    """The registered event_value_percentiles_dd (r10 — the
+    hash-backed approx-percentile) is within relative error DD_ALPHA
+    of the true order statistic at its rank convention, per type and
+    per quantile (rank q·(n-1), walk-first-exceeding; a one-position
+    slack covers the cum > rank strictness)."""
+    import math
+
+    from in_stream_processing_course_spark.operators.sketches import (
+        DD_ALPHA,
+    )
+    from in_stream_processing_course_spark.plans.pipeline_queries import (
+        event_value_percentiles_dd,
+    )
+
+    got = {
+        r["event_type"]: (r["n_events"], r["p50"], r["p90"], r["p99"])
+        for r in event_value_percentiles_dd(spark, sf_dir).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(vals)
+    for t, xs in vals.items():
+        xs.sort()
+        n, (n_got, *ps) = len(xs), got[t]
+        assert n_got == n
+        for q, est in zip((0.5, 0.9, 0.99), ps):
+            rank = q * (n - 1)
+            lo, hi = math.floor(rank), min(n - 1, math.ceil(rank) + 1)
+            assert any(
+                abs(est - xs[i]) <= DD_ALPHA * xs[i] + 1e-9
+                for i in range(lo, hi + 1)
+            ), f"{t} q={q}: {est} vs {xs[lo:hi + 1]}"
