@@ -59,6 +59,10 @@ ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"
 )
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
@@ -79,8 +83,14 @@ def make_drip(root: str, n_bots: int, n_users: int, user_freq: int,
 
 
 def run_once(spark, in_dir: str, ckpt: str, variant: str) -> float:
-    """One availableNow drain through the chosen stateful operator to a
-    noop sink; returns wall seconds. variant: v1 | v1pre | v2."""
+    """One availableNow drain through the chosen stateful operator to
+    a noop sink; returns wall seconds. variant: v1 | v1pre | v2 (all
+    on RocksDB) | v1hdfs (v1 on the default HDFS-backed store — the
+    provider bench.py's v1 numbers historically ran on)."""
+    spark.conf.set(
+        PROVIDER_KEY,
+        HDFS_PROVIDER if variant == "v1hdfs" else ROCKSDB,
+    )
     lr = actions_to_log_records(
         read_action_stream(spark, in_dir, max_files_per_trigger=1)
     )
@@ -123,9 +133,9 @@ def main() -> int:
     quick = "--quick" in sys.argv
     rounds = 1 if quick else 3
     spark = get_spark("stateful-ab", shuffle_partitions="8")
-    # v2 requires RocksDB; run v1 on the same provider so the A/B
-    # isolates the API, not the store backend
-    spark.conf.set(PROVIDER_KEY, ROCKSDB)
+    # v2 requires RocksDB; v1 runs on BOTH providers — v1-on-RocksDB
+    # isolates the API from the store backend, v1-on-HDFS is the
+    # deployed default bench.py has measured since r2
     print(f"protobuf transport available: {HAVE_PB}")
     results: dict[str, dict[str, float]] = {}
 
@@ -137,7 +147,8 @@ def main() -> int:
         root = tempfile.mkdtemp(prefix="ab_v_")
         in_dir, n_rows = make_drip(root, n_bots, n_users, user_freq)
         print(f"  {label}: {n_rows} events")
-        variants = ["v1", "v2"] if HAVE_PB else ["v1"]
+        variants = (["v1hdfs", "v1", "v2"] if HAVE_PB
+                    else ["v1hdfs", "v1"])
         walls = interleaved(spark, in_dir, root, variants, rounds)
         results[label] = {
             **{f"{v}_wall_sec": round(w, 2) for v, w in walls.items()},
