@@ -206,21 +206,19 @@ def prereduce_log_records(
     ``merge_history`` merges partials associatively, so results are
     identical to the raw path (pinned by test).
 
-    WHEN TO USE: only when per-partition (key, bucket) multiplicity is
-    well above 1 — hot keys, coarse slides, firehose rates — AND the
-    shuffle actually crosses a network. The combiner adds a second
-    Python/Arrow stage per batch; measured on the uniform bench
-    workload (~1 event per partition-local bucket — nothing to
-    combine) it costs ~25% wall, which is why
-    ``keyed_history_verdicts`` defaults to the raw path. bench.py's
-    ``prereduce_bot_heavy`` A/B measures the bot-heavy regime (the
-    reference's 172.20.* population, one action per 2 s into 30 s
-    buckets): a 13x shuffle-row shrink, yet still ~15% wall COST in
-    local mode, because a single-JVM shuffle is an in-memory copy —
-    there is no network to save. The wall win appears on a real
-    cluster where per-row shuffle cost includes serialization +
-    network + state-store I/O; the shrink factor is the number that
-    transfers.
+    WHEN TO USE: strictly CLUSTER-conditional. The r10 controlled
+    sweep (tools/stateful_ab.py, STATEFUL_AB_r10.md) settled this:
+    there is NO local-mode crossover at ANY multiplicity — the
+    combiner still costs 11-15% wall at a measured x750 shuffle-row
+    shrink (120k events over 10 keys), because a single-JVM shuffle
+    is an in-memory copy and the state operator's per-batch cost is
+    dominated by fixed state-store commit overhead, not input rows.
+    Enable it only where the shuffle crosses a real network and
+    per-row serialization + state-store I/O scale with row count; the
+    shrink factor (bench.py's ``prereduce_shrink_factor``, up to x750
+    measured) is the number that transfers to that deployment, the
+    local wall numbers are the cost floor. ``keyed_history_verdicts``
+    defaults to the raw path everywhere.
     """
 
     def combine(it):

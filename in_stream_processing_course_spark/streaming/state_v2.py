@@ -14,9 +14,17 @@ Requires the RocksDB state store provider (transformWithState is not
 supported on the default HDFS-backed store) — at 100 TB that is the
 right provider anyway (session.CLUSTER_SCALE_CONF) — and a working
 ``google.protobuf`` in the Python workers (the transformWithState
-runner's wire protocol); tests/test_state_v2.py gates on both. The v1
-operator (:mod:`.state`) is the fully-tested default path; this module
-is the forward-compatible surface sharing the same transition core.
+runner's wire protocol); tests/test_state_v2.py gates on both.
+
+The v1 operator (:mod:`.state`) is the DEFAULT path by measurement,
+not just by seniority: the r10 controlled same-host A/B
+(tools/stateful_ab.py, STATEFUL_AB_r10.md — min-wall over interleaved
+rounds at two key cardinalities, both APIs on RocksDB) has v1 at
+5,603/5,403 rows/s vs v2's 3,822/4,889 — the r9 bench reading where
+v2 edged v1 was load skew on the shared host. This module stays the
+forward-compatible surface sharing the same transition core; re-run
+the A/B before switching when the transformWithState Python transport
+matures.
 """
 
 from __future__ import annotations
