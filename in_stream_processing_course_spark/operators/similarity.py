@@ -109,6 +109,18 @@ def n_lists_for_corpus(
     return max(1, min(n_rows, max(floor, by_sqrt, by_cap)))
 
 
+def _resolve_n_lists(n_lists, corpus: DataFrame) -> int:
+    """Accept the literal string ``"auto"`` anywhere the IVF family
+    takes ``n_lists``: resolve it through :func:`n_lists_for_corpus`
+    on the corpus row count (one count job at index-build time — the
+    offline step that already scans the corpus). Deployments write
+    ``n_lists="auto"`` and the index is corpus-sized by policy;
+    registered queries keep passing their fixed test-SF integers."""
+    if n_lists == "auto":
+        return n_lists_for_corpus(corpus.count())
+    return int(n_lists)
+
+
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -346,6 +358,7 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
+    n_lists = _resolve_n_lists(n_lists, corpus)
     with_vec = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -450,6 +463,7 @@ def ivf_topk_lloyd(
 
     if fit_sample is None:
         fit_sample = DEFAULT_FIT_SAMPLE
+    n_lists = _resolve_n_lists(n_lists, corpus)
     normed = corpus.select(
         id_col,
         vec_col,
@@ -721,6 +735,7 @@ def build_ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
+    n_lists = _resolve_n_lists(n_lists, corpus)
     with_vec = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -833,11 +848,15 @@ def lloyd_index_centroids(
     key format and arithmetic :func:`ivf_topk_lloyd` and
     :func:`hard_negatives_topk_ivf` use, factored out (r9) so every
     IVF consumer (knn, hard negatives, the label-noise audit) shares
-    ONE fit per corpus within a session."""
+    ONE fit per corpus within a session. ``n_lists="auto"`` sizes the
+    cell count from the corpus via :func:`n_lists_for_corpus` — the
+    deployment form; the resolved integer participates in the cache
+    key, so an auto index and an explicit same-k index share a fit."""
     from .clustering import DEFAULT_FIT_SAMPLE, lloyd_fit
 
     if fit_sample is None:
         fit_sample = DEFAULT_FIT_SAMPLE
+    n_lists = _resolve_n_lists(n_lists, corpus)
     full_key = (
         cache_key
         and f"lloyd:{cache_key}:{n_lists}:{n_iters}:{fit_sample}"

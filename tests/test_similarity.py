@@ -269,3 +269,20 @@ def test_persisted_ivf_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
 
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any(re.search(r"cell#\d+ IN \(", l) for l in pf), pf
+
+
+def test_n_lists_auto_resolves_through_policy(spark, sf_dir):
+    """n_lists="auto" (r10) sizes the Lloyd index from the corpus via
+    the policy and produces the same index as passing the resolved
+    integer explicitly (shared cache key included)."""
+    from in_stream_processing_course_spark.operators.similarity import (
+        lloyd_index_centroids,
+        n_lists_for_corpus,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expect_k = n_lists_for_corpus(emb.count())
+    auto = lloyd_index_centroids(emb, n_lists="auto", n_iters=1)
+    explicit = lloyd_index_centroids(emb, n_lists=expect_k, n_iters=1)
+    assert len(auto) == expect_k
+    assert auto == explicit
