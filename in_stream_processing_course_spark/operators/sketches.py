@@ -349,3 +349,71 @@ def dd_quantiles(
                 break
         out.append(val)
     return out
+
+
+# --- theta sketch (hash-sampled distinct counting, engine-portable) ----------
+#
+# The fourth sketch family: DISTINCT COUNTS from a fixed-threshold
+# hash sample (the fixed-theta special case of the Theta/KMV sketch
+# family, Dasgupta et al., "Theta sketch framework"): keep exactly the
+# distinct keys whose 60-bit md5 prefix falls below theta = 2^60 / 2^s;
+# each survives with probability 2^-s independent of duplication, so
+# |sample| * 2^s estimates the distinct count with relative error
+# ~1/sqrt(|sample|). Three properties the HLL twin
+# (approx_users_sketch_union) cannot give:
+#
+# - ENGINE-PORTABLE: md5-prefix-parse + integer compare is arithmetic
+#   any SQL engine replays, so the registered query is HASH-backed
+#   (HLL register internals are engine-private, rows-only forever);
+# - the sample IS an artifact: a deterministic uniform sample of the
+#   distinct keys themselves — auditable, joinable (inspect WHICH
+#   users the estimate stands on), not just a count;
+# - merge = set union of sampled keys (same theta) — per-partition /
+#   per-day samples union without rescanning, the 100 TB point.
+#
+# State is |distinct| * 2^-s rows; deployments raise s to keep the
+# artifact bounded (s ~ log2(distinct / target_sample_size) — the
+# n_lists_for_corpus-style knob, documented rather than implicit).
+
+THETA_LG_INV_P = 2  # p = 1/4 — sized for the driver's test SFs
+_THETA_NIBBLES = 15  # 60-bit hash: fits signed bigint exactly
+
+
+def theta_hash_col(key):
+    """60-bit uniform hash of a key's string form (md5 prefix parsed
+    base-16 — the simhash/minhash portability recipe)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string").cast("binary")), 1, _THETA_NIBBLES),
+        16,
+        10,
+    ).cast("long")
+
+
+def theta_threshold(lg_inv_p: int = THETA_LG_INV_P) -> int:
+    if not 0 <= lg_inv_p < 60:
+        raise ValueError(f"lg_inv_p={lg_inv_p} outside [0, 60)")
+    return (16**_THETA_NIBBLES) >> lg_inv_p
+
+
+def theta_sample(
+    df: DataFrame,
+    col: str,
+    lg_inv_p: int = THETA_LG_INV_P,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group_cols..., h): the DISTINCT sampled hashes per group —
+    filter pushes to the scan BEFORE the distinct, so the shuffle only
+    ever carries the p-fraction. Identical expression on batch and
+    micro-batch frames (the streaming maintenance MERGEs these rows by
+    key; duplicates across batches collapse in the keyed sink)."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, theta_hash_col(F.col(col)).alias("h"))
+        .where(F.col("h") < F.lit(theta_threshold(lg_inv_p)))
+        .distinct()
+    )
+
+
+def theta_estimate_col(n_sampled, lg_inv_p: int = THETA_LG_INV_P):
+    """distinct_est = |sample| * 2^s — exact integer arithmetic."""
+    return (n_sampled.cast("long") * F.lit(1 << lg_inv_p)).cast("long")

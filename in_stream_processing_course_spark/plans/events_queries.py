@@ -659,6 +659,88 @@ def approx_users_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(total).orderBy("event_type")
 
 
+def events_theta_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct users per event type from the THETA hash sample
+    (operators/sketches.theta_sample) — the HASH-BACKED twin of
+    ``approx_users_sketch_union`` (r10): HLL register internals are
+    engine-private (that query stays rows-only forever), but the
+    theta sample is md5-prefix arithmetic both engines replay, so the
+    DuckDB oracle reproduces the sample, the per-type estimates, AND
+    the 'ALL' row — which is computed by UNIONING the per-type
+    sampled sets (one distinct over the already-p-sized sample),
+    never by rescanning the events: the same
+    merge-without-second-pass property the HLL query demonstrates,
+    here hash-verified. Accuracy (~1/sqrt(sample)) is pinned against
+    exact counts in tests/test_round10_ops.py; the sketch's job at
+    100 TB is the one-pass p-fraction shuffle, and its sample doubles
+    as an auditable uniform user sample."""
+    from ..operators.sketches import (
+        THETA_LG_INV_P,
+        theta_estimate_col,
+        theta_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    # materialized once: both output branches read the sample, and AQE
+    # never reuses the exchange across them (the HLL twin's note)
+    sample = theta_sample(
+        ev, "user_id", THETA_LG_INV_P, group_cols=("event_type",)
+    ).localCheckpoint(eager=False)
+    typed = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    total = (
+        sample.select("h")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(F.lit("ALL").alias("event_type"), "n_sampled")
+    )
+    return (
+        typed.unionByName(total)
+        .select(
+            "event_type",
+            "n_sampled",
+            theta_estimate_col(F.col("n_sampled"), THETA_LG_INV_P).alias(
+                "distinct_est"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_theta_distinct_users() -> str:
+    from ..operators.sketches import (
+        THETA_LG_INV_P,
+        _THETA_NIBBLES,
+        theta_threshold,
+    )
+
+    thr = theta_threshold(THETA_LG_INV_P)
+    mult = 1 << THETA_LG_INV_P
+    return f"""
+WITH s AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1,
+                             {_THETA_NIBBLES}) AS BIGINT) AS h
+  FROM events
+  WHERE user_id IS NOT NULL
+),
+f AS (SELECT event_type, h FROM s WHERE h < {thr})
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(COUNT(*) * {mult} AS BIGINT) AS distinct_est
+FROM f GROUP BY event_type
+UNION ALL
+SELECT 'ALL',
+       CAST(COUNT(DISTINCT h) AS BIGINT),
+       CAST(COUNT(DISTINCT h) * {mult} AS BIGINT)
+FROM f
+ORDER BY event_type
+"""
+
+
 def user_growth_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting: per day, how many users appeared for the
     FIRST time (min event date per user) and the cumulative user base

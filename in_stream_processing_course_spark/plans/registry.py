@@ -470,6 +470,13 @@ register(
 register("bot_stats_approx_categories", bd.windowed_counts_approx)
 register("event_value_percentiles_approx", pq.event_value_percentiles_approx)
 register("approx_users_sketch_union", ev.approx_users_sketch_union)
+# the theta-sample twin IS oracle-replayable (md5-prefix arithmetic,
+# unlike HLL's engine-private registers)
+register(
+    "events_theta_distinct_users",
+    ev.events_theta_distinct_users,
+    ev._oracle_theta_distinct_users(),
+)
 
 # --- incremental maintenance family (SCD2 / MV merge / interval join) -------
 # Spark takes the incremental path (multi-batch apply, per-chunk
