@@ -271,6 +271,29 @@ def main() -> None:
         "engine-specific); their exact twins bound them, and",
         "`tests/test_round9_ops.py` pins approx-vs-exact agreement.",
         "",
+        "### r10: the `_dd` / theta twins are oracle-replayable sketches",
+        "",
+        "`customer_pareto_curve_dd` and `event_value_percentiles_dd` serve the",
+        "same chart/health-metric consumers from the DD-style log-bucket",
+        "histogram (`operators/sketches.dd_histogram`), and",
+        "`events_theta_distinct_users` serves distinct-user accounting from",
+        "the theta hash sample — in all three the sketch rule is portable",
+        "arithmetic (ln/ceil against a log-gamma literal; md5-prefix",
+        "threshold), so the DuckDB oracles replay the sketches END-TO-END",
+        "(build, cumulative walk / union, estimate arithmetic), unlike the",
+        "KLL/HLL `_approx` twins. Guarantees pinned in",
+        "`tests/test_round10_ops.py`, `tests/test_sketches.py`,",
+        "`tests/test_streaming_theta.py`. Plan shapes: all post-rollup work",
+        "runs on range-bounded histograms / p-sized samples (the",
+        "partition-less cumulative window and 99-point grid cross are",
+        "bucket-bounded — adjudicated in tests/test_plans.py). Streaming",
+        "halves: `streaming/percentiles.py` and `streaming/distinct_sketch.py`",
+        "maintain the same artifacts continuously (the cm_sketch contract).",
+        "A 100 TB deployment has three tiers: exact two-phase rank (per-row",
+        "exports), batch `_dd`/theta sketch (oracle-auditable curves and",
+        "counts), maintained streaming sketch (continuous); `_approx` stays",
+        "for consumers wanting Spark's built-in KLL/HLL error profiles.",
+        "",
         "## Heavy-query spot check at sf0.1 (local[32], noop sink, single pass)",
         "",
         "The non-headline composition/iterative queries, which never appear in",
@@ -296,6 +319,25 @@ def main() -> None:
         "fixed per-round/scheduling overhead still dominates at this size; the",
         "data-proportional part is sublinear in wall because cores are idle at",
         "sf0.01.",
+        "",
+        "## sf0.1 -> sf1 trend (r10, upsampled fixture)",
+        "",
+        "`tools/make_sf1.py` builds a 10x workload-preserving fixture (same",
+        "vocabulary, realistic near-dup rates, dimension tables held fixed);",
+        "`SCALE_TREND_r10_sf1.txt` records the ten most expensive queries at",
+        "both SFs. Headlines: BPE token counts are x1.02 on x10 data (the",
+        "vocabulary-sized claim, now measured); two-phase ranks, iterative",
+        "joins, and IVF candidate generation land at x1.9-3.6; the two",
+        "within-block-quadratic queries with FIXED block counts",
+        "(dedup_embedding_cosine on label blocks, semantic_dedup_kmeans on",
+        "k=8 seed clusters) blow up to x19-21 — the measured pathology the",
+        "r10 `n_lists_for_corpus` policy repairs: re-running the same pair",
+        "generation with policy-sized blocks (tools/policy_scale_demo.py)",
+        "drops sf1 from 123.7s to 11.2s and the scale ratio from x14.7 to",
+        "x3.2, trading cross-block recall under the documented SemDeDup knob.",
+        "Registered queries keep fixed constants at test SFs (hash",
+        "stability); deployments derive block counts from the policy",
+        "(`n_lists=\"auto\"` resolves it in code).",
         "",
     ]
     with open("PLANS.md", "w") as f:
