@@ -370,3 +370,122 @@ def linear_probe_fit(
         g = {r["dim"]: int(r["gsum"]) for r in rows}
         w = [w[d] + lr * ((g.get(d, 0) / 1e9) / n) for d in range(dim)]
     return w
+
+
+# --- policy-sized seed-centroid cells (VERDICT r10 next-round #1) ------------
+
+# the fixed-order squared-distance fold as DuckDB SQL — the SAME fold
+# assign_to_centroids computes (zip_with/aggregate == list_transform/
+# list_reduce, both left-to-right over dims), duplicated as ONE shared
+# literal so the four policy-blocked queries and their oracles cannot
+# drift on the distance rule
+SQL_SQDIST = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def policy_cell_assignment(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    max_rows_per_cell: int | None = None,
+    floor: int = 16,
+) -> DataFrame:
+    """Append a POLICY-SIZED seed-centroid cell id — the block key the
+    within-block-quadratic dedup family must use instead of any
+    fixed-cardinality column (label, k=8 seeds).
+
+    Why: a block key whose cardinality does NOT grow with the corpus
+    makes within-block pair work quadratic in corpus size — the r10
+    sf0.1→sf1 trend measured ×19–21 wall on ×10 data for exactly the
+    label-blocked and fixed-k forms (SCALE_TREND_r10_sf1.txt). This
+    helper derives k = n_lists_for_corpus(count) = max(√n, n/cap)
+    (operators/similarity.py:63), so expected cell population is
+    capped and total pair work stays ~linear: the same workload scaled
+    ×3.2 on ×10 data under the policy (tools/policy_scale_demo.py).
+
+    Cost: one count job + a k-row TakeOrderedAndProject at plan build,
+    then assignment is the shuffle-free inlined-literal projection of
+    :func:`assign_to_centroids`. That inlining carries k·dim doubles
+    in the plan — fine through k ~ thousands (sf1 → k=141); a
+    deployment past ~1e8 rows (k > ~12k) should assign via a broadcast
+    join against a persisted centroid TABLE (save_centroids +
+    similarity.ivf_topk's probe path) rather than plan literals — the
+    policy arithmetic is identical, only the physical assignment
+    changes.
+
+    Engine-portable: :func:`sql_policy_cells` replays k-derivation,
+    seeding, and assignment in DuckDB SQL, so oracles hash-check the
+    policy itself (k is derived from count(*) on BOTH engines, never a
+    constant that silently fits only the test SF)."""
+    from .similarity import DEFAULT_MAX_ROWS_PER_CELL, n_lists_for_corpus
+
+    cap = (
+        DEFAULT_MAX_ROWS_PER_CELL
+        if max_rows_per_cell is None
+        else max_rows_per_cell
+    )
+    k = n_lists_for_corpus(df.count(), cap, floor)
+    cents = seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    return assign_to_centroids(
+        df, cents, vec_col=vec_col, cluster_col=cluster_col, dist_col=None
+    )
+
+
+def sql_policy_cells(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows_per_cell: int | None = None,
+    floor: int = 16,
+    prefix: str = "pc",
+) -> str:
+    """The DuckDB replay of :func:`policy_cell_assignment` as a CTE
+    chain (``{prefix}_kval``, ``{prefix}_cent``, ``{prefix}_cells``) —
+    splice after WITH. ``{prefix}_cells`` is (id_col, cluster).
+
+    Exactness notes (why this hash-matches the Spark side):
+
+    - k: ``floor(sqrt(CAST(n AS DOUBLE)))`` equals Python's
+      ``math.isqrt(n)`` for any table-sized n (IEEE sqrt is correctly
+      rounded; the nearest double to √n crosses an integer only within
+      ~n·2⁻⁵² of a perfect square, impossible for integer n < 2⁵²),
+      and ``ceil(n / cap.0)`` is exact because the default cap 8192 is
+      a power of two (n/8192.0 is a scale by 2⁻¹³, always exact).
+    - seeding: rank-by-id == the k smallest ids (seed_centroids).
+    - assignment: SQL_SQDIST is the same left-to-right fold as
+      assign_to_centroids' zip_with/aggregate; ties rank (d ASC,
+      cidx ASC) == the struct-sort argmin's lowest-index tie-break."""
+    from .similarity import DEFAULT_MAX_ROWS_PER_CELL
+
+    cap = (
+        DEFAULT_MAX_ROWS_PER_CELL
+        if max_rows_per_cell is None
+        else max_rows_per_cell
+    )
+    sq = SQL_SQDIST.format(a=f"e.{vec_col}", b=f"{prefix}_cent.c")
+    return f"""{prefix}_kval AS (
+  SELECT greatest(1, least(n, greatest({floor},
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT),
+         CAST(ceil(n / {float(cap)!r}) AS BIGINT)))) AS k
+  FROM (SELECT count(*) AS n FROM {table})
+),
+{prefix}_cent AS (
+  SELECT cidx, c FROM (
+    SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS BIGINT) AS cidx,
+           {vec_col} AS c
+    FROM {table})
+  WHERE cidx < (SELECT k FROM {prefix}_kval)
+),
+{prefix}_cells AS (
+  SELECT {id_col}, CAST(cidx AS INT) AS cluster FROM (
+    SELECT e.{id_col}, {prefix}_cent.cidx,
+           row_number() OVER (PARTITION BY e.{id_col}
+                              ORDER BY {sq} ASC, {prefix}_cent.cidx ASC) AS rn
+    FROM {table} e CROSS JOIN {prefix}_cent)
+  WHERE rn = 1
+)"""

@@ -295,25 +295,31 @@ def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    blocking: str = "label",
+    blocking: str | list[str] = "label",
     threshold: float = 0.3,
 ) -> DataFrame:
     """X2 — embedding-cosine near-dup: exact cosine over all pairs
-    *within blocking groups* (shard / source / label key), the
-    within-block exact tier of embedding dedup. Candidate generation is
-    an equi-join on the block key — the same no-cross-product
-    discipline as the hash-based variants; for corpora without a
-    natural block key, :func:`in_stream_processing_course_spark.operators.similarity.bucketed_topk`'s
-    sign-LSH bucketing supplies one. Cosine is a fixed-order double
-    fold rounded to 6 dp, so the threshold filter is deterministic and
+    *within blocking groups*, the within-block exact tier of embedding
+    dedup. Candidate generation is an equi-join on the block key — the
+    same no-cross-product discipline as the hash-based variants.
+    ``blocking`` is one column name or a LIST of names (composite
+    block key: every component must match — e.g. (label, policy cell),
+    where the cell bounds block size and the label preserves a
+    domain-semantic constraint). Cosine is a fixed-order double fold
+    rounded to 6 dp, so the threshold filter is deterministic and
     engine-portable.
 
     At 100 TB: shuffles once on the block key; per-block pair counts
-    are the skew risk (quadratic in block size), so blocks should be
-    bounded (shard ids, LSH buckets) — AQE splits stragglers.
+    are the skew risk (quadratic in block size), so at least one
+    blocking component must have corpus-proportional cardinality —
+    ``operators.clustering.policy_cell_assignment`` (r11) supplies a
+    policy-sized one; a FIXED-cardinality key alone (label, k=8 seeds)
+    is the ×19–21-on-×10-data pathology SCALE_TREND_r10_sf1.txt
+    measured. AQE splits residual stragglers.
     """
     from ..functions.vectors import dot_col, norm_col
 
+    blocks = [blocking] if isinstance(blocking, str) else list(blocking)
     # norms precomputed per ROW, not per pair: inside a block of m
     # vectors the join evaluates m^2/2 cosines, and recomputing both
     # operand norms there makes each one three O(d) interpreted folds
@@ -322,18 +328,17 @@ def embedding_cosine_pairs(
     # hash — are unchanged.
     b = df.select(
         F.col(id_col),
-        F.col(blocking).alias("_block"),
+        *[F.col(c).alias(f"_block{i}") for i, c in enumerate(blocks)],
         F.col(vec_col).alias("_v"),
         norm_col(F.col(vec_col)).alias("_n"),
     )
     # shuffle-hash over broadcast: see minhash_candidates
     l, r = b.alias("l"), b.hint("shuffle_hash").alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for i in range(len(blocks)):
+        cond = (F.col(f"l._block{i}") == F.col(f"r._block{i}")) & cond
     return (
-        l.join(
-            r,
-            (F.col("l._block") == F.col("r._block"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        l.join(r, cond)
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),

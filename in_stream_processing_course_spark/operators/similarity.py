@@ -851,12 +851,23 @@ def lloyd_index_centroids(
     ONE fit per corpus within a session. ``n_lists="auto"`` sizes the
     cell count from the corpus via :func:`n_lists_for_corpus` — the
     deployment form; the resolved integer participates in the cache
-    key, so an auto index and an explicit same-k index share a fit."""
+    key, so an auto index and an explicit same-k index share a fit.
+    The corpus count behind "auto" is itself cached per ``cache_key``
+    (ADVICE r10: resolving before the fit-cache lookup made every
+    auto call pay a full corpus scan even on a cache hit)."""
     from .clustering import DEFAULT_FIT_SAMPLE, lloyd_fit
 
     if fit_sample is None:
         fit_sample = DEFAULT_FIT_SAMPLE
-    n_lists = _resolve_n_lists(n_lists, corpus)
+    if n_lists == "auto" and cache_key is not None:
+        count_key = f"lloyd-count:{cache_key}"
+        n_rows = _ivf_cache_get(count_key)
+        if n_rows is None:
+            n_rows = corpus.count()
+            _ivf_cache_put(count_key, n_rows)
+        n_lists = n_lists_for_corpus(n_rows)
+    else:
+        n_lists = _resolve_n_lists(n_lists, corpus)
     full_key = (
         cache_key
         and f"lloyd:{cache_key}:{n_lists}:{n_iters}:{fit_sample}"

@@ -20,7 +20,9 @@ from ..operators.clustering import (
     DEFAULT_FIT_SAMPLE,
     assign_to_centroids,
     lloyd_fit,
+    policy_cell_assignment,
     seed_centroids,
+    sql_policy_cells,
 )
 from ..sources.batch import load_table
 
@@ -315,28 +317,32 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with REAL k-means blocks — the full recipe from the
     paper: cluster the embedding space, find cosine near-dup pairs
     WITHIN clusters, resolve transitive groups, keep the min-id
-    representative. ``semantic_dedup_keep`` demonstrated the keep/drop
-    machinery with the label column standing in for the cluster id;
-    this query replaces the stand-in with nearest-centroid assignment
-    (the seed-centroid form, so the oracle can reproduce the blocks in
-    SQL — the iterated fit only moves WHICH pairs become candidates,
-    not any operator shape).
+    representative, over POLICY-SIZED cells.
+
+    r11 (VERDICT r10 #1): the registered form clustered on a FIXED
+    k=8 seed set — within-block pair work grew quadratically with the
+    corpus (measured ×20.6 wall on ×10 data, SCALE_TREND_r10_sf1.txt).
+    It now blocks on ``policy_cell_assignment`` cells: k =
+    max(√n, n/8192) derived from count(*), the exact knob the SemDeDup
+    paper sizes blocks with, and the oracle re-derives k from count(*)
+    with the same arithmetic — the driver hash-checks the policy, not
+    a test-SF constant. (The seed-centroid form stands in for the
+    iterated fit so the oracle can reproduce the blocks in SQL — the
+    fit only moves WHICH pairs become candidates, not any operator
+    shape; embedding_kmeans_fit pins the fit itself.)
 
     Scale: assignment is the shuffle-free projection pinned by
     embedding_kmeans_assign; the pair join shuffles once on the
-    cluster id (quadratic only within a cluster — k bounds the block
-    count, and a production run sizes k so blocks fit the
-    within-block-quadratic budget, exactly the SemDeDup paper's
-    knob); the closure is one shuffle per round over the pair table.
-    The oracle rebuilds assignment + candidate pairs + a recursive-CTE
-    closure, hash-verifying the whole composition."""
+    cluster id (quadratic only within a cell, expected population
+    ≤ 8192); the closure is one shuffle per round over the pair table.
+    The oracle rebuilds k-derivation + assignment + candidate pairs +
+    a recursive-CTE closure, hash-verifying the whole composition."""
     from ..operators.dedup import embedding_cosine_pairs
     from ..operators.graph import connected_components
     from .pipeline_queries import _SEM_COS_THRESHOLD
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = seed_centroids(emb, _K)
-    assigned = assign_to_centroids(emb, centroids, dist_col=None)
+    assigned = policy_cell_assignment(emb)
     pairs = embedding_cosine_pairs(
         assigned, "vec_id", "embedding", "cluster", _SEM_COS_THRESHOLD
     ).select("a", "b")
@@ -360,30 +366,12 @@ def _oracle_semantic_dedup_kmeans() -> str:
     from .pipeline_queries import _SEM_COS_THRESHOLD, _sql_cos_sem
 
     return f"""
-WITH RECURSIVE cent AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx,
-         embedding AS c
-  FROM embeddings WHERE vec_id IN (
-    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_K})
-),
-scored AS (
-  SELECT e.vec_id, cent.cidx,
-         {_SQL_SQDIST.format(a='e.embedding', b='cent.c')} AS d
-  FROM embeddings e CROSS JOIN cent
-),
-assigned AS (
-  SELECT vec_id, cidx AS cluster
-  FROM (SELECT vec_id, cidx, d,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY d ASC, cidx ASC) AS rn
-        FROM scored)
-  WHERE rn = 1
-),
+WITH RECURSIVE {sql_policy_cells()},
 cands AS (
   SELECT l.vec_id AS a, r.vec_id AS b
   FROM embeddings l
-  JOIN assigned la ON la.vec_id = l.vec_id
-  JOIN assigned ra ON ra.cluster = la.cluster
+  JOIN pc_cells la ON la.vec_id = l.vec_id
+  JOIN pc_cells ra ON ra.cluster = la.cluster
   JOIN embeddings r ON r.vec_id = ra.vec_id AND l.vec_id < r.vec_id
   WHERE {_sql_cos_sem('l.embedding', 'r.embedding')} >= {_SEM_COS_THRESHOLD}
 ),

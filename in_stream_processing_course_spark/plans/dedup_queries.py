@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
+from ..operators.clustering import policy_cell_assignment, sql_policy_cells
 from ..sources.batch import load_table
 
 # --- exact dedup (X1) --------------------------------------------------------
@@ -278,12 +279,24 @@ _COS_THRESHOLD = 0.3
 
 
 def embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine >= 0.3 within label blocks over ``embeddings`` —
-    the embedding-space member of the dedup family (near-dup detection
-    on vector similarity rather than token overlap)."""
+    """Exact cosine >= 0.3 within POLICY-SIZED seed-centroid cells
+    over ``embeddings`` — the embedding-space member of the dedup
+    family (near-dup detection on vector similarity rather than token
+    overlap).
+
+    r11 (VERDICT r10 #1): the block key was the fixed-cardinality
+    ``label`` column — within-block pair work grew quadratically with
+    the corpus (measured ×19.3 wall on ×10 data,
+    SCALE_TREND_r10_sf1.txt). The registered form now blocks on
+    ``policy_cell_assignment`` cells (k = max(√n, n/8192) derived from
+    count(*)), so the driver's hash check covers the policy itself —
+    the form you'd run at scale, not a test-SF constant. Recall
+    trade: subdividing blocks only loses CROSS-cell pairs — the
+    standard SemDeDup cost/recall knob."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cells = policy_cell_assignment(emb)
     return dd.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", "label", _COS_THRESHOLD
+        cells, "vec_id", "embedding", "cluster", _COS_THRESHOLD
     ).orderBy("a", "b")
 
 
@@ -301,11 +314,17 @@ def _sql_cos_ed(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
+# the oracle replays the POLICY too: k is derived from count(*) with
+# the same max(sqrt(n), n/cap) arithmetic (sql_policy_cells), so the
+# hash check pins k-derivation + seeding + assignment + the pair scan
 ORACLE_EMBEDDING_COSINE = f"""
+WITH {sql_policy_cells()}
 SELECT l.vec_id AS a, r.vec_id AS b,
        {_sql_cos_ed('l.embedding', 'r.embedding')} AS cosine
-FROM embeddings l JOIN embeddings r
-  ON l.label = r.label AND l.vec_id < r.vec_id
+FROM embeddings l
+JOIN pc_cells la ON la.vec_id = l.vec_id
+JOIN pc_cells ra ON ra.cluster = la.cluster
+JOIN embeddings r ON r.vec_id = ra.vec_id AND l.vec_id < r.vec_id
 WHERE {_sql_cos_ed('l.embedding', 'r.embedding')} >= {_COS_THRESHOLD}
 ORDER BY a, b
 """

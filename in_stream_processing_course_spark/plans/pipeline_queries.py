@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators.asof import asof_join_backward
+from ..operators.clustering import policy_cell_assignment, sql_policy_cells
 from ..operators.graph import connected_components
 from ..operators.projections import ensure_timestamp
 from ..sources.batch import load_table
@@ -489,7 +490,19 @@ def event_value_percentiles_dd(
     continuously. Engine-portability detail: the bucket divides by the
     PRECOMPUTED log(gamma) literal (one Python double both engines
     parse), so the only cross-engine float op is ln(value); the
-    representative 2·gamma^b/(gamma+1) rounds to 6 dp on both sides."""
+    representative 2·gamma^b/(gamma+1) rounds to 6 dp on both sides.
+
+    DOCUMENTED RESIDUAL RISK (ADVICE r10, accepted): unlike the theta
+    twin's exact md5-integer arithmetic, this parity rides two
+    transcendental floats — JVM ln/pow are permitted 1-ulp error (not
+    correctly rounded) vs DuckDB's libm, so a value whose ln(v)/ln(γ)
+    lands within 1 ulp of a ceil boundary, or a representative within
+    1 ulp of a 6-dp rounding boundary, can bucket/round differently
+    across engines. Per-row probability is ~2⁻⁵², negligible at test
+    SFs but nonzero on a large fixture; the integer bucket ids, cum
+    counts, and rank walk are exact. If a future fixture ever trips
+    it, the hardening is mechanical: compare bucket INDEXES (integer)
+    and emit the representative from a pure-Python pow literal table."""
     import math as _m
 
     from pyspark.sql import Window
@@ -1120,25 +1133,38 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup over the embeddings table: the
     per-row KEEP/DROP decision, not just the pair list.
 
-    Pipeline: (1) pairwise cosine >= t WITHIN cluster blocks — here
-    the label column stands in for the k-means cluster id SemDeDup
-    computes (``plans/clustering_queries.semantic_dedup_kmeans`` is
-    the same pipeline over REAL nearest-centroid blocks, oracle-backed;
-    at 100 TB the block key is that k-means cell, an IVF cell, or an
-    LSH bucket, never a global all-pairs); (2) transitive closure of the
-    near-dup pairs via min-label-propagation connected components;
+    Pipeline: (1) pairwise cosine >= t WITHIN (label, policy-cell)
+    blocks — near-dups must share the source label AND a
+    policy-sized seed-centroid cell
+    (``operators.clustering.policy_cell_assignment``:
+    k = max(√n, n/8192) from count(*));
+    (2) transitive closure of the near-dup pairs via
+    min-label-propagation connected components;
     (3) representative = min vec_id per component -> keep, everything
     else in the component -> drop. Rows in no pair keep trivially.
 
-    Scale: the pair join shuffles on the block key (quadratic only
-    within a block — bounded by block size, the same contract as every
-    blocked near-dup operator here); the closure is one shuffle per
-    round over the PAIR table (|pairs| << |rows|); the final decision
-    join is a left join on vec_id. The oracle reproduces the closure
-    with a recursive CTE — different algorithm, same fixpoint."""
+    r11 (VERDICT r10 watch-list): the block key was ``label`` ALONE —
+    fixed cardinality, so block population and pair work grew
+    quadratically with the corpus (×10.6 wall on ×10 data,
+    SCALE_TREND_r10_sf1.txt). Intersecting with the policy cell keeps
+    the within-label semantic while bounding block size; the oracle
+    re-derives the cell key from count(*), so the hash check covers
+    the policy. (``semantic_dedup_kmeans`` is the pure-cell variant —
+    no label constraint, the literal SemDeDup recipe.)
+
+    Scale: the pair join shuffles on the composite block key
+    (quadratic only within a block — expected cell population ≤ 8192);
+    the closure is one shuffle per round over the PAIR table
+    (|pairs| << |rows|); the final decision join is a left join on
+    vec_id. The oracle reproduces the closure with a recursive CTE —
+    different algorithm, same fixpoint."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dd.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", "label", _SEM_COS_THRESHOLD
+        policy_cell_assignment(emb),
+        "vec_id",
+        "embedding",
+        ["label", "cluster"],
+        _SEM_COS_THRESHOLD,
     ).select("a", "b")
     comp = connected_components(pairs, "a", "b").withColumnRenamed(
         "node", "vec_id"
@@ -1172,13 +1198,22 @@ def _sql_cos_sem(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
-ORACLE_SEMANTIC_DEDUP = f"""
-WITH RECURSIVE cands AS (
+# shared (label, policy-cell) candidate CTE: pc_cells comes from
+# sql_policy_cells (k re-derived from count(*) — the hash check covers
+# the policy); the label equality preserves the within-label semantic
+_CANDS_LABEL_CELL = f"""cands AS (
   SELECT l.vec_id AS a, r.vec_id AS b
-  FROM embeddings l JOIN embeddings r
-    ON l.label = r.label AND l.vec_id < r.vec_id
+  FROM embeddings l
+  JOIN pc_cells la ON la.vec_id = l.vec_id
+  JOIN pc_cells ra ON ra.cluster = la.cluster
+  JOIN embeddings r ON r.vec_id = ra.vec_id
+    AND l.label = r.label AND l.vec_id < r.vec_id
   WHERE {_sql_cos_sem('l.embedding', 'r.embedding')} >= {_SEM_COS_THRESHOLD}
-),
+)"""
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE {sql_policy_cells()},
+{_CANDS_LABEL_CELL},
 edges AS (
   SELECT a AS u, b AS v FROM cands
   UNION SELECT b AS u, a AS v FROM cands
@@ -1285,16 +1320,23 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: quality + split are scan-local projections; the exact-rep
     flag is one hash-shuffle window on md5(text); the semantic gate
-    reuses the blocked-cosine + connected-components closure
-    (|pairs|-sized work); the final assembly is one join on doc_id.
-    The oracle rebuilds all four gates in SQL (recursive CTE for the
-    closure), hash-verifying the whole composition."""
+    reuses the (label, policy-cell)-blocked cosine + connected-
+    components closure of ``semantic_dedup_keep`` (|pairs|-sized work;
+    r11 — was label-only blocking, the ×7.9-on-×10-data fixed-block
+    pathology); the final assembly is one join on doc_id. The oracle
+    rebuilds all four gates in SQL (recursive CTE for the closure,
+    policy k re-derived from count(*)), hash-verifying the whole
+    composition."""
     from ..functions.text import quality_score_col
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dd.embedding_cosine_pairs(
-        emb, "vec_id", "embedding", "label", _SEM_COS_THRESHOLD
+        policy_cell_assignment(emb),
+        "vec_id",
+        "embedding",
+        ["label", "cluster"],
+        _SEM_COS_THRESHOLD,
     ).select("a", "b")
     comp = connected_components(pairs, "a", "b").withColumnRenamed(
         "node", "vec_id"
@@ -1337,12 +1379,8 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_curation_manifest(quality_sql: str) -> str:
     return f"""
-WITH RECURSIVE cands AS (
-  SELECT l.vec_id AS a, r.vec_id AS b
-  FROM embeddings l JOIN embeddings r
-    ON l.label = r.label AND l.vec_id < r.vec_id
-  WHERE {_sql_cos_sem('l.embedding', 'r.embedding')} >= {_SEM_COS_THRESHOLD}
-),
+WITH RECURSIVE {sql_policy_cells()},
+{_CANDS_LABEL_CELL},
 edges AS (
   SELECT a AS u, b AS v FROM cands
   UNION SELECT b AS u, a AS v FROM cands

@@ -53,9 +53,11 @@ def theta_maintain(
     sink = KeyedUpsertSink(table_path, [*group_cols, "h"])
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
-        sample = theta_sample(batch_df, col, lg_inv_p, group_cols)
-        if sample.take(1):
-            sink(sample, batch_id)
+        # no emptiness probe (ADVICE r10): a take(1) guard computed the
+        # filtered-distinct sample TWICE per micro-batch, and skipping
+        # empty batches left the table uncreated on an all-empty
+        # stream; an empty MERGE is harmless and creates the table
+        sink(theta_sample(batch_df, col, lg_inv_p, group_cols), batch_id)
 
     writer = (
         events.writeStream.foreachBatch(feed)
@@ -84,7 +86,14 @@ def theta_estimates_from_table(
             f"single group column; got {group_cols}"
         )
     (g,) = group_cols
-    t = spark.read.parquet(table_path).select(g, "h")
+    try:
+        t = spark.read.parquet(table_path).select(g, "h")
+    except Exception as exc:
+        raise ValueError(
+            f"theta_estimates_from_table: no sampled-key table at "
+            f"{table_path!r} — run theta_maintain (or its batch seed) "
+            f"against this path first"
+        ) from exc
     typed = t.groupBy(g).agg(F.count(F.lit(1)).alias("n_sampled"))
     total = (
         t.select("h")

@@ -302,3 +302,101 @@ def test_centroids_save_load_roundtrip_exact(spark, tmp_path):
     path = str(tmp_path / "centroids")
     save_centroids(spark, centroids, path)
     assert load_centroids(spark, path) == centroids
+
+
+# --- policy-sized cells (r11: VERDICT r10 #1) --------------------------------
+
+
+def test_sql_policy_kval_matches_python_policy_arithmetic():
+    """The oracle's k-derivation SQL (sql_policy_cells' pc_kval CTE)
+    must equal n_lists_for_corpus(n) for any n — including the
+    floor(sqrt(double)) == isqrt equivalence near perfect squares and
+    the power-of-two-exact ceil division — otherwise the policy-blocked
+    queries hash-diverge only on corpora big enough that nobody runs
+    the oracle. Pins the exact committed SQL text: the kval CTE is
+    extracted from sql_policy_cells and evaluated in DuckDB with
+    count(*) replaced by a literal."""
+    import duckdb
+
+    from in_stream_processing_course_spark.operators.similarity import (
+        n_lists_for_corpus,
+    )
+    from in_stream_processing_course_spark.operators.clustering import (
+        sql_policy_cells,
+    )
+
+    body = sql_policy_cells(table="__T__")
+    kval = body.split(",\npc_cent")[0]
+    assert kval.startswith("pc_kval AS (")
+    inner = kval[len("pc_kval AS (") :].rsplit(")", 1)[0]
+    cases = [
+        1, 2, 15, 16, 17, 255, 256, 257, 500, 2000, 8191, 8192, 8193,
+        20_000, 1_000_000,
+        8192 * 8192 - 1, 8192 * 8192, 8192 * 8192 + 1,  # cap crossover
+        10**6 * 10**6, 10**6 * 10**6 - 1, 10**6 * 10**6 + 1,  # sqrt edge
+        999_999 * 999_999, 10**9, 2**49,
+    ]
+    con = duckdb.connect()
+    for n in cases:
+        sql = inner.replace(
+            "(SELECT count(*) AS n FROM __T__)", f"(SELECT CAST({n} AS BIGINT) AS n)"
+        )
+        (got,) = con.execute(sql).fetchone()
+        assert got == n_lists_for_corpus(n), f"n={n}: SQL {got}"
+
+
+def test_policy_cell_assignment_matches_oracle_cells(spark):
+    """policy_cell_assignment's (vec_id, cluster) must equal the
+    pc_cells CTE row-for-row — the contract the four policy-blocked
+    registered queries stand on."""
+    import duckdb
+
+    from in_stream_processing_course_spark.operators.clustering import (
+        policy_cell_assignment,
+        sql_policy_cells,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in policy_cell_assignment(emb).select("vec_id", "cluster").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{SF_SMOKE}/embeddings.parquet'"
+    )
+    want = set(
+        con.execute(
+            "WITH " + sql_policy_cells() + " SELECT vec_id, cluster FROM pc_cells"
+        ).fetchall()
+    )
+    assert got == want and len(got) == emb.count()
+
+
+def test_cosine_pairs_composite_blocking_intersects_keys(spark):
+    """A composite blocking list must emit exactly the pairs matching
+    on EVERY component — the (label, policy-cell) contract of
+    semantic_dedup_keep / curation_manifest."""
+    from in_stream_processing_course_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 0, [1.0, 0.0]),
+            (2, "a", 0, [1.0, 0.1]),   # pairs with 1 (same label+cell)
+            (3, "a", 1, [1.0, 0.0]),   # same label, different cell
+            (4, "b", 0, [1.0, 0.0]),   # same cell, different label
+        ],
+        "vec_id int, label string, cell int, embedding array<double>",
+    )
+    rows = embedding_cosine_pairs(
+        df, "vec_id", "embedding", ["label", "cell"], 0.0
+    ).collect()
+    assert {(r["a"], r["b"]) for r in rows} == {(1, 2)}
+    # single-column string form unchanged (back-compat)
+    rows1 = embedding_cosine_pairs(df, "vec_id", "embedding", "label", 0.0)
+    assert {(r["a"], r["b"]) for r in rows1.collect()} == {
+        (1, 2), (1, 3), (2, 3),
+    }
