@@ -436,6 +436,32 @@ def policy_cell_assignment(
     )
 
 
+def sql_policy_k(
+    table: str = "embeddings",
+    max_rows_per_cell: int | None = None,
+    floor: int = 16,
+    prefix: str = "pc",
+) -> str:
+    """Just the k-derivation CTE (``{prefix}_kval``, one column ``k``)
+    — n_lists_for_corpus(count(*)) in SQL, shared by every oracle that
+    replays the policy (the cell-blocked dedup family via
+    :func:`sql_policy_cells`, the IVF ``n_lists="auto"`` replay). See
+    :func:`sql_policy_cells` for the exactness argument."""
+    from .similarity import DEFAULT_MAX_ROWS_PER_CELL
+
+    cap = (
+        DEFAULT_MAX_ROWS_PER_CELL
+        if max_rows_per_cell is None
+        else max_rows_per_cell
+    )
+    return f"""{prefix}_kval AS (
+  SELECT greatest(1, least(n, greatest({floor},
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT),
+         CAST(ceil(n / {float(cap)!r}) AS BIGINT)))) AS k
+  FROM (SELECT count(*) AS n FROM {table})
+)"""
+
+
 def sql_policy_cells(
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -460,20 +486,8 @@ def sql_policy_cells(
     - assignment: SQL_SQDIST is the same left-to-right fold as
       assign_to_centroids' zip_with/aggregate; ties rank (d ASC,
       cidx ASC) == the struct-sort argmin's lowest-index tie-break."""
-    from .similarity import DEFAULT_MAX_ROWS_PER_CELL
-
-    cap = (
-        DEFAULT_MAX_ROWS_PER_CELL
-        if max_rows_per_cell is None
-        else max_rows_per_cell
-    )
     sq = SQL_SQDIST.format(a=f"e.{vec_col}", b=f"{prefix}_cent.c")
-    return f"""{prefix}_kval AS (
-  SELECT greatest(1, least(n, greatest({floor},
-         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT),
-         CAST(ceil(n / {float(cap)!r}) AS BIGINT)))) AS k
-  FROM (SELECT count(*) AS n FROM {table})
-),
+    return f"""{sql_policy_k(table, max_rows_per_cell, floor, prefix)},
 {prefix}_cent AS (
   SELECT cidx, c FROM (
     SELECT CAST(row_number() OVER (ORDER BY {id_col}) - 1 AS BIGINT) AS cidx,

@@ -121,6 +121,21 @@ def _resolve_n_lists(n_lists, corpus: DataFrame) -> int:
     return int(n_lists)
 
 
+def _resolve_n_lists_cached(n_lists, corpus: DataFrame, cache_key) -> int:
+    """:func:`_resolve_n_lists` with a per-``cache_key`` count cache
+    (ADVICE r10): ``"auto"`` pays the corpus count job once per cached
+    corpus, not once per call — otherwise every auto call scans the
+    corpus even when the fit itself is a cache hit."""
+    if n_lists == "auto" and cache_key is not None:
+        count_key = f"lloyd-count:{cache_key}"
+        n_rows = _ivf_cache_get(count_key)
+        if n_rows is None:
+            n_rows = corpus.count()
+            _ivf_cache_put(count_key, n_rows)
+        return n_lists_for_corpus(n_rows)
+    return _resolve_n_lists(n_lists, corpus)
+
+
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -463,7 +478,7 @@ def ivf_topk_lloyd(
 
     if fit_sample is None:
         fit_sample = DEFAULT_FIT_SAMPLE
-    n_lists = _resolve_n_lists(n_lists, corpus)
+    n_lists = _resolve_n_lists_cached(n_lists, corpus, cache_key)
     normed = corpus.select(
         id_col,
         vec_col,
@@ -859,15 +874,7 @@ def lloyd_index_centroids(
 
     if fit_sample is None:
         fit_sample = DEFAULT_FIT_SAMPLE
-    if n_lists == "auto" and cache_key is not None:
-        count_key = f"lloyd-count:{cache_key}"
-        n_rows = _ivf_cache_get(count_key)
-        if n_rows is None:
-            n_rows = corpus.count()
-            _ivf_cache_put(count_key, n_rows)
-        n_lists = n_lists_for_corpus(n_rows)
-    else:
-        n_lists = _resolve_n_lists(n_lists, corpus)
+    n_lists = _resolve_n_lists_cached(n_lists, corpus, cache_key)
     full_key = (
         cache_key
         and f"lloyd:{cache_key}:{n_lists}:{n_iters}:{fit_sample}"

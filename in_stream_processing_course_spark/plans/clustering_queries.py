@@ -221,7 +221,7 @@ _FIT_SAMPLE = DEFAULT_FIT_SAMPLE
 
 def _kmeans_rounds_cte(
     src: str = "embeddings",
-    k: int = _K,
+    k: int | str = _K,
     n_iters: int = _N_ITERS,
     fit_sample: int = _FIT_SAMPLE,
     lead: str = "WITH ",
@@ -242,7 +242,12 @@ def _kmeans_rounds_cte(
     Parameterized since r9 so the IVF oracle can replay the same
     chain over a normalized source CTE (``src`` must expose
     (vec_id, embedding); pass ``lead=','`` to splice after earlier
-    CTEs); defaults reproduce ORACLE_KMEANS_FIT exactly."""
+    CTEs); defaults reproduce ORACLE_KMEANS_FIT exactly. Since r11
+    ``k`` may also be a SQL scalar expression (e.g.
+    ``"(SELECT k FROM pc_kval)"`` from sql_policy_k) — the chain's
+    structure is k-independent (the seed table just has k rows), which
+    is what lets the IVF ``n_lists="auto"`` policy replay in a STATIC
+    oracle string."""
     parts = [
         f"""
 {lead}fit0 AS MATERIALIZED (

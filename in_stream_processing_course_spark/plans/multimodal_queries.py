@@ -130,9 +130,106 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (mapInPandas + NumPy) -> 16-bit LSH bands -> in-block
     exact Hamming verify (`bit_count(xor)`). The pHash pipeline shape
     for image dedup, runnable without codecs because the fingerprint
-    is computed from payload bytes. Rows-only driver check (DuckDB
-    has no splitmix64/ngram machinery); the Hamming metric, banding
-    recall, and blocking (no cross product) are pinned in
-    tests/test_multimodal.py."""
+    is computed from payload bytes.
+
+    Oracle-backed since r11 (VERDICT r10 #5): the fingerprint is
+    deterministic integer arithmetic, so DuckDB replays it bit-for-bit
+    — byte 4-gram keys from the ASCII payload, the splitmix64
+    finalizer via HUGEINT mod-2^64 emulation (see _sql_splitmix64),
+    64 vote accumulators, banding, and the Hamming verify — the same
+    replay pattern as the CM/theta sketches. The Hamming metric,
+    banding recall, and blocking (no cross product) are additionally
+    pinned in tests/test_multimodal.py."""
     sig = payload_simhash(_media(spark, sf_dir))
     return phash_candidates(sig).orderBy("a", "b")
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    """(x * c) mod 2^64 for a UBIGINT expression and a 64-bit constant
+    — DuckDB has no wraparound multiply (UBIGINT overflow raises), so
+    split x = xh*2^32 + xl: (x*c) mod 2^64 =
+    (xl*c + ((xh*c) mod 2^32)*2^32) mod 2^64; every intermediate fits
+    HUGEINT (<= 2^96 < 2^127)."""
+    hx = f"CAST({x} AS HUGEINT)"
+    return (
+        f"CAST((({hx} % 4294967296) * {c} "
+        f"+ (({hx} // 4294967296) * {c}) % 4294967296 * 4294967296) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _sql_splitmix64(key: str) -> str:
+    """splitmix64(key) for a non-negative < 2^64 expression — the same
+    public-domain mixer payload_simhash applies in NumPy uint64
+    arithmetic (validated constant-for-constant against it)."""
+    z0 = (
+        f"CAST((CAST({key} AS HUGEINT) + 11400714819323198485) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+    t1 = f"xor({z0}, {z0} >> 30)"
+    z1 = _sql_mulmod64(t1, 13787848793156543929)
+    t2 = f"xor({z1}, {z1} >> 27)"
+    z2 = _sql_mulmod64(t2, 10723151780598845931)
+    return f"xor({z2}, {z2} >> 31)"
+
+
+def _phash_oracle() -> str:
+    # byte i of the utf-8 payload == ascii code point i: every driver
+    # documents fixture is pure ASCII (octet_length == length, checked
+    # at sf0.001/0.01/0.1), and windows past the end pad with 0 —
+    # payload_simhash's np.pad for len < ngram
+    def byte(off: int) -> str:
+        return (
+            f"(CASE WHEN i + {off} <= L "
+            f"THEN ascii(substr(text, CAST(i + {off} AS INT), 1)) ELSE 0 END)"
+        )
+
+    key = (
+        f"({byte(0)} * 16777216 + {byte(1)} * 65536 "
+        f"+ {byte(2)} * 256 + {byte(3)})"
+    )
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (z >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    # votes >= 0 -> bit set (payload_simhash's np.nonzero(votes >= 0));
+    # packed re-signed to int64 range to match the Spark LongType hash
+    pack = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN CAST({1 << j} AS HUGEINT) ELSE 0 END)"
+        for j in range(64)
+    )
+    return f"""
+WITH win AS (
+  SELECT media_id, {key} AS key FROM (
+    SELECT doc_id AS media_id, length(text) AS L, text FROM documents),
+  unnest(generate_series(1, greatest(L - 3, 1))) AS t(i)
+),
+ukey AS (SELECT DISTINCT media_id, key FROM win),
+mixed AS (
+  SELECT media_id, {_sql_splitmix64('key')} AS z FROM ukey
+),
+votes AS (
+  SELECT media_id,
+         {votes}
+  FROM mixed GROUP BY media_id
+),
+ph AS (
+  SELECT media_id, CAST(({pack}) % 18446744073709551616 AS UBIGINT) AS phu
+  FROM votes
+),
+bands AS (
+  SELECT media_id, phu, b AS band_id,
+         (phu >> CAST(b * 16 AS INT)) & 65535 AS band_key
+  FROM ph, unnest(generate_series(0, 3)) AS t(b)
+)
+SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+       CAST(bit_count(xor(l.phu, r.phu)) AS INT) AS hamming
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key
+     AND l.media_id < r.media_id
+WHERE bit_count(xor(l.phu, r.phu)) <= 12
+ORDER BY a, b
+"""
+
+
+ORACLE_PHASH_NEAR_DUPS = _phash_oracle()

@@ -290,6 +290,9 @@ register("knn_lsh_multiprobe", sq.knn_lsh_multiprobe, sq.ORACLE_KNN_MULTIPROBE)
 register("embedding_label_centroids", sq.label_centroids, sq.ORACLE_CENTROIDS)
 # hash-backed since r9: Lloyd-indexed IVF, oracle replays fit + probe
 register("knn_ivf", sq.knn_ivf, sq.ORACLE_KNN_IVF)
+# r11: the n_lists="auto" policy form, hash-checked — the oracle
+# re-derives k from count(*) before replaying the same fit/probe chain
+register("knn_ivf_auto", sq.knn_ivf_auto, sq.ORACLE_KNN_IVF_AUTO)
 
 # --- multimodal binary columns (X4) -----------------------------------------
 register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)
@@ -512,7 +515,11 @@ register(
     "merge_user_profiles", iq.merge_user_profiles, iq.ORACLE_MERGE_PROFILES
 )
 register("text_type_token_stats", tq.type_token_stats, tq.ORACLE_TYPE_TOKEN)
-register("media_phash_near_dups", mq.media_phash_near_dups)
+register(
+    "media_phash_near_dups",
+    mq.media_phash_near_dups,
+    mq.ORACLE_PHASH_NEAR_DUPS,
+)
 register(
     "temporal_join_events_dim",
     iq.temporal_join_events_dim,

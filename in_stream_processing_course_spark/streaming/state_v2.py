@@ -40,6 +40,8 @@ from pyspark.sql.streaming.stateful_processor import (
     TimerValues,
 )
 
+from pyspark.sql import types as T
+
 from .state import (
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
@@ -49,31 +51,80 @@ from .state import (
     summarize,
 )
 
+# event-time mode's second state variable: the key's true last-seen
+# event time in ms (the idle-timer base)
+LAST_SEEN_SCHEMA = T.StructType([T.StructField("last_ms", T.LongType())])
+
 
 class KeyedHistoryProcessor(StatefulProcessor):
-    """Per-key trailing-history verdicts with idle-timer eviction."""
+    """Per-key trailing-history verdicts with idle-timer eviction.
+
+    Two timeout modes (r11, VERDICT r10 next-round #3):
+
+    - ``event_time=False`` (default): PROCESSING-time idle timer —
+      faithful to the reference (``StateSpec...timeout(10 min)``,
+      ImplDStreams.scala:121). Correct for live ingestion where
+      arrival time ≈ event time: a key is evicted 10 wall-clock
+      minutes after its last arrival.
+    - ``event_time=True``: EVENT-time eviction — evict when the
+      WATERMARK passes last-seen-event-time + 10 min. This is the
+      replay-safe form: during a 100 TB backfill / catch-up replay the
+      wall clock races ahead of event time, so a processing-time timer
+      would evict every key mid-replay (hours of events arrive in
+      wall-clock seconds, then ANY >10-wall-minute stall purges state
+      that is still live in event time); conversely idle keys are
+      evicted as soon as the data itself proves 10 event-minutes of
+      silence, regardless of how fast the replay runs. The timer
+      target is data-derived (max event time seen for the key), so a
+      re-run of the same data evicts at the same points — replay-safe.
+
+    Rule of thumb: processing-time for steady live streams (matches
+    the reference), event-time wherever the stream can lag, stall, or
+    be replayed — i.e. any at-scale deployment with backfills."""
+
+    def __init__(self, event_time: bool = False) -> None:
+        self.event_time = event_time
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
         self.history = handle.getValueState("history", STATE_SCHEMA)
+        if self.event_time:
+            # last event time seen for the key (ms) — the timer base.
+            # A separate ValueState rather than max(buckets): buckets
+            # are floored to SLIDE_SEC, and eviction should key off the
+            # true last-seen instant, matching v1's "10 min after the
+            # last ARRIVAL" semantics transposed to event time.
+            self.last_seen = handle.getValueState("last_seen", LAST_SEEN_SCHEMA)
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         merged = self.history.get() if self.history.exists() else None
+        batch_max_ms = -1
         for pdf in rows:
+            if self.event_time and len(pdf) > 0:
+                batch_max_ms = max(
+                    batch_max_ms, int(pdf["time"].astype("int64").max()) // 10**6
+                )
             merged = merge_history(merged, pdf)
         if merged is None:
             return
         self.history.update(tuple(merged))
         # sliding idle timer: drop any previously registered timer and
-        # arm a fresh one TIMEOUT_SEC from now — the timer only fires
-        # for keys that stay silent the whole interval
+        # arm a fresh one TIMEOUT_SEC past the mode's clock — the timer
+        # only fires for keys that stay silent the whole interval
         for old in self.handle.listTimers():
             self.handle.deleteTimer(old)
-        self.handle.registerTimer(
-            timerValues.getCurrentProcessingTimeInMs() + TIMEOUT_SEC * 1000
-        )
+        if self.event_time:
+            prev = self.last_seen.get()[0] if self.last_seen.exists() else -1
+            last = max(prev, batch_max_ms)
+            self.last_seen.update((last,))
+            # fires when the WATERMARK passes last + timeout
+            self.handle.registerTimer(last + TIMEOUT_SEC * 1000)
+        else:
+            self.handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + TIMEOUT_SEC * 1000
+            )
         clicks, views, cat_count = summarize(merged)
         is_bot, reason = classify_merged(clicks, views, cat_count)
         yield pd.DataFrame(
@@ -92,21 +143,40 @@ class KeyedHistoryProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         # isTimingOut guard (ImplDStreams.scala:94-96): evict silently
         self.history.clear()
+        if self.event_time:
+            self.last_seen.clear()
         return iter(())
 
     def close(self) -> None:
         pass
 
 
-def keyed_history_verdicts_v2(log_records: DataFrame) -> DataFrame:
+def keyed_history_verdicts_v2(
+    log_records: DataFrame,
+    event_time: bool = False,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
     """Drop-in equivalent of :func:`.state.keyed_history_verdicts` on
     the transformWithState API. Input: LogRecord-shaped streaming
     DataFrame (ip, time, clicks, views, category); output: one verdict
     row per active key per micro-batch (update semantics).
-    """
+
+    ``event_time=True`` switches idle-key eviction from the wall clock
+    to the watermark (see :class:`KeyedHistoryProcessor` for when each
+    mode is correct); it sets a watermark of ``watermark_delay`` on
+    ``time`` (required by the EventTime timeMode, and the knob that
+    tolerates out-of-order arrival during backfills — late rows inside
+    the delay still merge; the watermark, hence eviction, only
+    advances as far as the data minus the delay). Note the standard
+    watermark contract: rows at event time <= the current watermark
+    are dropped as late BEFORE reaching the processor — size
+    ``watermark_delay`` to the deployment's real out-of-orderness
+    (the processing-time mode never drops input)."""
+    if event_time:
+        log_records = log_records.withWatermark("time", watermark_delay)
     return log_records.groupBy("ip").transformWithStateInPandas(
-        statefulProcessor=KeyedHistoryProcessor(),
+        statefulProcessor=KeyedHistoryProcessor(event_time=event_time),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="ProcessingTime",
+        timeMode="EventTime" if event_time else "ProcessingTime",
     )

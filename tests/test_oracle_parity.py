@@ -84,3 +84,23 @@ def test_committed_scale_smoke_is_current():
         f"{len(QUERIES)} — re-run tools/scale_smoke.py with the registry "
         "change"
     )
+
+
+def test_scale_budget_gate_is_wired():
+    """The sf1 trend gate (tools/scale_smoke.py --sf1, r11): every
+    budgeted query must exist in the registry (a renamed query would
+    silently drop out of the gate), and committed SCALE_TREND evidence
+    must exist for the round family."""
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    budgets = json.loads((root / "tools" / "scale_budgets.json").read_text())
+    assert budgets, "empty scale budget file"
+    missing = sorted(set(budgets) - set(QUERIES))
+    assert not missing, f"budgeted queries not in registry: {missing}"
+    for name, bar in budgets.items():
+        assert isinstance(bar, (int, float)) and bar > 0, (name, bar)
+    assert list(root.glob("SCALE_TREND_r*_sf1.txt")), (
+        "no committed SCALE_TREND evidence"
+    )

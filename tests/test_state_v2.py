@@ -132,3 +132,111 @@ def test_v2_state_survives_checkpoint_restart(rocksdb_spark, tmp_path):
     # restart on the same checkpoint: only the new file processes, and
     # it merges onto run-1's persisted state
     assert drain() == [(8, True, "categories")]
+
+
+# --- event-time eviction mode, live transport (r11, VERDICT r10 #3) ----------
+
+
+def test_v2_event_time_matches_v1_verdicts(rocksdb_spark, tmp_path):
+    """stream==batch for the EVENT-TIME timeout mode: the mode changes
+    only WHEN idle keys are evicted, so the same workload must yield
+    the v1 (processing-time applyInPandasWithState) verdicts exactly."""
+    spark = rocksdb_spark
+    from in_stream_processing_course_spark.streaming.state import (
+        keyed_history_verdicts,
+    )
+
+    # base_time > 0: EventTime mode drops rows at event time <= the
+    # current watermark, and the watermark initializes to epoch 0 — an
+    # event at exactly t=0 is "late" to a 0 watermark (degenerate only
+    # for epoch-0 fixtures; real data never sits at epoch 0)
+    actions = (
+        gen.category_hopper("bot", 120, 8, base_time=1000, interval=30)
+        + gen.requests_burst("hum", 80, base_time=1000, interval=30)
+    )
+    in_dir = _write(tmp_path, "a.json", actions)
+
+    def run(op, ckpt):
+        lr = actions_to_log_records(read_action_stream(spark, in_dir))
+        return {
+            tuple(r)
+            for r in run_stream_to_memory(
+                op(lr), output_mode="update", checkpoint_dir=str(tmp_path / ckpt)
+            ).collect()
+        }
+
+    v2_et = run(
+        lambda lr: keyed_history_verdicts_v2(lr, event_time=True), "ckpt_et"
+    )
+    v1 = run(keyed_history_verdicts, "ckpt_v1")
+    assert v1 == v2_et and len(v1) == 2
+
+
+def test_v2_event_time_state_survives_checkpoint_restart(rocksdb_spark, tmp_path):
+    """T6/T8 for the event-time mode: the last_seen ValueState and the
+    event-time timer registry must round-trip RocksDB across a query
+    RESTART — drain batch 1, stop, drop file 2, restart on the same
+    checkpoint; the new file merges onto run-1 state (8 categories ->
+    bot) instead of starting fresh."""
+    spark = rocksdb_spark
+    from in_stream_processing_course_spark.streaming.runner import (
+        run_stream_foreach_batch,
+    )
+
+    b1 = gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+    b2 = [
+        gen.Action(a.time + 60, f"cat{int(a.category_id[3:]) + 4}", a.ip, a.action)
+        for a in gen.category_hopper("ip1", 40, 4, base_time=0, interval=20)
+    ]
+    in_dir = _write(tmp_path, "b1.json", b1)
+    ckpt = str(tmp_path / "ckpt_et_restart")
+
+    def drain():
+        rows: list[tuple] = []
+        lr = actions_to_log_records(read_action_stream(spark, in_dir))
+        run_stream_foreach_batch(
+            keyed_history_verdicts_v2(lr, event_time=True),
+            lambda df, _bid: rows.extend(
+                (r["categories_count"], r["is_bot"], r["reason"])
+                for r in df.collect()
+            ),
+            "update",
+            checkpoint_dir=ckpt,
+        )
+        return rows
+
+    assert drain() == [(4, False, "clear")]
+    _write(tmp_path, "b2.json", b2)
+    assert drain() == [(8, True, "categories")]
+
+
+def test_v2_event_time_backfill_out_of_order_merges(rocksdb_spark, tmp_path):
+    """Backfill catch-up: file 2 carries rows OLDER than file 1's max
+    event time but inside the watermark delay — they must still merge
+    into the key's history (the watermark only advances data-minus-
+    delay, so late-but-tolerated rows are neither dropped nor do they
+    revive the eviction horizon)."""
+    spark = rocksdb_spark
+    # file 1: 4 categories at t=60..140s; file 2: 4 NEW categories at
+    # t=30..110s — older than file 1's max but within the 300s delay
+    b1 = gen.category_hopper("ip1", 40, 4, base_time=60, interval=20)
+    b2 = [
+        gen.Action(a.time - 30, f"cat{int(a.category_id[3:]) + 4}", a.ip, a.action)
+        for a in gen.category_hopper("ip1", 40, 4, base_time=60, interval=20)
+    ]
+    in_dir = _write(tmp_path, "b1.json", b1)
+    _write(tmp_path, "b2.json", b2)
+
+    lr = actions_to_log_records(
+        read_action_stream(spark, in_dir, max_files_per_trigger=1)
+    )
+    out = run_stream_to_memory(
+        keyed_history_verdicts_v2(
+            lr, event_time=True, watermark_delay="300 seconds"
+        ),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt_backfill"),
+    )
+    counts = sorted(r["categories_count"] for r in out.collect())
+    # batch 1 emits 4; batch 2 merges the out-of-order rows -> 8
+    assert counts == [4, 8]

