@@ -152,7 +152,10 @@ def summarize(state: tuple[list, list, list, list]) -> tuple[int, int, int]:
 
 
 def _update_fn(
-    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+    event_time: bool = False,
 ) -> Iterable[pd.DataFrame]:
     if state.hasTimedOut:
         # isTimingOut guard (ImplDStreams.scala:94-96): no emission
@@ -166,7 +169,20 @@ def _update_fn(
     if merged is None:
         return
     state.update(tuple(merged))
-    state.setTimeoutDuration(TIMEOUT_SEC * 1000)
+    if event_time:
+        # event-time eviction (r11, mirroring state_v2's mode): evict
+        # when the WATERMARK passes last-seen + timeout. The timer base
+        # is the newest retained bucket — a floor of the true last-seen
+        # instant at SLIDE_SEC grain (the state schema carries no finer
+        # timestamp; the <=30s slack only delays eviction, never evicts
+        # a live key early). Data-derived, so replays evict at the same
+        # points regardless of wall-clock speed — the backfill-safe
+        # form; see keyed_history_verdicts for when each mode is right.
+        state.setTimeoutTimestamp(
+            (int(merged[0][-1]) + SLIDE_SEC + TIMEOUT_SEC) * 1000
+        )
+    else:
+        state.setTimeoutDuration(TIMEOUT_SEC * 1000)
     clicks, views, cat_count = summarize(merged)
     is_bot, reason = classify_merged(clicks, views, cat_count)
     yield pd.DataFrame(
@@ -179,6 +195,15 @@ def _update_fn(
             "reason": [reason],
         }
     )
+
+
+def _update_fn_event_time(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Top-level named wrapper (applyInPandasWithState pickles the
+    function; a lambda/partial would work but this keeps the plan's
+    python_udf name readable in explain output)."""
+    return _update_fn(key, pdf_iter, state, event_time=True)
 
 
 PARTIAL_SCHEMA = T.StructType(
@@ -260,7 +285,10 @@ def prereduce_log_records(
 
 
 def keyed_history_verdicts(
-    log_records: DataFrame, prereduce: bool = False
+    log_records: DataFrame,
+    prereduce: bool = False,
+    event_time: bool = False,
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """Streaming per-key verdict over the trailing 10-minute history
     (the DStream pipeline ImplDStreams.scala:86-125 as one operator).
@@ -271,8 +299,33 @@ def keyed_history_verdicts(
     inserts the stateless map-side combiner (see
     :func:`prereduce_log_records` for when that pays); results are
     identical either way.
+
+    ``event_time=True`` (r11) switches idle-key eviction from the wall
+    clock to the watermark — evict when it passes the key's newest
+    bucket + 10 min. Processing-time (the default, faithful to
+    ImplDStreams.scala:121) is right for live ingestion where arrival
+    ≈ event time; event-time is the replay-safe form for backfills
+    (wall clock racing event time would otherwise purge every key
+    mid-replay, and any >10-minute stall purges state that is live in
+    event time). Same mode contract as the v2 twin
+    (state_v2.keyed_history_verdicts_v2) — and the same standard
+    watermark trade: rows at event time <= the watermark are dropped
+    as late before reaching the operator, so size ``watermark_delay``
+    to the deployment's real out-of-orderness.
     """
     source = prereduce_log_records(log_records) if prereduce else log_records
+    if event_time:
+        return (
+            source.withWatermark("time", watermark_delay)
+            .groupBy("ip")
+            .applyInPandasWithState(
+                _update_fn_event_time,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return source.groupBy("ip").applyInPandasWithState(
         _update_fn,
         outputStructType=OUTPUT_SCHEMA,

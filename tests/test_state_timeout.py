@@ -77,3 +77,65 @@ def test_state_accumulates_between_calls():
     )
     row = out[0].iloc[0]
     assert (row["clicks"], row["views"], row["categories_count"]) == (1, 1, 2)
+
+
+class FakeEventTimeGroupState(FakeGroupState):
+    def __init__(self, value=None, has_timed_out=False):
+        super().__init__(value, has_timed_out)
+        self.timeout_ts = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ts = ms
+
+
+# --- event-time eviction mode (r11, mirroring state_v2's) --------------------
+
+
+def test_event_time_mode_arms_watermark_timer_from_newest_bucket():
+    """The timer base must be DATA-derived: newest retained bucket +
+    slide + timeout, never the wall clock — what makes eviction
+    replay-safe under backfills."""
+    state = FakeEventTimeGroupState()
+    out = list(
+        st_mod._update_fn_event_time(
+            ("ip1",), [_batch([(95, 1, 0, "a"), (40, 0, 1, "b")])], state
+        )
+    )
+    assert len(out) == 1
+    # newest bucket = floor(95/30)*30 = 90; timer = (90 + 30 + 600)s
+    assert state.timeout_ts == (90 + st_mod.SLIDE_SEC + st_mod.TIMEOUT_SEC) * 1000
+    assert state.timeout_ms is None  # never the processing-time API
+
+
+def test_event_time_mode_timer_never_rewinds_on_late_batches():
+    """Out-of-order catch-up: a batch older than the retained history
+    merges but must not pull the eviction point backwards (the timer
+    tracks the NEWEST bucket, which only moves forward)."""
+    state = FakeEventTimeGroupState()
+    list(st_mod._update_fn_event_time(("k",), [_batch([(300, 1, 0, "a")])], state))
+    first = state.timeout_ts
+    out = list(
+        st_mod._update_fn_event_time(("k",), [_batch([(100, 0, 1, "b")])], state)
+    )
+    assert state.timeout_ts == first  # newest bucket still 300s
+    row = out[0].iloc[0]
+    assert row["categories_count"] == 2  # the late row DID merge
+
+
+def test_event_time_mode_timeout_branch_evicts_silently():
+    state = FakeEventTimeGroupState(
+        value=([0], [5], [5], ['["a"]']), has_timed_out=True
+    )
+    out = list(st_mod._update_fn_event_time(("k",), iter([]), state))
+    assert out == []
+    assert state.removed
+
+
+def test_event_time_mode_same_verdicts_as_processing_time():
+    """The mode changes WHEN keys are evicted, never WHAT is computed:
+    identical batches through both modes yield identical rows."""
+    rows = [(0, 3, 1, "a"), (40, 2, 2, "b"), (90, 1, 1, "c")]
+    s1, s2 = FakeGroupState(), FakeEventTimeGroupState()
+    r1 = list(st_mod._update_fn(("k",), [_batch(rows)], s1))[0].iloc[0]
+    r2 = list(st_mod._update_fn_event_time(("k",), [_batch(rows)], s2))[0].iloc[0]
+    assert r1.to_dict() == r2.to_dict()

@@ -1029,3 +1029,43 @@ def test_upsert_sink_read_survives_every_partition_retired(spark, tmp_path):
     assert got == {(f"ip-{i}", "requests") for i in range(200)} | {
         ("9.9.9.9", "categories")
     }
+
+
+def test_stateful_event_time_mode_accumulates_and_merges_late_rows(
+    spark, tmp_path
+):
+    """r11: the v1 operator's event_time=True mode through a real
+    stream — history still accumulates across micro-batches (4 -> 8
+    categories -> bot), and a file carrying rows OLDER than the
+    stream's max event time but inside the watermark delay still
+    merges (the backfill/out-of-order contract; eviction timing is
+    unit-pinned in test_state_timeout.py)."""
+    from in_stream_processing_course_spark.streaming.state import (
+        keyed_history_verdicts,
+    )
+
+    b1 = gen.category_hopper("ip1", 40, 4, base_time=60, interval=20)
+    # 4 NEW categories, 30s EARLIER than batch 1 (late but within delay)
+    b2 = [
+        gen.Action(a.time - 30, f"cat{int(a.category_id[3:]) + 4}", a.ip, a.action)
+        for a in gen.category_hopper("ip1", 40, 4, base_time=60, interval=20)
+    ]
+    in_dir = write_actions(tmp_path, "b1.json", b1)
+    write_actions(tmp_path, "b2.json", b2)
+
+    out = run_stream_to_memory(
+        keyed_history_verdicts(
+            actions_to_log_records(
+                read_action_stream(spark, in_dir, max_files_per_trigger=1)
+            ),
+            event_time=True,
+            watermark_delay="300 seconds",
+        ),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt_et_v1"),
+    )
+    rows = out.orderBy("categories_count").collect()
+    counts = [r["categories_count"] for r in rows]
+    verdicts = [(r["is_bot"], r["reason"]) for r in rows]
+    assert counts == [4, 8]
+    assert verdicts == [(False, "clear"), (True, "categories")]
