@@ -125,8 +125,23 @@ def main() -> int:
     write(copies(read("orders"), n, orders_copy), "orders")
     write(copies(read("lineitem"), n, li_copy), "lineitem")
 
-    # pass-through tables (dimensions + events): copy the files
-    for t in ("region", "nation", "part", "supplier", "events"):
+    # events: key-remapped user/event copies (r11 — events passed
+    # through unchanged before, so every events-family query measured
+    # x1.0 "scaling" at sf1: vacuous. Remapping user_id keeps per-user
+    # session/window structure realistic while the user population and
+    # row count grow 10x — window buckets widen, sessionize islands
+    # multiply, SCD islands multiply; timestamps stay put so bucket
+    # CARDINALITY is constant and per-bucket population grows, the
+    # usual shape of a busier deployment.)
+    def ev_copy(df, i):
+        return df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * KEY_STRIDE)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * KEY_STRIDE))
+
+    write(copies(read("events"), n, ev_copy), "events")
+
+    # pass-through tables (dimensions): copy the files
+    for t in ("region", "nation", "part", "supplier"):
         target = dst / f"{t}.parquet"
         if target.is_dir():
             shutil.rmtree(target)
