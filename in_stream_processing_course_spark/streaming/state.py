@@ -178,9 +178,20 @@ def _update_fn(
         # a live key early). Data-derived, so replays evict at the same
         # points regardless of wall-clock speed — the backfill-safe
         # form; see keyed_history_verdicts for when each mode is right.
-        state.setTimeoutTimestamp(
-            (int(merged[0][-1]) + SLIDE_SEC + TIMEOUT_SEC) * 1000
-        )
+        #
+        # Clamped to just past the current watermark: unlike windowed
+        # aggregation, applyInPandasWithState does NOT drop late input,
+        # so a key whose rows are ALL older than (watermark - timeout)
+        # — e.g. a straggler file landing mid-backfill — still reaches
+        # this code, and Spark rejects a timer behind the watermark
+        # (INVALID_TIMEOUT_TIMESTAMP, found by the live eviction test).
+        # Semantics preserved: such a key is already expired in event
+        # time, so it gets the earliest legal timer (next batch) rather
+        # than a crash — it emits its verdict for the late batch, then
+        # evicts.
+        target = (int(merged[0][-1]) + SLIDE_SEC + TIMEOUT_SEC) * 1000
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(target, wm + 1))
     else:
         state.setTimeoutDuration(TIMEOUT_SEC * 1000)
     clicks, views, cat_count = summarize(merged)

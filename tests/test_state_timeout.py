@@ -80,12 +80,19 @@ def test_state_accumulates_between_calls():
 
 
 class FakeEventTimeGroupState(FakeGroupState):
-    def __init__(self, value=None, has_timed_out=False):
+    def __init__(self, value=None, has_timed_out=False, watermark_ms=0):
         super().__init__(value, has_timed_out)
         self.timeout_ts = None
+        self.watermark_ms = watermark_ms
 
     def setTimeoutTimestamp(self, ms):
+        # mirror Spark's guard (INVALID_TIMEOUT_TIMESTAMP)
+        if ms < self.watermark_ms:
+            raise ValueError(f"timeout {ms} earlier than watermark {self.watermark_ms}")
         self.timeout_ts = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
 
 
 # --- event-time eviction mode (r11, mirroring state_v2's) --------------------
@@ -139,3 +146,18 @@ def test_event_time_mode_same_verdicts_as_processing_time():
     r1 = list(st_mod._update_fn(("k",), [_batch(rows)], s1))[0].iloc[0]
     r2 = list(st_mod._update_fn_event_time(("k",), [_batch(rows)], s2))[0].iloc[0]
     assert r1.to_dict() == r2.to_dict()
+
+
+def test_event_time_mode_clamps_timer_for_already_expired_keys():
+    """applyInPandasWithState does NOT drop late input, so a straggler
+    batch whose rows are all older than (watermark - timeout) still
+    reaches the operator; Spark rejects timers behind the watermark,
+    so the timer clamps to watermark+1 — the key emits for the late
+    batch, then evicts at the next batch (found live by the eviction
+    test, pinned here)."""
+    state = FakeEventTimeGroupState(watermark_ms=5_018_000)
+    out = list(
+        st_mod._update_fn_event_time(("ip1",), [_batch([(100, 1, 0, "a")])], state)
+    )
+    assert len(out) == 1  # the late batch still gets its verdict
+    assert state.timeout_ts == 5_018_001  # earliest legal timer

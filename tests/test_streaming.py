@@ -1069,3 +1069,56 @@ def test_stateful_event_time_mode_accumulates_and_merges_late_rows(
     verdicts = [(r["is_bot"], r["reason"]) for r in rows]
     assert counts == [4, 8]
     assert verdicts == [(False, "clear"), (True, "categories")]
+
+
+def test_stateful_event_time_mode_evicts_idle_keys_live(spark, tmp_path):
+    """r11: live proof that the event-time idle timer actually FIRES
+    and evicts through the real applyInPandasWithState transport. The
+    verdict OUTPUT can't show eviction (the trailing-window prune
+    masks it), so the observable is the state store itself:
+    `numRowsTotal` in the final progress. Three single-file batches —
+    ip1 at t=100s, then two advancer keys at t=5000/5010s; the
+    watermark (delay 10s) passes ip1's data-derived timeout
+    (100+30+600 s) after batch 2, so batch 3 fires the timer and
+    evicts ip1. Final state: the two advancers only."""
+    import json as _json
+    import time as _time
+
+    from in_stream_processing_course_spark.streaming.runner import await_drained
+    from in_stream_processing_course_spark.streaming.state import (
+        keyed_history_verdicts,
+    )
+
+    in_dir = write_actions(
+        tmp_path, "b1.json", gen.requests_burst("ip1", 10, base_time=100, interval=20)
+    )
+    write_actions(
+        tmp_path, "b2.json", gen.requests_burst("adv", 10, base_time=5000, interval=20)
+    )
+    write_actions(
+        tmp_path, "b3.json", gen.requests_burst("adv2", 10, base_time=5010, interval=20)
+    )
+
+    sdf = keyed_history_verdicts(
+        actions_to_log_records(
+            read_action_stream(spark, in_dir, max_files_per_trigger=1)
+        ),
+        event_time=True,
+    )
+    query = (
+        sdf.writeStream.foreachBatch(lambda df, bid: df.count())
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drained(query)
+    progress = query.lastProgress
+    if isinstance(progress, str):  # pyspark returns json str in some versions
+        progress = _json.loads(progress)
+    state = progress["stateOperators"][0]
+    # three keys were seen; ip1 was evicted by the fired event-time
+    # timer, so only adv + adv2 remain in the store (numRowsRemoved
+    # lands in whichever batch fired the timer, not necessarily the
+    # final progress — the live-row count is the stable observable)
+    assert state["numRowsTotal"] == 2, state

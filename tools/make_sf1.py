@@ -21,7 +21,19 @@ measure pair-explosion pathology instead of scale):
 - orders/customer/lineitem: key-remapped unions (custkey/orderkey
   + i*10^7) — the standard fact-table scale-up; supplier/part/nation
   stay dimension-sized (realistic: dimensions don't scale with facts);
-- everything else copies through unchanged.
+- events (r11): key-remapped user/event copies — 10x rows AND users,
+  timestamps unchanged (per-bucket population grows, like a busier
+  deployment). Before r11 events passed through unchanged, which made
+  every events-family trend row a vacuous x1 — the gate exposed it;
+- region/nation/part/supplier copy through unchanged.
+
+Fixture-validity caveat (learned from the gate, r11): the document
+word-permutation is invisible to ORDER-INDEPENDENT fingerprints —
+SimHash over unigram tokens assigns all 10 copies of a doc the same
+fingerprint, so copy families become genuine 45-pair near-dup cliques
+and any unigram-fingerprint query measures output growth (~x100), not
+plan scaling. Use shingle-based queries (MinHash, word-3-gram Jaccard)
+to trend that family; see SCALE_TREND_r11_sf1.txt.
 
 Output: /root/repo/scale_sf1/<table>.parquet (gitignored — ~1 GiB).
 Usage: python tools/make_sf1.py [n_copies]
