@@ -107,7 +107,25 @@ def main() -> int:
 
         return hook
 
+    # --batched-only (r11): past the 5k budget the sequential twin
+    # doubles the wall for no new information — byte-equality of the
+    # two learners is already pinned at 500/2000/5000 merges; deep
+    # budgets measure the DEPLOY path (batched) alone
+    batched_only = "--batched-only" in sys.argv
+
     for n in budgets:
+        if batched_only:
+            t = time.perf_counter()
+            bat = learn_merges_batched(
+                docs, n, vocab=vocab, progress=milestone_hook("bat", t)
+            )
+            t_bat = time.perf_counter() - t
+            print(
+                f"n_merges={n}: batched {t_bat:.1f}s "
+                f"({t_bat / max(len(bat), 1):.3f}s/merge), "
+                f"learned {len(bat)} merges (batched-only run)"
+            )
+            continue
         t = time.perf_counter()
         seq = learn_merges(docs, n, vocab=vocab, progress=milestone_hook("seq", t))
         t_seq = time.perf_counter() - t
