@@ -457,7 +457,7 @@ def sql_policy_k(
     return f"""{prefix}_kval AS (
   SELECT greatest(1, least(n, greatest({floor},
          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT),
-         CAST(ceil(n / {float(cap)!r}) AS BIGINT)))) AS k
+         (n + {cap - 1}) // {cap}))) AS k
   FROM (SELECT count(*) AS n FROM {table})
 )"""
 
@@ -480,8 +480,10 @@ def sql_policy_cells(
       ``math.isqrt(n)`` for any table-sized n (IEEE sqrt is correctly
       rounded; the nearest double to √n crosses an integer only within
       ~n·2⁻⁵² of a perfect square, impossible for integer n < 2⁵²),
-      and ``ceil(n / cap.0)`` is exact because the default cap 8192 is
-      a power of two (n/8192.0 is a scale by 2⁻¹³, always exact).
+      and the cap term is integer ceil division ``(n + cap-1) // cap``
+      — exact for ANY cap, not just powers of two (r12; the earlier
+      float form ``ceil(n / cap.0)`` was exact only for power-of-two
+      caps).
     - seeding: rank-by-id == the k smallest ids (seed_centroids).
     - assignment: SQL_SQDIST is the same left-to-right fold as
       assign_to_centroids' zip_with/aggregate; ties rank (d ASC,
@@ -501,5 +503,177 @@ def sql_policy_cells(
            row_number() OVER (PARTITION BY e.{id_col}
                               ORDER BY {sq} ASC, {prefix}_cent.cidx ASC) AS rn
     FROM {table} e CROSS JOIN {prefix}_cent)
+  WHERE rn = 1
+)"""
+
+
+def _py_sqdist(u: list[float], v: list[float]) -> float:
+    """Squared Euclidean distance as the SAME ordered fold the engine
+    and the oracle use (SQL_SQDIST / distances_col: 0.0 init, dims
+    left-to-right, (a-b)*(a-b) per dim) — IEEE-double-identical to
+    both, which is what lets :func:`two_level_assign` compute the
+    fine→coarse grouping driver-side and still hash-match a DuckDB
+    replay that re-derives it in SQL."""
+    acc = 0.0
+    for a, b in zip(u, v):
+        d = float(a) - float(b)
+        acc += d * d
+    return acc
+
+
+def _argmin_sql(
+    vec_sql: str, centroids: list[list[float]], indices: list[int]
+) -> str:
+    """SQL snippet: the index (from ``indices``) of the nearest
+    centroid among the given subset — the array_sort-over-(d, c)
+    structs argmin of :func:`assign_to_centroids`, restricted to a
+    subset while returning ORIGINAL indices. One F.expr-able string
+    (no per-centroid py4j round-trips; see :func:`distances_col`)."""
+    dists = ",".join(
+        "aggregate(zip_with({v}, {c}, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))".format(
+            v=vec_sql, c=_centroid_sql(centroids[i])
+        )
+        for i in indices
+    )
+    idx = ",".join(str(i) for i in indices)
+    return (
+        f"array_sort(zip_with(array({dists}), array({idx}),"
+        " (x, y) -> struct(x, y)))[0].y"
+    )
+
+
+def two_level_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment through a COARSE QUANTIZER (the
+    IMI/FAISS two-level trick, VERDICT r11 next-round #2): instead of
+    scoring every row against all k centroids (n·k·d — with the
+    policy's k≈√n that is the n^1.5·d index-build term the sf1 gate
+    measured at ×13.5–15.2 on ×10 data), route each row through
+    √k coarse anchors, then score only the fine centroids whose
+    nearest anchor matches — n·(√k + k/√k)·d ≈ n·2√k·d expected work,
+    exponent 1.25 instead of 1.5 under k=√n.
+
+    Mechanics (everything an ordered fold a SQL oracle replays —
+    :func:`sql_two_level_cells`):
+
+    - coarse anchors = the first ``n_coarse`` (default isqrt(k)) FINE
+      centroids — no second fit; the fine centroids are already a
+      spread summary of the data, and reusing their prefix keeps the
+      model fully determined by the one Lloyd fit;
+    - fine→coarse grouping: each fine centroid joins its nearest
+      anchor (driver-side Python over the model — k·√k·d on kilobytes;
+      :func:`_py_sqdist` is fold-order-identical to SQL_SQDIST, so the
+      oracle re-derives the SAME grouping in SQL);
+    - row assignment: one argmin over the √k anchors, then a CASE
+      branch per coarse group running the argmin over that group's
+      fine centroids only — codegen evaluates exactly one branch per
+      row, so per-row work is √k + |group| distances, while the plan
+      still carries all k·dim literals (same plan-size envelope as
+      :func:`assign_to_centroids`; the broadcast-table form remains
+      the documented path past k ~ 12k).
+
+    APPROXIMATE by design, like every coarse quantizer: a row whose
+    true nearest fine centroid sits in a different coarse group gets
+    its within-group best instead. That is the standard IVF
+    build-time trade (cell boundaries move slightly; recall is
+    recovered by n_probe at serve time), and the oracle replays the
+    identical rule, so the approximation itself is inside the hash
+    check. Empty coarse groups (possible only from duplicate anchors)
+    are unreachable: a row ties duplicate anchors to the lowest
+    index, which is exactly where the duplicated fine centroids
+    grouped."""
+    import math
+
+    k = len(centroids)
+    kc = max(1, math.isqrt(k)) if n_coarse is None else n_coarse
+    if kc >= k:
+        return assign_to_centroids(
+            df, centroids, vec_col=vec_col,
+            cluster_col=cluster_col, dist_col=None,
+        )
+    if "_coarse" in df.columns:
+        raise ValueError(
+            "input column '_coarse' collides with the operator's "
+            "internal coarse-cell scratch"
+        )
+    anchors = centroids[:kc]
+    groups: list[list[int]] = [[] for _ in range(kc)]
+    for ci, cvec in enumerate(centroids):
+        best_g, best_d = 0, None
+        for g, avec in enumerate(anchors):
+            dsq = _py_sqdist(cvec, avec)
+            if best_d is None or dsq < best_d:
+                best_g, best_d = g, dsq
+        groups[best_g].append(ci)
+    vec_sql = "`" + vec_col.replace("`", "``") + "`"
+    coarse_sql = _argmin_sql(vec_sql, anchors, list(range(kc)))
+    branches = " ".join(
+        f"WHEN {g} THEN ({_argmin_sql(vec_sql, centroids, members)})"
+        for g, members in enumerate(groups)
+        if members
+    )
+    fine_sql = f"CAST((CASE _coarse {branches} END) AS INT)"
+    return (
+        df.withColumn("_coarse", F.expr(coarse_sql))
+        .withColumn(cluster_col, F.expr(fine_sql))
+        .drop("_coarse")
+    )
+
+
+def sql_two_level_cells(
+    src: str,
+    cent: str,
+    kc: str | int,
+    out: str = "cells",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`two_level_assign` as a CTE chain
+    (``{out}_anchor_of`` fine→coarse, ``{out}_coarse`` row→anchor,
+    ``{out}`` row→fine cell (id_col, cell)) — splice after the
+    centroid CTE. ``src`` must expose (id_col, vec_col); ``cent`` is
+    the fine-centroid CTE (cidx, cv) — e.g. _kmeans_rounds_cte's
+    ``centv{N}``; ``kc`` a SQL scalar or int literal for the anchor
+    count. The anchor subset is ``cidx < kc``, the grouping and both
+    argmins use the same ordered fold + lowest-index tie rule as the
+    Spark side, so the two-level approximation replays bit-for-bit."""
+    d_fc = SQL_SQDIST.format(a="f.cv", b="a.cv")
+    d_rc = SQL_SQDIST.format(a=f"s.{vec_col}", b="a.cv")
+    d_rf = SQL_SQDIST.format(a=f"s.{vec_col}", b="f.cv")
+    return f"""{out}_anchor_of AS (
+  SELECT cidx, anchor FROM (
+    SELECT f.cidx, a.cidx AS anchor,
+           row_number() OVER (PARTITION BY f.cidx
+                              ORDER BY {d_fc} ASC, a.cidx ASC) AS rn
+    FROM {cent} f CROSS JOIN (SELECT cidx, cv FROM {cent}
+                              WHERE cidx < {kc}) a)
+  WHERE rn = 1
+),
+{out}_coarse AS (
+  SELECT {id_col}, anchor FROM (
+    SELECT s.{id_col}, a.cidx AS anchor,
+           row_number() OVER (PARTITION BY s.{id_col}
+                              ORDER BY {d_rc} ASC, a.cidx ASC) AS rn
+    FROM {src} s CROSS JOIN (SELECT cidx, cv FROM {cent}
+                             WHERE cidx < {kc}) a)
+  WHERE rn = 1
+),
+{out} AS (
+  SELECT {id_col}, cell FROM (
+    SELECT s.{id_col}, f.cidx AS cell,
+           row_number() OVER (PARTITION BY s.{id_col}
+                              ORDER BY {d_rf} ASC, f.cidx ASC) AS rn
+    FROM {src} s
+    JOIN {out}_coarse rc USING ({id_col})
+    JOIN {out}_anchor_of ao ON ao.anchor = rc.anchor
+    JOIN {cent} f ON f.cidx = ao.cidx)
   WHERE rn = 1
 )"""

@@ -451,6 +451,7 @@ def ivf_topk_lloyd(
     n_probe: int = 4,
     cache_key: str | None = None,
     fit_sample: int | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """IVF ANN with the engine's OWN deterministic Lloyd's index
     (``operators.clustering.lloyd_fit``, exact sorted folds) instead of
@@ -468,12 +469,24 @@ def ivf_topk_lloyd(
     the cell-assigned corpus against the BROADCAST probe cells (the
     corpus never shuffles); the exact cosine rerank and the top-k
     window are :func:`brute_force_topk`'s, restricted to ~n_probe /
-    n_lists of the corpus."""
+    n_lists of the corpus.
+
+    ``two_level=True`` (r12, VERDICT r11 next-round #2) routes the
+    CORPUS assignment — the build-dominated n·k·d term that turns
+    n^1.5·d under the ``n_lists="auto"`` policy's k≈√n — through
+    ``clustering.two_level_assign``'s coarse quantizer: √k anchor
+    distances per row, then only the matching coarse group's fine
+    centroids (n·~2√k·d, exponent 1.25). Cell boundaries move
+    slightly (the standard IMI build trade, recovered by n_probe at
+    serve time); probe-cell selection and the rerank are unchanged,
+    and the oracle replays the identical two-level rule
+    (clustering.sql_two_level_cells)."""
     from .clustering import (
         DEFAULT_FIT_SAMPLE,
         assign_to_centroids,
         distances_col,
         lloyd_fit,
+        two_level_assign,
     )
 
     if fit_sample is None:
@@ -501,9 +514,19 @@ def ivf_topk_lloyd(
         )
         if full_key:
             _ivf_cache_put(full_key, centroids)
-    cells = assign_to_centroids(
-        normed, centroids, vec_col="_nv", cluster_col="_cell", dist_col=None
-    ).select(id_col, vec_col, norm_col(F.col(vec_col)).alias("_vn"), "_cell")
+    assign = (
+        two_level_assign(
+            normed, centroids, vec_col="_nv", cluster_col="_cell"
+        )
+        if two_level
+        else assign_to_centroids(
+            normed, centroids, vec_col="_nv", cluster_col="_cell",
+            dist_col=None,
+        )
+    )
+    cells = assign.select(
+        id_col, vec_col, norm_col(F.col(vec_col)).alias("_vn"), "_cell"
+    )
 
     p = probes.select(
         F.col(id_col).alias("query_id"),

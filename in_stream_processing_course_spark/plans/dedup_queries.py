@@ -392,6 +392,55 @@ ORDER BY a, b
 """
 
 
+# SimHash's quadratic-blowup guard (r12). Why the UNCAPPED form can
+# never enter the sf1 scale gate on any budget: its OUTPUT is
+# inherently ~quadratic on a correlated corpus — synthetic docs share
+# vocabulary, fingerprint bits align, and single 12-bit band values
+# concentrate whole percent of the corpus into one bucket (measured at
+# sf0.1: 700k candidate pairs from 5,000 docs; sum-of-C(bucket,2)
+# grows ~n² as every bucket grows with n). That is LSH economics, not
+# a plan defect — the scalable deployment form drops non-discriminative
+# hot buckets before the self-join, bounding pairs at buckets·C(cap,2)
+# ≈ linear in the corpus. Cap 8 measured: 1,495 pairs at sf0.01 →
+# 6,921 at sf0.1 (~x4.6 output on x10 docs) vs 702k uncapped.
+_SIM_BUCKET_CAP = 8
+
+
+def simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band candidates with hot buckets dropped (bucket
+    > _SIM_BUCKET_CAP docs) before the self-join — the scale-path
+    twin of ``dedup_simhash_candidates``, same guard the MinHash
+    family registers as ``dedup_minhash_capped``. Members of a
+    dropped bucket still collide on their other (more discriminative)
+    bands, the stop-shingle rationale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_dedup_candidates(
+        docs, "doc_id", "text", _SIM_BITS, _BAND_BITS,
+        max_bucket_size=_SIM_BUCKET_CAP,
+    ).orderBy("a", "b")
+
+
+ORACLE_SIMHASH_CAPPED = f"""
+WITH sh AS ({ORACLE_SIMHASH.strip()}),
+bands AS (
+  SELECT doc_id, simhash, b AS band_id,
+         (simhash >> CAST(b * {_BAND_BITS} AS INT)) & {(1 << _BAND_BITS) - 1} AS band_val
+  FROM sh, unnest(generate_series(0, {_SIM_BITS // _BAND_BITS - 1})) AS t(b)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bucket_n
+    FROM bands
+  ) WHERE bucket_n <= {_SIM_BUCKET_CAP}
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM capped l JOIN capped r
+  ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+ORDER BY a, b
+"""
+
+
 # --- end-to-end curation v2: quality -> exact dedup -> cluster dedup ---------
 
 _SQL_QUALITY = r"""

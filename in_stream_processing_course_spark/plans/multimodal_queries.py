@@ -175,9 +175,12 @@ def _sql_splitmix64(key: str) -> str:
 
 def _phash_oracle() -> str:
     # byte i of the utf-8 payload == ascii code point i: every driver
-    # documents fixture is pure ASCII (octet_length == length, checked
-    # at sf0.001/0.01/0.1), and windows past the end pad with 0 —
-    # payload_simhash's np.pad for len < ngram
+    # documents fixture is pure ASCII (octet_length == length), and
+    # windows past the end pad with 0 — payload_simhash's np.pad for
+    # len < ngram. The assumption is ENFORCED, not just observed
+    # (ADVICE r11): ascii_guard below error()s with a named message if
+    # any row has octet_length != length, so a future multibyte
+    # fixture fails loudly instead of as a bare hash mismatch.
     def byte(off: int) -> str:
         return (
             f"(CASE WHEN i + {off} <= L "
@@ -199,10 +202,19 @@ def _phash_oracle() -> str:
         for j in range(64)
     )
     return f"""
-WITH win AS (
+WITH ascii_guard AS (
+  SELECT CASE WHEN count(*) > 0 THEN error(
+    'phash oracle: documents.text must be pure ASCII '
+    || '(octet_length == length) for the byte<->char replay; '
+    || 'fixture has multibyte rows') ELSE 1 END AS ok
+  FROM documents WHERE octet_length(encode(text)) <> length(text)
+),
+win AS (
   SELECT media_id, {key} AS key FROM (
     SELECT doc_id AS media_id, length(text) AS L, text FROM documents),
+  ascii_guard,
   unnest(generate_series(1, greatest(L - 3, 1))) AS t(i)
+  WHERE ascii_guard.ok = 1
 ),
 ukey AS (SELECT DISTINCT media_id, key FROM win),
 mixed AS (

@@ -228,6 +228,11 @@ register(
     dq.ORACLE_SIMHASH_CANDIDATES,
 )
 register(
+    "dedup_simhash_capped",
+    dq.simhash_near_dup_capped,
+    dq.ORACLE_SIMHASH_CAPPED,
+)
+register(
     "dedup_incremental_new_docs",
     dq.incremental_dedup_new_docs,
     dq.ORACLE_INCREMENTAL_DEDUP,
@@ -293,6 +298,7 @@ register("knn_ivf", sq.knn_ivf, sq.ORACLE_KNN_IVF)
 # r11: the n_lists="auto" policy form, hash-checked — the oracle
 # re-derives k from count(*) before replaying the same fit/probe chain
 register("knn_ivf_auto", sq.knn_ivf_auto, sq.ORACLE_KNN_IVF_AUTO)
+register("knn_ivf_coarse", sq.knn_ivf_coarse, sq.ORACLE_KNN_IVF_COARSE)
 
 # --- multimodal binary columns (X4) -----------------------------------------
 register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)

@@ -6,6 +6,8 @@ so values are bit-identical and 6-dp rounding is deterministic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -250,7 +252,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _oracle_knn_ivf(k: int | str = None, pre: str = "") -> str:
+def _oracle_knn_ivf(
+    k: int | str = None, pre: str = "", two_level: bool = False
+) -> str:
     """Replay the Lloyd-indexed IVF end-to-end: normalize → fit (the
     shared parameterized CTE chain over the normalized source) →
     assign every vector to its cell → per-probe nearest n_probe cells
@@ -259,7 +263,11 @@ def _oracle_knn_ivf(k: int | str = None, pre: str = "") -> str:
     ``k`` defaults to the registered _IVF_LISTS constant; pass a SQL
     scalar (e.g. ``"(SELECT k FROM pc_kval)"``) plus the matching
     ``pre`` CTE text to replay the ``n_lists="auto"`` policy form
-    (knn_ivf_auto)."""
+    (knn_ivf_auto). ``two_level=True`` swaps the exact full-k corpus
+    assignment for clustering.sql_two_level_cells — the coarse-
+    quantizer replay of two_level_assign, kc = isqrt(k) re-derived in
+    SQL — so the hash check pins the two-level approximation itself
+    (knn_ivf_coarse)."""
     from .clustering_queries import _SQL_SQDIST, _kmeans_rounds_cte
     from ..operators.clustering import DEFAULT_FIT_SAMPLE
 
@@ -271,6 +279,32 @@ def _oracle_knn_ivf(k: int | str = None, pre: str = "") -> str:
     ).format(a="embedding")
     dist_probe = _SQL_SQDIST.format(a="p.nq", b="c.cv")
     dist_corpus = _SQL_SQDIST.format(a="n.embedding", b="c.cv")
+    if two_level:
+        from ..operators.clustering import sql_two_level_cells
+
+        kc = (
+            f"greatest(1, CAST(floor(sqrt(CAST({k} AS DOUBLE)))"
+            " AS BIGINT))"
+            if isinstance(k, str)
+            else max(1, math.isqrt(k))
+        )
+        cells_cte = sql_two_level_cells(
+            src="normed",
+            cent=f"centv{_IVF_ITERS}",
+            kc=kc,
+            out="cells",
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+    else:
+        cells_cte = f"""cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT n.vec_id, c.cidx AS cell,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {dist_corpus} ASC, c.cidx ASC) AS rn
+    FROM normed n CROSS JOIN centv{_IVF_ITERS} c)
+  WHERE rn = 1
+)"""
     return f"""
 WITH {pre}normed AS MATERIALIZED (
   SELECT vec_id,
@@ -285,14 +319,7 @@ WITH {pre}normed AS MATERIALIZED (
         fit_sample=DEFAULT_FIT_SAMPLE,
         lead=",",
     )},
-cells AS (
-  SELECT vec_id, cell FROM (
-    SELECT n.vec_id, c.cidx AS cell,
-           row_number() OVER (PARTITION BY n.vec_id
-                              ORDER BY {dist_corpus} ASC, c.cidx ASC) AS rn
-    FROM normed n CROSS JOIN centv{_IVF_ITERS} c)
-  WHERE rn = 1
-),
+{cells_cte},
 probes AS (
   SELECT e.vec_id AS query_id, e.embedding AS q, n.embedding AS nq
   FROM embeddings e JOIN normed n USING (vec_id)
@@ -383,6 +410,58 @@ def _oracle_knn_ivf_auto() -> str:
 
 
 ORACLE_KNN_IVF_AUTO = _oracle_knn_ivf_auto()
+
+
+def knn_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The policy-sized IVF with the TWO-LEVEL (coarse-quantizer)
+    index build (r12, VERDICT r11 next-round #2): same
+    ``n_lists="auto"`` policy as ``knn_ivf_auto``, but the corpus
+    assignment routes through isqrt(k) coarse anchors and scores only
+    the matching group's fine centroids — n·~2√k·d build work instead
+    of n·k·d, cutting the policy form's n^1.5·d exponent to ~n^1.25
+    (the term the sf1 gate measured at ×13.5–15.2 on ×10 data for the
+    exact-assign twin). This is the standard IMI/FAISS coarse-
+    quantizer economics, expressed as pure Column algebra: one CASE
+    branch per coarse group, codegen evaluates √k + |group| distance
+    folds per row, no join, no shuffle, no Python in the hot path
+    (operators/clustering.py:two_level_assign).
+
+    The oracle re-derives k from count(*) (sql_policy_k), kc =
+    isqrt(k) in SQL, the fine→coarse grouping, and both argmins
+    (sql_two_level_cells) — the two-level approximation itself is
+    inside the hash check, exactly like the policy arithmetic.
+    ``knn_ivf_auto`` stays registered as the exact-assignment twin:
+    the pair measures what the coarse quantizer trades (slightly moved
+    cell boundaries, recovered by n_probe at serve time) for the
+    exponent cut; tests/test_similarity.py pins recall vs brute force
+    for both."""
+    from ..operators.similarity import ivf_topk_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < _N_PROBES)
+    return ivf_topk_lloyd(
+        emb,
+        probes,
+        _K,
+        n_lists="auto",
+        n_iters=_IVF_ITERS,
+        n_probe=_IVF_PROBE,
+        cache_key=f"{sf_dir}/embeddings",
+        two_level=True,
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_knn_ivf_coarse() -> str:
+    from ..operators.clustering import sql_policy_k
+
+    return _oracle_knn_ivf(
+        k="(SELECT k FROM pc_kval)",
+        pre=sql_policy_k(table="embeddings") + ",\n",
+        two_level=True,
+    )
+
+
+ORACLE_KNN_IVF_COARSE = _oracle_knn_ivf_coarse()
 
 
 def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

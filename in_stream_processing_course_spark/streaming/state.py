@@ -319,10 +319,16 @@ def keyed_history_verdicts(
     (wall clock racing event time would otherwise purge every key
     mid-replay, and any >10-minute stall purges state that is live in
     event time). Same mode contract as the v2 twin
-    (state_v2.keyed_history_verdicts_v2) — and the same standard
-    watermark trade: rows at event time <= the watermark are dropped
-    as late before reaching the operator, so size ``watermark_delay``
-    to the deployment's real out-of-orderness.
+    (state_v2.keyed_history_verdicts_v2), with one semantic asymmetry:
+    applyInPandasWithState does NOT drop late input — rows behind the
+    watermark still reach ``_update_fn_event_time`` and merge into the
+    history; the watermark only drives EVICTION timing (which is why
+    the timer clamps to watermark+1 for already-expired keys — Spark
+    rejects timers at or behind the watermark). Only the v2
+    transformWithState path drops rows <= the watermark before the
+    operator. Size ``watermark_delay`` to the deployment's real
+    out-of-orderness either way: here it bounds how long an idle key's
+    state survives; in v2 it additionally bounds which rows count.
     """
     source = prereduce_log_records(log_records) if prereduce else log_records
     if event_time:

@@ -175,3 +175,34 @@ def test_phash_candidates_find_planted_pair_and_block(spark):
     plan = cands._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_oracle_ascii_guard_raises_on_multibyte():
+    """The pHash oracle's byte<->char replay is only valid for pure
+    ASCII text; ascii_guard must error() with a NAMED message on a
+    multibyte fixture instead of silently hash-diverging (ADVICE r11).
+    Two rows minimum: DuckDB 1.0's single-row inequality self-join
+    short-circuits before evaluating the guard CTE (degenerate; real
+    fixtures have thousands of docs)."""
+    import duckdb
+
+    from in_stream_processing_course_spark.plans.multimodal_queries import (
+        ORACLE_PHASH_NEAR_DUPS,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'héllo wörld this is a doc'), "
+        "(2, 'plain ascii text here ok')) t(doc_id, text)"
+    )
+    with pytest.raises(duckdb.Error, match="pure ASCII"):
+        con.execute(ORACLE_PHASH_NEAR_DUPS).fetchall()
+    # clean ASCII fixture passes through the guard untouched
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'plain ascii doc one two'), "
+        "(2, 'plain ascii doc one two')) t(doc_id, text)"
+    )
+    assert con2.execute(ORACLE_PHASH_NEAR_DUPS).fetchall() == [(1, 2, 0)]

@@ -286,3 +286,28 @@ def test_n_lists_auto_resolves_through_policy(spark, sf_dir):
     explicit = lloyd_index_centroids(emb, n_lists=expect_k, n_iters=1)
     assert len(auto) == expect_k
     assert auto == explicit
+
+
+def test_ivf_coarse_recall_vs_brute_force(spark, sf_dir):
+    """The two-level (coarse-quantizer) build must stay a USEFUL
+    index: cell boundaries move slightly vs exact assignment, but
+    n_probe recovers recall — same bound as the exact-assign twins."""
+    from in_stream_processing_course_spark.operators.similarity import (
+        ivf_topk_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_lloyd(
+            emb, probes, 5, n_lists="auto", n_iters=5, n_probe=4,
+            two_level=True,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"coarse IVF recall {recall:.2f} below bound"

@@ -10,8 +10,11 @@ shape with the registered ``corpus_vocab_growth`` machinery, and
 measures ``learn_merges`` (sequential) vs ``learn_merges_batched`` at
 n_merges in {500, 2000}, asserting byte-identical output.
 
-Usage: python tools/bpe_zipf_bench.py [n_docs] [tokens_per_doc] [budgets]
-where budgets is a comma list of n_merges values (default "500,2000").
+Usage: python tools/bpe_zipf_bench.py [--batched-only] [n_docs]
+           [tokens_per_doc] [budgets]
+where budgets is a comma list of n_merges values (default "500,2000")
+and ``--batched-only`` (position-independent) skips the sequential
+twin — right for deep budgets where byte-equality is already pinned.
 Per-1000-merge milestone walls are printed for every budget (VERDICT
 r9 next-round #4: pull the 30k extrapolation within one order of
 magnitude of measurement). Writes nothing outside /tmp; commit the
@@ -66,8 +69,12 @@ def make_corpus(spark, n_docs: int, toks_per_doc: int, seed: int = 9):
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    toks = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+    # flags are position-independent: strip them before positional
+    # parsing so "--batched-only 10000" doesn't crash int() (ADVICE r11)
+    batched_only = "--batched-only" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a != "--batched-only"]
+    n_docs = int(argv[0]) if len(argv) > 0 else 4000
+    toks = int(argv[1]) if len(argv) > 1 else 150
     # training rounds are vocabulary-sized and driver-paced — 8 shuffle
     # partitions cuts per-round scheduling overhead without changing
     # what is measured (the per-merge job barrier)
@@ -88,8 +95,8 @@ def main() -> int:
         f"(type/token {n_types / total_tokens:.4f})"
     )
     budgets = (
-        [int(x) for x in sys.argv[3].split(",")]
-        if len(sys.argv) > 3
+        [int(x) for x in argv[2].split(",")]
+        if len(argv) > 2
         else [500, 2000]
     )
 
@@ -111,8 +118,6 @@ def main() -> int:
     # doubles the wall for no new information — byte-equality of the
     # two learners is already pinned at 500/2000/5000 merges; deep
     # budgets measure the DEPLOY path (batched) alone
-    batched_only = "--batched-only" in sys.argv
-
     for n in budgets:
         if batched_only:
             t = time.perf_counter()

@@ -307,7 +307,7 @@ def main() -> None:
         "| dedup_fuzzy_part_names | 6.2s | brand-blocked pair join probing the distinct-name-pair distance table (r9: the banded DP runs once per distinct name pair — vocabulary-sized — instead of once per part pair; 25.3s unbounded DP -> 15.1s banded-per-pair -> 6.2s) |",
         "| embedding_hard_negatives_ivf / knn_ivf | 15.4s cold / 2.4-3.0s with the index cached (was 35.6 / 26.8) | the r9 interpreted-fold diagnosis led to three hash-preserving fixes: (1) `l2_normalize_col` hoists the norm out of the per-element lambda (the interpreted HOF evaluator re-ran the scalar norm fold once PER ELEMENT — 128 folds/row at dim 64 — and filter pushdown inlined that tree into the join-key null check); (2) `assign_to_centroids` reads its k-fold distance array once through an array_sort struct head instead of three aliased references; (3) `distances_col` builds its k x dim literal tree as ONE F.expr string instead of ~1k py4j round-trips per plan. Residual cost is the Lloyd fit's driver-paced rounds (~2s/iter, one-time, cached by corpus key) plus genuinely-interpreted fold arithmetic, linear in corpus x k; a deploy-time run uses the pyspark.ml `ivf_topk` or plain-sum folds and keeps the Lloyd path for auditability |",
         "| bpe_doc_token_counts / bpe_encoded_token_counts | 15.2s / 1.6s (was 17.4 / 8.6) | iterative tokenizer training (session-cached) + run-batched encode: r9 replaced the chunk-of-4 chained apply_merge_col projections — interpreted cost EXPONENTIAL in chain depth, a measured hang on realistic word lengths — with ONE apply_merges_col fold pass per pairwise-disjoint run (provably equal, pinned in tests/test_bpe.py) |",
-        "| curation_manifest | 11.6s | blocked cosine pair join (SemDeDup-quadratic within label block — bounded by block size at scale; norms now precomputed per row) |",
+        "| curation_manifest | 11.6s | blocked cosine pair join — blocks are POLICY-SIZED (label x policy_cell_assignment seed-centroid cells, k = max(sqrt n, n/8192) from count(*), plans/pipeline_queries.py:1335 since r11) so within-block pair work stays ~linear in the corpus; norms precomputed per row |",
         "| dedup_winnowed_candidates | 5.2s | per-doc gram hashing (md5+conv per k-gram; window minima already reduced to two zip_with passes — 25.7s before) |",
         "| semantic_dedup_keep | 8.7s | same pair join |",
         "| dedup_clusters | 1.7s | per-round fixed cost of iterative CC (count action + localCheckpoint per round), not data volume |",
@@ -342,6 +342,24 @@ def main() -> None:
         "unchanged: BPE x0.6-1.0 (vocabulary-sized), two-phase ranks ~x1.5,",
         "iterative joins ~x2, IVF ~x3.2, bounded-sample probe fit x6.3-6.7",
         "(honest-linear under its 20k cap).",
+        "",
+        "r12 extends the gate to the FULL registry",
+        "(`tools/scale_smoke.py --sf1-full`: coarse x8 default budget for",
+        "unlisted queries, enforced when the sf1 wall >= 3s, per-query",
+        "overrides for the adjudicated super-linear shapes) and makes the",
+        "fixture honest for order-invariant fingerprints (tools/make_sf1.py",
+        "now substitutes ~30% of token positions per copy from within the",
+        "same doc — corpus vocabulary unchanged, token multisets differ, so",
+        "SimHash copy families stop being identical-fingerprint cliques;",
+        "the family's gate entry is the new dedup_simhash_capped, because",
+        "the tuning measurement showed the UNCAPPED join's output is",
+        "inherently ~quadratic on a correlated corpus — 700k pairs from",
+        "5,000 base docs — which a bucket cap, not a fixture, fixes).",
+        "The IVF policy build also gained the two-level coarse-quantizer",
+        "form (knn_ivf_coarse: route rows through isqrt(k) anchors, score",
+        "only the matching group's fine centroids — n*~2*sqrt(k)*d instead",
+        "of n*k*d, exponent ~1.25 instead of 1.5 under k=sqrt(n); the",
+        "oracle replays the two-level rule bit-for-bit).",
         "",
     ]
     with open("PLANS.md", "w") as f:

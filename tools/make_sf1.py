@@ -11,10 +11,16 @@ block into an artificial 10x-multiplicity duplicate cluster and
 measure pair-explosion pathology instead of scale):
 
 - documents: copy i permutes each doc's word order by
-  xxhash64(word, doc_id, i) — shingles (consecutive word k-grams)
-  differ across copies, so near-dup rates stay realistic, while the
-  WORD VOCABULARY is bit-identical, which is exactly what the
-  "vocabulary-sized BPE rounds" claim needs held constant;
+  xxhash64(word, doc_id, i) AND (r12) substitutes a deterministic
+  ~MUTATE_PCT% of token positions with another token drawn from the
+  SAME document — shingles (consecutive word k-grams) differ across
+  copies, the token MULTISET now also differs (so order-invariant
+  unigram fingerprints like SimHash separate the copies instead of
+  collapsing them into identical-fingerprint cliques — the r11 gate
+  caveat), while the corpus WORD VOCABULARY stays bit-identical
+  (copy 0 is untouched and every substitute is a word of the same
+  doc), which is exactly what the "vocabulary-sized BPE rounds"
+  claim needs held constant;
 - embeddings: copy i jitters each dim by 0.05*sin(vec_id*31+d*7+i*131)
   — geometry (cluster structure, norms ~) preserved, exact duplicates
   avoided; labels carried;
@@ -27,16 +33,29 @@ measure pair-explosion pathology instead of scale):
   every events-family trend row a vacuous x1 — the gate exposed it;
 - region/nation/part/supplier copy through unchanged.
 
-Fixture-validity caveat (learned from the gate, r11): the document
-word-permutation is invisible to ORDER-INDEPENDENT fingerprints —
-SimHash over unigram tokens assigns all 10 copies of a doc the same
-fingerprint, so copy families become genuine 45-pair near-dup cliques
-and any unigram-fingerprint query measures output growth (~x100), not
-plan scaling. Use shingle-based queries (MinHash, word-3-gram Jaccard)
-to trend that family; see SCALE_TREND_r11_sf1.txt.
+Fixture-validity history: before r12 the document upsample was
+permutation-ONLY, which is invisible to ORDER-INDEPENDENT
+fingerprints — SimHash over unigram tokens assigned all 10 copies of
+a doc the same fingerprint, copy families became identical-
+fingerprint cliques stacking into the same LSH buckets. The r12
+token substitution spreads copies across buckets (measured on a
+2k-doc sample: same-family band collisions 12,000/12,000 at pct=0 →
+5,144 at pct=30). What mutation does NOT fix — measured while tuning
+it — is that the UNCAPPED simhash candidate join's output is
+inherently ~quadratic on this corpus regardless of copies: synthetic
+docs share vocabulary, fingerprint bits correlate, single 12-bit
+band values concentrate percent-scale fractions of the corpus
+(700k candidate pairs from 5,000 BASE docs at sf0.1). So the gate
+entry for the family is ``dedup_simhash_capped`` (hot buckets
+dropped before the self-join, output ~linear — the deployment form,
+same guard as dedup_minhash_capped); the uncapped twin stays
+registered for correctness parity with this adjudication where the
+budget would go.
 
 Output: /root/repo/scale_sf1/<table>.parquet (gitignored — ~1 GiB).
-Usage: python tools/make_sf1.py [n_copies]
+Usage: python tools/make_sf1.py [n_copies] [mutate_pct]
+(mutate_pct default MUTATE_PCT; 0 reproduces the pre-r12
+permutation-only fixture for comparison runs)
 """
 
 from __future__ import annotations
@@ -54,6 +73,11 @@ from in_stream_processing_course_spark.session import get_spark
 SRC = "/root/testdata/sf0.1"
 DST = "/root/repo/scale_sf1"
 KEY_STRIDE = 10**7
+# share of token positions substituted per copy (r12) — tuned
+# empirically (tools/make_sf1.py docstring): high enough that copy
+# fingerprints split across the 48-bit/12-bit-band SimHash, low
+# enough that each copy is still a recognizable near-dup workload
+MUTATE_PCT = 30
 
 
 def copies(df, n, remap):
@@ -67,6 +91,7 @@ def copies(df, n, remap):
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    mutate_pct = int(sys.argv[2]) if len(sys.argv) > 2 else MUTATE_PCT
     spark = get_spark("make-sf1", shuffle_partitions="32")
     spark.sparkContext.setLogLevel("FATAL")
     dst = pathlib.Path(DST)
@@ -79,19 +104,38 @@ def main() -> int:
         df.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         print(f"{t}: {spark.read.parquet(f'{DST}/{t}.parquet').count()} rows")
 
-    # documents: per-copy word permutation, same vocabulary
+    # documents: per-copy word permutation + low-rate within-doc token
+    # substitution (r12) — same corpus vocabulary, different token
+    # multiset per copy (see module docstring)
     def doc_copy(df, i):
         if i == 0:
             return df
-        permuted = F.expr(
-            "array_join(transform(array_sort(transform("
+        permuted_words = F.expr(
+            "transform(array_sort(transform("
             "  filter(split(text, '\\\\s+'), w -> w != ''),"
             f" w -> struct(xxhash64(w, doc_id, {i}) AS h, w AS w))),"
-            " s -> s.w), ' ')"
+            " s -> s.w)"
         )
-        return df.select(
+        staged = df.withColumn("_w", permuted_words)
+        if mutate_pct > 0:
+            # position j keeps its word unless its deterministic coin
+            # lands under mutate_pct, in which case it takes the word
+            # at a hashed OTHER position of the same (permuted) doc —
+            # multiset changes, per-doc vocabulary subset unchanged
+            staged = staged.withColumn(
+                "_w",
+                F.expr(
+                    "transform(_w, (w, j) -> CASE WHEN"
+                    f" pmod(xxhash64('mut', w, doc_id, {i}, j), 100)"
+                    f" < {mutate_pct}"
+                    " THEN element_at(_w, CAST(pmod(xxhash64("
+                    f"'sub', doc_id, {i}, j), size(_w)) + 1 AS INT))"
+                    " ELSE w END)"
+                ),
+            )
+        return staged.select(
             (F.col("doc_id") + F.lit(i * KEY_STRIDE)).alias("doc_id"),
-            permuted.alias("text"),
+            F.array_join("_w", " ").alias("text"),
             "lang",
             "source",
         ).select(

@@ -21,7 +21,22 @@ Two questions, one controlled run:
    state a measured threshold instead of "use this at scale".
 
 Usage: python tools/stateful_ab.py [--quick]
-Prints a markdown table; commit it into STATEFUL_AB_r10.md.
+       python tools/stateful_ab.py --profile
+Prints a markdown table; commit it into STATEFUL_AB_r10.md
+(``--profile`` results into STATEFUL_AB_r12.md).
+
+``--profile`` (r12, VERDICT r11 next-round #5): decompose the v1/v2
+wall into per-BATCH and per-ROW components instead of re-measuring
+the headline gap. Two sweeps on the same interleaved min-wall
+methodology — micro-batch count swept at fixed rows (the drip is
+max_files_per_trigger=1, so n_files == n_triggers), row count swept
+at fixed batches — then a least-squares fit of
+``wall = c + a*batches + b*rows`` per variant. If the gap lives in
+``a`` (per-batch), v2's overhead is fixed protocol cost (timer
+registration, state-server round-trips per trigger) and shrinks with
+bigger micro-batches; if in ``b`` (per-row), it is transport
+(Arrow/proto serialization) and scales with traffic. The conclusion
+feeds state_v2.py's adjudication docstring.
 """
 
 from __future__ import annotations
@@ -188,5 +203,78 @@ def main() -> int:
     return 0
 
 
+def main_profile() -> int:
+    """Fit wall = c + a*batches + b*rows per variant (see module
+    docstring). Five configs: batch sweep {4, 8, 16} files at fixed
+    workload, row sweep {~0.5x, ~2x} at 8 files; each config an
+    interleaved palindromic v1/v2 pass (min-of-2 per variant)."""
+    import numpy as np
+
+    spark = get_spark("stateful-profile", shuffle_partitions="8")
+    print(f"protobuf transport available: {HAVE_PB}")
+    if not HAVE_PB:
+        print("v2 needs the protobuf transport — profile aborted")
+        return 1
+    # (n_users, n_files); user_freq fixed at 500 so rows scale with
+    # n_users; n_bots scaled with users to keep workload shape
+    configs = {
+        "b4": (5000, 4),
+        "b8": (5000, 8),
+        "b16": (5000, 16),
+        "r-half": (2500, 8),
+        "r-double": (10000, 8),
+    }
+    obs: list[tuple[str, int, int, float, float]] = []
+    for tag, (n_users, n_files) in configs.items():
+        root = tempfile.mkdtemp(prefix="ab_prof_")
+        in_dir, n_rows = make_drip(
+            root, n_bots=n_users // 100, n_users=n_users,
+            user_freq=500, n_files=n_files,
+        )
+        print(f"  {tag}: {n_rows} rows over {n_files} batches")
+        walls = interleaved(spark, in_dir, root, ["v1", "v2"], rounds=1)
+        obs.append((tag, n_files, n_rows, walls["v1"], walls["v2"]))
+        shutil.rmtree(root, ignore_errors=True)
+
+    print("\n== observations ==")
+    print(f"{'config':10s} {'batches':>7s} {'rows':>8s} {'v1':>8s} {'v2':>8s}")
+    for tag, nb, nr, w1, w2 in obs:
+        print(f"{tag:10s} {nb:7d} {nr:8d} {w1:7.2f}s {w2:7.2f}s")
+
+    A = np.array([[1.0, nb, nr] for _, nb, nr, _, _ in obs])
+    fits = {}
+    for vi, name in ((3, "v1"), (4, "v2")):
+        y = np.array([row[vi] for row in obs])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        resid = y - A @ coef
+        fits[name] = coef
+        print(
+            f"{name}: wall ~= {coef[0]:.2f}s + {coef[1]*1000:.0f}ms/batch "
+            f"+ {coef[2]*1e6:.1f}us/row  (max fit residual "
+            f"{abs(resid).max():.2f}s)"
+        )
+    c1, a1, b1 = fits["v1"]
+    c2, a2, b2 = fits["v2"]
+    # attribute the gap at the canonical bench workload
+    nb0, nr0 = 8, 126_000
+    gap_batch, gap_row = (a2 - a1) * nb0, (b2 - b1) * nr0
+    gap_fixed = c2 - c1
+    print(
+        f"\ngap at {nb0} batches / {nr0} rows: "
+        f"fixed {gap_fixed:+.2f}s, per-batch {gap_batch:+.2f}s, "
+        f"per-row {gap_row:+.2f}s"
+    )
+    dominant = max(
+        ("fixed startup", gap_fixed),
+        ("per-batch (timer/state-server protocol)", gap_batch),
+        ("per-row (Arrow/proto transport)", gap_row),
+        key=lambda t: t[1],
+    )
+    print(f"dominant component: {dominant[0]} ({dominant[1]:+.2f}s)")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--profile" in sys.argv:
+        raise SystemExit(main_profile())
     raise SystemExit(main())
