@@ -254,7 +254,21 @@ _SQL_SHINGLES3 = (
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard >= 0.2 within source blocks."""
+    """Exact word-3-gram Jaccard >= 0.2 within source blocks.
+
+    Scale adjudication (r12, sf1 gate budget x11): the set-similarity
+    join's INTERMEDIATE — one row per (pair, shared shingle) within a
+    source block — grows ~quadratically whenever many doc pairs share
+    shingles, which a low threshold like 0.2 cannot prune early
+    (measured x8.5 wall on x10 data; the final output stays small).
+    That is exact-Jaccard economics, not a plan defect: at a 0.2
+    threshold even PPJoin-style prefix filtering keeps ~80% of each
+    doc's shingles as candidates, so there is no lossless early-out.
+    The family's scale path for low thresholds is the banded MinHash
+    (dedup_minhash_candidates x3.7, capped variant) with this exact
+    form as the verify stage on candidates; the committed budget
+    encodes the measured honest shape so a REGRESSION (lost block key,
+    new fan-out) still breaks the gate."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", _JK, _J_THRESHOLD, "source"
@@ -403,6 +417,10 @@ ORDER BY a, b
 # hot buckets before the self-join, bounding pairs at buckets·C(cap,2)
 # ≈ linear in the corpus. Cap 8 measured: 1,495 pairs at sf0.01 →
 # 6,921 at sf0.1 (~x4.6 output on x10 docs) vs 702k uncapped.
+# sf1 gate (r12): capped x1.16 on x10 data; the uncapped twin carries
+# a calibrated x22 budget (measured x17.9 post-mutation-fixture —
+# down from the r11 ~x100 identical-fingerprint cliques) purely so a
+# REGRESSION on top of the inherent output quadratic still fails CI.
 _SIM_BUCKET_CAP = 8
 
 

@@ -381,10 +381,13 @@ def knn_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortized over the query stream, and executed as a single
     matmul-shaped scan on a cluster — while the per-QUERY serve cost
     is what IVF buys: n_probe·(n/k) ≈ √n candidates per probe. The
-    committed ×18 budget encodes exactly this build-dominated shape so
-    a REGRESSION past it (a second corpus scan, a lost cache) still
+    committed ×16 budget (tightened from ×18 in r12 around the
+    measured ×13.4) encodes exactly this build-dominated shape so a
+    REGRESSION past it (a second corpus scan, a lost cache) still
     fails the gate; the fixed-k twin (knn_ivf) pins the serve-path
-    trend at ×2.6-3.6."""
+    trend at ×2.6-3.6, and the r12 ``knn_ivf_coarse`` twin cuts the
+    build exponent itself (two-level assignment, measured ×2.8 on
+    ×10 data — the form a 100× deployment builds with)."""
     from ..operators.similarity import ivf_topk_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")

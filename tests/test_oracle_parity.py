@@ -104,3 +104,35 @@ def test_scale_budget_gate_is_wired():
     assert list(root.glob("SCALE_TREND_r*_sf1.txt")), (
         "no committed SCALE_TREND evidence"
     )
+
+
+def test_full_registry_sf1_trend_is_current():
+    """The --sf1-full gate (r12): the latest committed full-registry
+    sf1 trend artifact must cover the registry it claims — same
+    freshness discipline as the parity sweep and sf0.1 smoke, so a
+    registered query can't dodge the scale gate by postdating the
+    last run."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    fulls = sorted(
+        root.glob("SCALE_TREND_r*_sf1_full.txt"),
+        key=lambda p: int(re.search(r"_r(\d+)_", p.name).group(1)),
+    )
+    assert fulls, (
+        "no committed SCALE_TREND_*_sf1_full evidence — run "
+        "tools/scale_smoke.py --sf1-full"
+    )
+    text = fulls[-1].read_text()
+    m = re.search(r"FULL registry \((\d+) queries", text)
+    assert m, f"{fulls[-1].name}: missing the FULL-registry header"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"{fulls[-1].name} covers {m.group(1)} queries but the registry "
+        f"has {len(QUERIES)} — re-run tools/scale_smoke.py --sf1-full"
+    )
+    assert "BREACH" not in text, (
+        f"{fulls[-1].name} records budget breaches — fix the regression "
+        "or adjudicate the budget before shipping"
+    )
+    assert "FAILED" not in text, f"{fulls[-1].name} records query failures"

@@ -74,32 +74,53 @@ def main_sf1(full: bool = False) -> int:
     QUERIES["hourly_event_counts"](spark, sf01).write.format("noop").mode(
         "overwrite"
     ).save()
+    def measure(name: str) -> tuple[float, float, float]:
+        walls: dict[str, float] = {}
+        for sf_dir in (sf01, sf1):
+            t = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls[sf_dir] = time.perf_counter() - t
+        return walls[sf01], walls[sf1], walls[sf1] / max(walls[sf01], 1e-9)
+
     rows: list[tuple[str, float, float, float, float, str]] = []
     breaches: list[str] = []
     failed: list[str] = []
     for name in names:
         budget = budgets.get(name, DEFAULT_SF1_BUDGET)
-        walls: dict[str, float] = {}
         try:
-            for sf_dir in (sf01, sf1):
-                t = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                walls[sf_dir] = time.perf_counter() - t
+            w01, w1, ratio = measure(name)
         except Exception:
             failed.append(name)
             traceback.print_exc(limit=2, file=sys.stderr)
             continue
-        ratio = walls[sf1] / max(walls[sf01], 1e-9)
-        enforced = walls[sf1] >= MIN_ENFORCE_SF1_WALL
-        ok = ratio <= budget or not enforced
-        if not ok:
-            breaches.append(name)
-        status = "ok" if ratio <= budget else (
-            "BREACH" if enforced else "over-but-tiny"
-        )
-        rows.append((name, walls[sf01], walls[sf1], ratio, budget, status))
+        enforced = w1 >= MIN_ENFORCE_SF1_WALL
+        status = "ok"
+        if ratio > budget and enforced:
+            # retry-on-breach (r12): single-pass ratios on mid-cost
+            # queries ride +-50% session noise (GC pressure from the
+            # preceding 200 queries, scheduler bursts) — measured:
+            # pagerank hit x4.76 in a full-registry pass vs x1.6-2.4
+            # solo. One clean re-measure, keep the BETTER ratio: noise
+            # passes on retry, a true quadratic fails twice.
+            try:
+                r01, r1, rratio = measure(name)
+                if rratio < ratio:
+                    w01, w1, ratio = r01, r1, rratio
+                    enforced = w1 >= MIN_ENFORCE_SF1_WALL
+                if ratio <= budget or not enforced:
+                    status = "ok-on-retry"
+                else:
+                    status = "BREACH"
+                    breaches.append(name)
+            except Exception:
+                failed.append(name)
+                traceback.print_exc(limit=2, file=sys.stderr)
+                continue
+        elif ratio > budget:
+            status = "over-but-tiny"
+        rows.append((name, w01, w1, ratio, budget, status))
     print(
         f"# sf0.1 -> sf1 scale trend ({sf01} -> {sf1}), x10 data"
         + (f" — FULL registry ({len(names)} queries, default budget "
