@@ -21,10 +21,22 @@ not just by seniority: the r10 controlled same-host A/B
 (tools/stateful_ab.py, STATEFUL_AB_r10.md — min-wall over interleaved
 rounds at two key cardinalities, both APIs on RocksDB) has v1 at
 5,603/5,403 rows/s vs v2's 3,822/4,889 — the r9 bench reading where
-v2 edged v1 was load skew on the shared host. This module stays the
-forward-compatible surface sharing the same transition core; re-run
-the A/B before switching when the transformWithState Python transport
-matures.
+v2 edged v1 was load skew on the shared host.
+
+WHERE the gap lives, profiled r12 (STATEFUL_AB_r12.md,
+``tools/stateful_ab.py --profile`` — batch-count and key-cardinality
+sweeps, fit wall = c + a·triggers + g·(keys·triggers)): both APIs are
+dominated by per-(key, trigger) state work, but v2 pays ~35% more per
+key-trigger (0.79 vs 0.59 ms — every ValueState/timer op is its own
+state-server socket round trip, where v1 ships each group's whole
+state inside the data's Arrow batch) plus ~1.5 s of per-trigger
+protocol setup/drain v1 doesn't have. ADJUDICATION: the premium buys
+multiple independently-lifecycled state variables, fine-grained
+timers, and state-schema evolution — none needed by this operator's
+single-struct history, so v1 stays default; the cost is transport
+maturity, not semantics — re-profile when the transformWithState
+Python protocol batches state ops per key-group (the deep-drip b16
+config is the sensitive detector).
 """
 
 from __future__ import annotations

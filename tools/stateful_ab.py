@@ -26,17 +26,19 @@ Prints a markdown table; commit it into STATEFUL_AB_r10.md
 (``--profile`` results into STATEFUL_AB_r12.md).
 
 ``--profile`` (r12, VERDICT r11 next-round #5): decompose the v1/v2
-wall into per-BATCH and per-ROW components instead of re-measuring
-the headline gap. Two sweeps on the same interleaved min-wall
-methodology — micro-batch count swept at fixed rows (the drip is
-max_files_per_trigger=1, so n_files == n_triggers), row count swept
-at fixed batches — then a least-squares fit of
-``wall = c + a*batches + b*rows`` per variant. If the gap lives in
-``a`` (per-batch), v2's overhead is fixed protocol cost (timer
-registration, state-server round-trips per trigger) and shrinks with
-bigger micro-batches; if in ``b`` (per-row), it is transport
-(Arrow/proto serialization) and scales with traffic. The conclusion
-feeds state_v2.py's adjudication docstring.
+wall into per-TRIGGER and per-(KEY x TRIGGER) components instead of
+re-measuring the headline gap. Two sweeps on the same interleaved
+min-wall methodology — micro-batch count swept at fixed workload
+(the drip is max_files_per_trigger=1, so n_files == n_triggers), key
+cardinality swept at fixed batches (NOTE: the generator's row count
+is frequency-driven, so sweeping n_users varies KEYS at ~constant
+rows — the first draft of this tool mislabeled that sweep "rows" and
+fit a collinear design) — then a least-squares fit of
+``wall = c + a*batches + g*(keys*batches)`` per variant. ``g`` is
+per-key-per-trigger state-store work (both APIs pay it; v2's
+state-server round trips make it bigger), ``a`` is fixed per-trigger
+protocol cost (v2-only in practice). The r12 measured conclusion
+lives in STATEFUL_AB_r12.md and state_v2.py's module docstring.
 """
 
 from __future__ import annotations
@@ -204,9 +206,9 @@ def main() -> int:
 
 
 def main_profile() -> int:
-    """Fit wall = c + a*batches + b*rows per variant (see module
-    docstring). Five configs: batch sweep {4, 8, 16} files at fixed
-    workload, row sweep {~0.5x, ~2x} at 8 files; each config an
+    """Fit wall = c + a*batches + g*(keys*batches) per variant (see
+    module docstring). Five configs: batch sweep {4, 8, 16} files at
+    5k keys, key sweep {2.5k, 10k} at 8 files; each config an
     interleaved palindromic v1/v2 pass (min-of-2 per variant)."""
     import numpy as np
 
@@ -215,62 +217,60 @@ def main_profile() -> int:
     if not HAVE_PB:
         print("v2 needs the protobuf transport — profile aborted")
         return 1
-    # (n_users, n_files); user_freq fixed at 500 so rows scale with
-    # n_users; n_bots scaled with users to keep workload shape
+    # (n_users, n_files); user_freq fixed so the generator's row count
+    # stays ~constant (~126k) — n_users sweeps KEY cardinality
     configs = {
         "b4": (5000, 4),
         "b8": (5000, 8),
         "b16": (5000, 16),
-        "r-half": (2500, 8),
-        "r-double": (10000, 8),
+        "k-half": (2500, 8),
+        "k-double": (10000, 8),
     }
-    obs: list[tuple[str, int, int, float, float]] = []
+    obs: list[tuple[str, int, int, int, float, float]] = []
     for tag, (n_users, n_files) in configs.items():
         root = tempfile.mkdtemp(prefix="ab_prof_")
         in_dir, n_rows = make_drip(
             root, n_bots=n_users // 100, n_users=n_users,
             user_freq=500, n_files=n_files,
         )
-        print(f"  {tag}: {n_rows} rows over {n_files} batches")
+        print(f"  {tag}: {n_rows} rows, {n_users} keys, {n_files} batches")
         walls = interleaved(spark, in_dir, root, ["v1", "v2"], rounds=1)
-        obs.append((tag, n_files, n_rows, walls["v1"], walls["v2"]))
+        obs.append(
+            (tag, n_files, n_users, n_rows, walls["v1"], walls["v2"])
+        )
         shutil.rmtree(root, ignore_errors=True)
 
     print("\n== observations ==")
-    print(f"{'config':10s} {'batches':>7s} {'rows':>8s} {'v1':>8s} {'v2':>8s}")
-    for tag, nb, nr, w1, w2 in obs:
-        print(f"{tag:10s} {nb:7d} {nr:8d} {w1:7.2f}s {w2:7.2f}s")
+    print(f"{'config':10s} {'batches':>7s} {'keys':>6s} {'rows':>8s}"
+          f" {'v1':>8s} {'v2':>8s}")
+    for tag, nb, nk, nr, w1, w2 in obs:
+        print(f"{tag:10s} {nb:7d} {nk:6d} {nr:8d} {w1:7.2f}s {w2:7.2f}s")
 
-    A = np.array([[1.0, nb, nr] for _, nb, nr, _, _ in obs])
+    A = np.array(
+        [[1.0, nb, nb * nk / 1000.0] for _, nb, nk, _, _, _ in obs]
+    )
     fits = {}
-    for vi, name in ((3, "v1"), (4, "v2")):
+    for vi, name in ((4, "v1"), (5, "v2")):
         y = np.array([row[vi] for row in obs])
         coef, *_ = np.linalg.lstsq(A, y, rcond=None)
         resid = y - A @ coef
         fits[name] = coef
         print(
             f"{name}: wall ~= {coef[0]:.2f}s + {coef[1]*1000:.0f}ms/batch "
-            f"+ {coef[2]*1e6:.1f}us/row  (max fit residual "
+            f"+ {coef[2]:.3f}ms/(key*batch)  (max fit residual "
             f"{abs(resid).max():.2f}s)"
         )
-    c1, a1, b1 = fits["v1"]
-    c2, a2, b2 = fits["v2"]
-    # attribute the gap at the canonical bench workload
-    nb0, nr0 = 8, 126_000
-    gap_batch, gap_row = (a2 - a1) * nb0, (b2 - b1) * nr0
-    gap_fixed = c2 - c1
+    c1, a1, g1 = fits["v1"]
+    c2, a2, g2 = fits["v2"]
+    nb0, nk0 = 8, 5000
+    gap_batch = (a2 - a1) * nb0
+    gap_keybatch = (g2 - g1) * nb0 * nk0 / 1000.0
     print(
-        f"\ngap at {nb0} batches / {nr0} rows: "
-        f"fixed {gap_fixed:+.2f}s, per-batch {gap_batch:+.2f}s, "
-        f"per-row {gap_row:+.2f}s"
+        f"\ngap at {nb0} batches x {nk0} keys: "
+        f"fixed {c2 - c1:+.2f}s, per-batch {gap_batch:+.2f}s, "
+        f"per-key-batch {gap_keybatch:+.2f}s; "
+        f"per-key-batch cost v1 {g1:.3f}ms vs v2 {g2:.3f}ms"
     )
-    dominant = max(
-        ("fixed startup", gap_fixed),
-        ("per-batch (timer/state-server protocol)", gap_batch),
-        ("per-row (Arrow/proto transport)", gap_row),
-        key=lambda t: t[1],
-    )
-    print(f"dominant component: {dominant[0]} ({dominant[1]:+.2f}s)")
     return 0
 
 
