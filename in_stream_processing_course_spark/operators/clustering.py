@@ -412,11 +412,11 @@ def policy_cell_assignment(
     then assignment is the shuffle-free inlined-literal projection of
     :func:`assign_to_centroids`. That inlining carries k·dim doubles
     in the plan — fine through k ~ thousands (sf1 → k=141); a
-    deployment past ~1e8 rows (k > ~12k) should assign via a broadcast
-    join against a persisted centroid TABLE (save_centroids +
-    similarity.ivf_topk's probe path) rather than plan literals — the
-    policy arithmetic is identical, only the physical assignment
-    changes.
+    deployment past ~1e8 rows (k > ~12k) assigns via
+    :func:`assign_via_broadcast` (the centroid list as a broadcast
+    TABLE, value-identical argmin, pinned equal by
+    tests/test_clustering.py) — the policy arithmetic is identical,
+    only the physical assignment changes.
 
     Engine-portable: :func:`sql_policy_cells` replays k-derivation,
     seeding, and assignment in DuckDB SQL, so oracles hash-check the
@@ -677,3 +677,62 @@ def sql_two_level_cells(
     JOIN {cent} f ON f.cidx = ao.cidx)
   WHERE rn = 1
 )"""
+
+
+def centroids_df(spark, centroids: list[list[float]]):
+    """The model as a (cidx int, cv array<double>) DataFrame — the
+    broadcastable-table form of the centroid list, for
+    :func:`assign_via_broadcast`."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cidx int, cv array<double>",
+    )
+
+
+def assign_via_broadcast(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment against a BROADCAST centroid TABLE
+    — the form :func:`policy_cell_assignment`'s docstring prescribes
+    past k ≈ 12k, where inlining k·dim literals into the plan stops
+    being reasonable (plan size, codegen limits). Value-identical to
+    :func:`assign_to_centroids` (r12, pinned by
+    tests/test_clustering.py): the per-pair distance is the same
+    ordered fold (functions.vectors.sqdist_col == distances_col's
+    per-centroid aggregate), and the argmin is ``min(struct(d, cidx))``
+    — struct order (d asc, cidx asc), so ties break to the lowest
+    centroid index exactly like the literal form's struct sort.
+
+    100 TB shape: broadcast-hash join (centroids are model-sized —
+    k·dim doubles, megabytes at k=100k·d=64) fans each row out to k
+    scored rows, the partial hash aggregate collapses them back to one
+    row per id MAP-SIDE (all k rows for an id are produced in the same
+    input partition, so the shuffle carries n rows, not n·k), then one
+    broadcast-shaped join re-attaches the winner to the input row.
+    Versus the literal form it trades one shuffle + join for an
+    unbounded k; use the literal form while k is thousands (zero
+    shuffle), this one beyond."""
+    if "_best" in df.columns or "_d" in df.columns:
+        raise ValueError(
+            "input columns '_best'/'_d' collide with the operator's "
+            "internal scratch"
+        )
+    from ..functions.vectors import sqdist_col
+
+    scored = df.select(id_col, vec_col).join(F.broadcast(centroids))
+    best = (
+        scored.withColumn(
+            "_d", sqdist_col(F.col(vec_col), F.col("cv"))
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("_d"), F.col("cidx"))).alias("_best"))
+        .select(
+            id_col,
+            F.col("_best.cidx").cast("int").alias(cluster_col),
+        )
+    )
+    return df.join(best, id_col)

@@ -519,3 +519,32 @@ def test_two_level_assign_degenerates_to_exact_for_tiny_k(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_assign_via_broadcast_matches_literal_form(spark):
+    """The broadcast-table assignment (the documented k>12k form) must
+    equal the inlined-literal assign_to_centroids row-for-row — same
+    fold, same lowest-index tie rule — and its plan must be a
+    broadcast join + partial aggregate, never a sort or cartesian of
+    the corpus."""
+    from in_stream_processing_course_spark.operators.clustering import (
+        assign_via_broadcast,
+        centroids_df,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = seed_centroids(emb, 25)
+    lit = {
+        (r["vec_id"], r["cluster"])
+        for r in assign_to_centroids(emb, cents, dist_col=None)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    bc = assign_via_broadcast(emb, centroids_df(spark, cents))
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in bc.select("vec_id", "cluster").collect()
+    }
+    assert got == lit and len(got) == emb.count()
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
