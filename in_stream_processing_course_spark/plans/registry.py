@@ -296,9 +296,13 @@ register("embedding_label_centroids", sq.label_centroids, sq.ORACLE_CENTROIDS)
 # hash-backed since r9: Lloyd-indexed IVF, oracle replays fit + probe
 register("knn_ivf", sq.knn_ivf, sq.ORACLE_KNN_IVF)
 # r11: the n_lists="auto" policy form, hash-checked — the oracle
-# re-derives k from count(*) before replaying the same fit/probe chain
+# re-derives k from count(*) before replaying the same fit/probe chain.
+# r13: "auto" owns the two-level coarse-quantizer build (the scale
+# form); the exact n^1.5 assignment is the explicitly-named twin
 register("knn_ivf_auto", sq.knn_ivf_auto, sq.ORACLE_KNN_IVF_AUTO)
-register("knn_ivf_coarse", sq.knn_ivf_coarse, sq.ORACLE_KNN_IVF_COARSE)
+register(
+    "knn_ivf_exact_build", sq.knn_ivf_exact_build, sq.ORACLE_KNN_IVF_EXACT_BUILD
+)
 
 # --- multimodal binary columns (X4) -----------------------------------------
 register("media_metadata", mq.media_metadata, mq.ORACLE_MEDIA_METADATA)
