@@ -32,10 +32,20 @@ lands ~x3-4.5 on x10 data, so x8 flags only genuinely super-linear
 shapes while tolerating small-wall timer noise); listed queries keep
 their calibrated bars. One longer CI job (~2 sf0.1 passes + 1 sf1
 pass, ~25 min wall); the 16-shape ``--sf1`` stays as the quick form.
-Small-wall guard: ratios are only enforced when the sf1 wall exceeds
-``MIN_ENFORCE_SF1_WALL`` seconds — a 0.3 s query jumping to 1.2 s is
-scheduler noise, not a quadratic, and the judge-visible failure mode
-this gate exists for is the query that takes MINUTES at sf1.
+Small-wall guard (tightened r13, VERDICT r12 next-round #2): r12
+enforced budgets only at sf1 wall >= 3 s, which left a blind spot — a
+genuine quadratic in a currently-tiny query (0.05 s -> 0.5 s on x10
+data) passed silently and would only surface a scale decade later.
+Now ratios are enforced from ``MIN_ENFORCE_SF1_WALL`` = 0.5 s up;
+walls in the [0.5 s, ``SMALL_WALL_CEILING`` = 3 s) band get their
+budget widened to at least ``SMALL_WALL_BUDGET`` = x12 (fixed
+per-query overhead — job scheduling, parquet footers, codegen — is a
+larger fraction of a sub-3 s wall, so honest ratios jitter wider
+there), while walls >= 3 s keep their committed calibrated bars.
+Below 0.5 s ratios stay advisory ("over-but-tiny"): even a fully
+quadratic sub-0.5 s query costs <0.5 s at sf1, and it enters the
+enforced band at the next scale decade BEFORE it can hide minutes of
+work.
 """
 
 from __future__ import annotations
@@ -58,9 +68,27 @@ _BUDGETS_PATH = pathlib.Path(__file__).resolve().parent / "scale_budgets.json"
 # x8 catches quadratics (x15-100 measured historically) without
 # flagging layout/fixed-overhead effects
 DEFAULT_SF1_BUDGET = 8.0
-# ratios are noise below this sf1 wall — enforce budgets only on
-# queries that actually cost something at sf1
-MIN_ENFORCE_SF1_WALL = 3.0
+# ratios are pure timer noise below this sf1 wall; a sub-floor
+# quadratic enters the enforced band at the next scale decade before
+# it can hide real work (r13 — floor lowered from 3.0)
+MIN_ENFORCE_SF1_WALL = 0.5
+# walls in [MIN_ENFORCE_SF1_WALL, SMALL_WALL_CEILING) carry a larger
+# fixed-overhead fraction, so their budgets widen to at least x12;
+# walls >= the ceiling use the committed calibrated bars as-is
+SMALL_WALL_CEILING = 3.0
+SMALL_WALL_BUDGET = 12.0
+
+
+def effective_budget(w1: float, budget: float) -> float | None:
+    """The bar actually enforced for an sf1 wall of ``w1`` seconds:
+    None below the floor (advisory only), the committed budget widened
+    to at least x12 in the small-wall band, the committed budget
+    alone at >= 3 s."""
+    if w1 < MIN_ENFORCE_SF1_WALL:
+        return None
+    if w1 < SMALL_WALL_CEILING:
+        return max(budget, SMALL_WALL_BUDGET)
+    return budget
 
 
 def main_sf1(full: bool = False) -> int:
@@ -95,9 +123,9 @@ def main_sf1(full: bool = False) -> int:
             failed.append(name)
             traceback.print_exc(limit=2, file=sys.stderr)
             continue
-        enforced = w1 >= MIN_ENFORCE_SF1_WALL
+        eff = effective_budget(w1, budget)
         status = "ok"
-        if ratio > budget and enforced:
+        if eff is not None and ratio > eff:
             # retry-on-breach (r12): single-pass ratios on mid-cost
             # queries ride +-50% session noise (GC pressure from the
             # preceding 200 queries, scheduler bursts) — measured:
@@ -108,8 +136,8 @@ def main_sf1(full: bool = False) -> int:
                 r01, r1, rratio = measure(name)
                 if rratio < ratio:
                     w01, w1, ratio = r01, r1, rratio
-                    enforced = w1 >= MIN_ENFORCE_SF1_WALL
-                if ratio <= budget or not enforced:
+                    eff = effective_budget(w1, budget)
+                if eff is None or ratio <= eff:
                     status = "ok-on-retry"
                 else:
                     status = "BREACH"
@@ -119,13 +147,21 @@ def main_sf1(full: bool = False) -> int:
                 traceback.print_exc(limit=2, file=sys.stderr)
                 continue
         elif ratio > budget:
-            status = "over-but-tiny"
+            # over the committed bar but under the enforced one:
+            # sub-floor walls are advisory; small-wall band rows are
+            # inside the widened x12 bar
+            status = (
+                "over-but-tiny" if eff is None
+                else f"ok-small-wall(<=x{eff:.0f})"
+            )
         rows.append((name, w01, w1, ratio, budget, status))
     print(
         f"# sf0.1 -> sf1 scale trend ({sf01} -> {sf1}), x10 data"
         + (f" — FULL registry ({len(names)} queries, default budget "
-           f"x{DEFAULT_SF1_BUDGET:.0f}, enforced when sf1 wall >= "
-           f"{MIN_ENFORCE_SF1_WALL:.0f}s)" if full else "")
+           f"x{DEFAULT_SF1_BUDGET:.0f}; enforced when sf1 wall >= "
+           f"{MIN_ENFORCE_SF1_WALL}s, budget widened to >= "
+           f"x{SMALL_WALL_BUDGET:.0f} for walls under "
+           f"{SMALL_WALL_CEILING:.0f}s)" if full else "")
     )
     print(f"{'query':40s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>7s} {'budget':>7s}")
     for name, w01, w1, ratio, budget, status in sorted(
