@@ -44,7 +44,7 @@ _NUM_HASHES = 16
 _BANDS = 4
 _SHINGLE_K = 5
 
-_SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
+_SQL_TOKENS = r"list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'), x -> len(x) > 0)"
 # word 5-shingles, distinct
 _SQL_SHINGLES = (
     f"list_distinct(list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - {_SHINGLE_K - 1}, 1)),"
@@ -463,7 +463,7 @@ ORDER BY a, b
 
 _SQL_QUALITY = r"""
 round(least(len(text) / 500.0, 1.0) * 0.4
-      + least(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+      + least(len(list_filter(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'), x -> len(x) > 0),
                               t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
               / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1) * 4, 1.0) * 0.4
       + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))

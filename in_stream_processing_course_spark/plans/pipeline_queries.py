@@ -263,7 +263,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
-_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"
+_SQL_TOKS = r"list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'), x -> len(x) > 0)"
 
 ORACLE_CHUNKS = f"""
 WITH staged AS (
@@ -632,7 +632,7 @@ FROM ranked GROUP BY event_type ORDER BY event_type
 
 ORACLE_TFIDF = rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                                     x -> len(x) > 0)) AS term
   FROM documents
 ),

@@ -38,8 +38,35 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_lower_guarded(expr: str = "text") -> str:
+    """DuckDB ``lower({expr})`` with the cross-engine divergence guard
+    (r13, VERDICT r12 next-round #4 — the pHash ascii_guard pattern
+    extended to the text family). Java (Spark) and utf8proc (DuckDB)
+    ``lower()`` agree on every Unicode character EXCEPT the two
+    SpecialCasing.txt lowercase rules, probed engine-vs-engine this
+    round: U+0130 İ (full mapping i+U+0307 in Java, simple mapping i
+    in utf8proc) and U+03A3 Σ (Java applies the conditional
+    Final_Sigma rule → ς at word end; utf8proc always σ). Accented
+    Latin, CJK, astral-plane emoji, ligature titlecase (ǅ), and the
+    iota-subscript rows (ᾼ) all agree. A fixture row containing either
+    divergent character makes the oracle error() LOUDLY with this
+    named message instead of surfacing as a bare hash mismatch; the
+    guard is per-row (CASE on the column), so it cannot be
+    constant-folded away and costs one RE2 probe per row, oracle-side
+    only."""
+    return (
+        f"CASE WHEN regexp_matches({expr}, '[İΣ]') THEN "
+        "CAST(error('text-family oracle: Java and utf8proc lower() "
+        "diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture "
+        f"has such rows') AS VARCHAR) ELSE lower({expr}) END"
+    )
+
+
 def _sql_tokens(expr: str) -> str:
-    return rf"list_filter(string_split_regex(lower({expr}), '\s+'), x -> len(x) > 0)"
+    return (
+        rf"list_filter(string_split_regex({sql_lower_guarded(expr)},"
+        rf" '\s+'), x -> len(x) > 0)"
+    )
 
 
 def _sql_marker_hits(markers: tuple[str, ...]) -> str:
@@ -150,7 +177,7 @@ ORACLE_LANG_ROLLUP = r"""
 WITH q AS (
   SELECT lang, source, n_chars,
          round(least(len(text) / 500.0, 1.0) * 0.4
-               + least(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+               + least(len(list_filter(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'), x -> len(x) > 0),
                                        t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                        / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1) * 4, 1.0) * 0.4
                + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
@@ -193,7 +220,7 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TERM_FREQUENCIES = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                                     x -> len(x) > 0)) AS term
   FROM documents
 ),
@@ -269,7 +296,7 @@ ORACLE_CURATION = r"""
 WITH q AS (
   SELECT *,
          round(least(len(text) / 500.0, 1.0) * 0.4
-               + least(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+               + least(len(list_filter(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'), x -> len(x) > 0),
                                        t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
                        / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)), 1) * 4, 1.0) * 0.4
                + (1.0 - least(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
@@ -567,7 +594,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_INVERTED_INDEX = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                                     x -> len(x) > 0)) AS term
   FROM documents
 ), per_doc AS (
@@ -648,7 +675,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_VOCAB_COVERAGE = rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                                     x -> len(x) > 0)) AS term
   FROM documents
 ),
@@ -816,7 +843,7 @@ def type_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TYPE_TOKEN = r"""
 WITH toks AS (
   SELECT lang, source,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                             x -> len(x) > 0)) AS term
   FROM documents
 ),
@@ -1114,7 +1141,7 @@ def text_lang_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LANG_NGRAM_CONFUSION = f"""
 WITH tri AS (
   SELECT doc_id, lang, unnest(list_transform(
-           generate_series(1, len(lower(text)) - 2),
+           generate_series(1, len(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END) - 2),
            i -> substring(lower(text), i, 3))) AS tg
   FROM documents
 ),

@@ -161,7 +161,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BPE_PAIR_COUNTS = rf"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                             x -> len(x) > 0)) AS word
   FROM documents
 ),
@@ -243,7 +243,7 @@ def _bpe_rounds_cte() -> str:
     parts = [
         rf"""
 WITH words AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                             x -> len(x) > 0)) AS word
   FROM documents
 ),
@@ -338,7 +338,7 @@ word_toks AS (
 ),
 docw AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                             x -> len(x) > 0)) AS word
   FROM documents
 )
@@ -402,7 +402,7 @@ word_toks AS (
 ),
 docw AS (
   SELECT lang,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                             x -> len(x) > 0)) AS word
   FROM documents
 )
@@ -514,7 +514,7 @@ word_toks AS (
 ),
 docw AS (
   SELECT lang,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(CASE WHEN regexp_matches(text, '[İΣ]') THEN CAST(error('text-family oracle: Java and utf8proc lower() diverge on U+0130/U+03A3 (Unicode SpecialCasing); fixture has such rows') AS VARCHAR) ELSE lower(text) END, '\s+'),
                             x -> len(x) > 0)) AS word
   FROM documents WHERE lang IS NOT NULL
 ),
