@@ -592,6 +592,11 @@ def two_level_assign(
     grouped."""
     import math
 
+    if n_coarse is not None and n_coarse < 1:
+        raise ValueError(
+            f"n_coarse must be >= 1 (got {n_coarse}); pass None to "
+            "use the isqrt(k) default"
+        )
     k = len(centroids)
     kc = max(1, math.isqrt(k)) if n_coarse is None else n_coarse
     if kc >= k:
@@ -707,19 +712,35 @@ def assign_via_broadcast(
     — struct order (d asc, cidx asc), so ties break to the lowest
     centroid index exactly like the literal form's struct sort.
 
-    100 TB shape: broadcast-hash join (centroids are model-sized —
-    k·dim doubles, megabytes at k=100k·d=64) fans each row out to k
-    scored rows, the partial hash aggregate collapses them back to one
-    row per id MAP-SIDE (all k rows for an id are produced in the same
-    input partition, so the shuffle carries n rows, not n·k), then one
-    broadcast-shaped join re-attaches the winner to the input row.
-    Versus the literal form it trades one shuffle + join for an
+    100 TB shape: a keyless broadcast join (plans as
+    BroadcastNestedLoopJoin — every row pairs with the whole
+    broadcast model table; centroids are model-sized, k·dim doubles,
+    megabytes at k=100k·d=64) fans each row out to k scored rows, the
+    partial hash aggregate collapses them back to one row per id
+    MAP-SIDE (all k rows for an id are produced in the same input
+    partition, so the shuffle carries n rows, not n·k), then one
+    broadcast-shaped equi-join re-attaches the winner to the input
+    row. Versus the literal form it trades one shuffle + join for an
     unbounded k; use the literal form while k is thousands (zero
-    shuffle), this one beyond."""
+    shuffle), this one beyond.
+
+    Contract: ``id_col`` must be UNIQUE in ``df`` — the winner is
+    computed per id and re-joined, so duplicate ids would collapse
+    through the groupBy and fan back out on the re-join instead of
+    keeping per-row semantics; and ``centroids`` must be non-empty
+    (checked here, loudly, matching the literal form's k>=1 failure
+    — an empty model would otherwise inner-join everything away and
+    silently return zero rows)."""
     if "_best" in df.columns or "_d" in df.columns:
         raise ValueError(
             "input columns '_best'/'_d' collide with the operator's "
             "internal scratch"
+        )
+    if centroids.isEmpty():
+        raise ValueError(
+            "centroids DataFrame is empty — nearest-centroid "
+            "assignment needs k >= 1 (the literal "
+            "assign_to_centroids fails loudly here too)"
         )
     from ..functions.vectors import sqdist_col
 

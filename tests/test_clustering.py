@@ -406,7 +406,7 @@ def test_two_level_assign_matches_sql_replay(spark):
     """two_level_assign's (vec_id, cluster) must equal the
     sql_two_level_cells CTE chain row-for-row — fine→coarse grouping,
     both argmins, and the lowest-index tie rule all inside the check
-    (the contract knn_ivf_coarse's oracle stands on)."""
+    (the contract the knn_ivf_auto oracle stands on since r13)."""
     import duckdb
 
     from in_stream_processing_course_spark.operators.clustering import (
@@ -548,3 +548,33 @@ def test_assign_via_broadcast_matches_literal_form(spark):
     assert got == lit and len(got) == emb.count()
     plan = bc._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_two_level_assign_rejects_nonpositive_n_coarse(spark):
+    """An explicit n_coarse <= 0 must raise a named ValueError up
+    front (ADVICE r12: it used to die deep in the grouping loop with
+    an IndexError), matching the '_coarse' collision check's style."""
+    from in_stream_processing_course_spark.operators.clustering import (
+        two_level_assign,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = seed_centroids(emb, 4)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_coarse"):
+            two_level_assign(emb, cents, n_coarse=bad)
+
+
+def test_assign_via_broadcast_rejects_empty_centroids(spark):
+    """An empty centroids table must fail loudly like the literal
+    form's k >= 1 contract (ADVICE r12: the inner join used to return
+    an empty DataFrame silently)."""
+    from in_stream_processing_course_spark.operators.clustering import (
+        assign_via_broadcast,
+        centroids_df,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    empty = centroids_df(spark, [[0.0, 0.0]]).where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        assign_via_broadcast(emb, empty)
