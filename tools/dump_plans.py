@@ -356,10 +356,25 @@ def main() -> None:
         "inherently ~quadratic on a correlated corpus — 700k pairs from",
         "5,000 base docs — which a bucket cap, not a fixture, fixes).",
         "The IVF policy build also gained the two-level coarse-quantizer",
-        "form (knn_ivf_coarse: route rows through isqrt(k) anchors, score",
-        "only the matching group's fine centroids — n*~2*sqrt(k)*d instead",
-        "of n*k*d, exponent ~1.25 instead of 1.5 under k=sqrt(n); the",
-        "oracle replays the two-level rule bit-for-bit).",
+        "form in r12 (route rows through isqrt(k) anchors, score only the",
+        "matching group's fine centroids — n*~2*sqrt(k)*d instead of",
+        "n*k*d, exponent ~1.25 instead of 1.5 under k=sqrt(n); the oracle",
+        "replays the rule bit-for-bit).",
+        "",
+        "r13 promotes the two-level build to the registered `knn_ivf_auto`",
+        "path (VERDICT r12 #1: the exact-assign build trended x15.89 under",
+        "a x16.00 budget — margin thinner than the gate's own session",
+        "noise; the coarse build is the form a 100x deployment builds",
+        "with, budget x5). The exact n^1.5-assignment build stays",
+        "registered as the explicitly-named `knn_ivf_exact_build` twin",
+        "with its adjudicated build-dominated budget restored to x18",
+        "(ADVICE r12: real margin above the worst committed measurement).",
+        "r13 also closes the gate's sub-3s blind spot (VERDICT r12 #2):",
+        "enforcement now starts at sf1 wall >= 0.5s, with budgets widened",
+        "to >= x12 in the [0.5s, 3s) small-wall band where fixed per-query",
+        "overhead dominates — a quadratic in a currently-tiny query now",
+        "fails the gate a scale decade before it can hide minutes of",
+        "work, while committed calibrated bars still govern walls >= 3s.",
         "",
     ]
     with open("PLANS.md", "w") as f:
