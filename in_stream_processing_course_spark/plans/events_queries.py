@@ -15,14 +15,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.projections import ensure_timestamp
-from ..sources.batch import load_table
+from ..sources.batch import fan_out_by, load_table
 
 SESSION_GAP = "30 minutes"
 SESSION_GAP_SEC = 1800
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+def _events(
+    spark: SparkSession, sf_dir: str, key: str | None = None
+) -> DataFrame:
+    """events scan; ``key`` switches the narrow-scan fan-out from
+    round-robin to a hash on the query's first group/window key so the
+    downstream exchange is elided (r13, guide §2.4 — see
+    sources.batch.fan_out_by; no-op at real scale)."""
+    if key is None:
+        return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+    ev = ensure_timestamp(
+        load_table(spark, sf_dir, "events", fan_out=False), "ts"
+    )
+    return fan_out_by(ev, key)
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,7 +41,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark merges events whose [ts, ts+gap) windows overlap; window end
     = last event + gap).
     """
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     agg = ev.groupBy(
         "user_id", F.session_window("ts", SESSION_GAP).alias("w")
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -68,7 +79,7 @@ FROM grouped GROUP BY user_id, sid
 def event_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time since previous event, microsecond precision
     (lag OVER a per-key event-time order)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     return ev.select(
@@ -179,7 +190,12 @@ ORDER BY n_events DESC, user_id ASC LIMIT 10
 def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per day — the canonical distinct-count rollup
     (exact; the HLL variant of the same shape is
-    bot_stats_approx_categories)."""
+    bot_stats_approx_categories).
+
+    Fan-out stays ROUND-ROBIN (r13): keying it by user_id elides the
+    distinct-expansion exchange but measured slower (0.42 -> 0.57 s)
+    — the (day, user) partial aggregate compresses before the shuffle
+    either way, and the day-keyed final exchange is unavoidable."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
@@ -207,7 +223,7 @@ def view_to_click_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern-match building block; the window matches the test data's
     per-user event cadence). conv_rate = conversions / views, exact
     integer division to double, deterministic in both engines."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     seq = ev.select(
@@ -265,7 +281,7 @@ def sessionize_events_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     of all previous intervals), which is NOT plain lag-based
     gaps-and-islands.
     """
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     gap = F.when(
         F.col("event_type").isin("purchase", "error"), F.lit("5 minutes")
     ).otherwise(F.lit("30 minutes"))
@@ -471,7 +487,7 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the partitioning decision per stage); no windows over full
     event history, no fanout. The oracle derives the same chain with
     three dependent CTEs."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     base = ev.select(
         "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
     )
@@ -747,7 +763,7 @@ def user_growth_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
     to date — the new-vs-returning curve every product dashboard
     leads with. Two hash aggregates (per-user min, per-day count)
     plus one |days|-row cumulative window; all exact integers."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     first_seen = ev.groupBy("user_id").agg(
         F.min(
             F.unix_timestamp(F.date_trunc("day", F.col("ts")))
@@ -790,7 +806,7 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window): the engagement histogram behind "how long do
     users actually stay". Session rollup (one shuffle) -> scan-local
     bucket projection -> one tiny aggregate; all exact integers."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     sessions = ev.groupBy(
         "user_id", F.session_window("ts", SESSION_GAP).alias("w")
     ).agg(

@@ -158,7 +158,7 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id so at scale it co-partitions with the event side instead
     of broadcasting an unbounded user dimension.
     """
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     days = ev.select(
         "user_id",
         F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
@@ -388,7 +388,7 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact sums sit on the 0.01 grid — order-safe; see
     events_queries.ORACLE_HOURLY note).
     """
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     es = F.unix_timestamp("ts")
     w = (
         Window.partitionBy("user_id")
@@ -434,7 +434,7 @@ def user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_to lead reuse the user_id partitioning. Ties are broken by
     event_id — a total order, so runs are deterministic.
     """
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = F.when(
         F.lag("event_type").over(w).isNull()
@@ -761,7 +761,7 @@ def attribution_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     second small shuffle. The streaming twin is the per-key deque in
     ``streaming/enrich.py`` — this is its batch backfill.
     """
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     tagged = ev.select(
         "user_id",
         "ts",
@@ -1201,7 +1201,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_type) adjacent pairs; counts plus the per-prev-type row
     share. One lag window (user shuffle) + one hash aggregate; shares
     are unrounded integer-derived doubles."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -1251,7 +1251,7 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered hedge when that assumption fails (per-(user, day)
     segments bound the array by daily activity instead). Single-event
     users emit NULL (zero span)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     seq = ev.groupBy("user_id").agg(
         F.array_sort(
             F.collect_list(
