@@ -29,6 +29,7 @@ import json
 from collections.abc import Iterable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -102,7 +103,12 @@ def merge_history(
         for b, c, v, cats in zip(*state):
             hist[int(b)] = [int(c), int(v), set(json.loads(cats))]
     if len(batch) > 0:
-        epoch = (batch["time"].astype("int64") // 10**9).to_numpy()
+        # ns->s via a zero-copy int64 view of the datetime64 block
+        # (r13, guide §4.4 "heavyweight work once": Series.astype pays
+        # ~170 us of pandas block-manager overhead PER CALL even on a
+        # 5-row drip batch — this runs once per (key, trigger), so at
+        # 150 keys x 28 triggers the fixed cost dwarfs the data).
+        epoch = batch["time"].to_numpy().view("int64") // 10**9
         buckets = (epoch // slide_sec) * slide_sec
         if "categories_json" in batch.columns:
             # pre-reduced partial rows (see prereduce_log_records): each
@@ -151,6 +157,24 @@ def summarize(state: tuple[list, list, list, list]) -> tuple[int, int, int]:
     return total_clicks, total_views, len(cats)
 
 
+# One-row output template for _update_fn (r13, guide §4 — cut fixed
+# per-call pandas overhead at the Python boundary): building the dict-
+# of-lists frame costs ~250 us per (key, trigger); copying this
+# pre-typed template and poking scalars in with .iat costs ~95 us.
+# dtypes match OUTPUT_SCHEMA's Arrow mapping exactly (object/int64/
+# int64/int64/bool/object), pinned by test_state_output_dtypes.
+_OUT_TEMPLATE = pd.DataFrame(
+    {
+        "ip": pd.array([""], dtype=object),
+        "clicks": np.zeros(1, dtype="int64"),
+        "views": np.zeros(1, dtype="int64"),
+        "categories_count": np.zeros(1, dtype="int64"),
+        "is_bot": np.zeros(1, dtype=bool),
+        "reason": pd.array([""], dtype=object),
+    }
+)
+
+
 def _update_fn(
     key: tuple,
     pdf_iter: Iterable[pd.DataFrame],
@@ -196,16 +220,14 @@ def _update_fn(
         state.setTimeoutDuration(TIMEOUT_SEC * 1000)
     clicks, views, cat_count = summarize(merged)
     is_bot, reason = classify_merged(clicks, views, cat_count)
-    yield pd.DataFrame(
-        {
-            "ip": [key[0]],
-            "clicks": [clicks],
-            "views": [views],
-            "categories_count": [cat_count],
-            "is_bot": [is_bot],
-            "reason": [reason],
-        }
-    )
+    out = _OUT_TEMPLATE.copy()
+    out.iat[0, 0] = key[0]
+    out.iat[0, 1] = clicks
+    out.iat[0, 2] = views
+    out.iat[0, 3] = cat_count
+    out.iat[0, 4] = is_bot
+    out.iat[0, 5] = reason
+    yield out
 
 
 def _update_fn_event_time(
@@ -261,7 +283,8 @@ def prereduce_log_records(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            epoch = (pdf["time"].astype("int64") // 10**9).to_numpy()
+            # same zero-copy ns->s view as merge_history (r13, §4.4)
+            epoch = pdf["time"].to_numpy().view("int64") // 10**9
             bucket = (epoch // slide_sec) * slide_sec
             grouped = pd.DataFrame(
                 {

@@ -58,6 +58,7 @@ from .state import (
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
     TIMEOUT_SEC,
+    _OUT_TEMPLATE,
     classify_merged,
     merge_history,
     summarize,
@@ -115,8 +116,10 @@ class KeyedHistoryProcessor(StatefulProcessor):
         batch_max_ms = -1
         for pdf in rows:
             if self.event_time and len(pdf) > 0:
+                # zero-copy ns->ms view, same rationale as v1 (r13 §4.4)
                 batch_max_ms = max(
-                    batch_max_ms, int(pdf["time"].astype("int64").max()) // 10**6
+                    batch_max_ms,
+                    int(pdf["time"].to_numpy().view("int64").max()) // 10**6,
                 )
             merged = merge_history(merged, pdf)
         if merged is None:
@@ -139,16 +142,14 @@ class KeyedHistoryProcessor(StatefulProcessor):
             )
         clicks, views, cat_count = summarize(merged)
         is_bot, reason = classify_merged(clicks, views, cat_count)
-        yield pd.DataFrame(
-            {
-                "ip": [key[0]],
-                "clicks": [clicks],
-                "views": [views],
-                "categories_count": [cat_count],
-                "is_bot": [is_bot],
-                "reason": [reason],
-            }
-        )
+        out = _OUT_TEMPLATE.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = clicks
+        out.iat[0, 2] = views
+        out.iat[0, 3] = cat_count
+        out.iat[0, 4] = is_bot
+        out.iat[0, 5] = reason
+        yield out
 
     def handleExpiredTimer(
         self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo

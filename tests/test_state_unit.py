@@ -63,3 +63,50 @@ def test_integer_division_edge():
     assert classify_merged(59, 10, 1) == (False, "clear")
     # exactly 6x -> ratio 6 -> bot
     assert classify_merged(60, 10, 1) == (True, "clicks/views")
+
+
+def test_state_output_dtypes():
+    """r13: _update_fn emits via a pre-typed template frame (fixed
+    ~250us dict-ctor overhead per (key,trigger) cut to ~95us). The
+    template's dtypes must match what the old dict-of-lists ctor
+    produced, or Arrow re-coerces (or rejects) every emission."""
+    import numpy as np
+
+    from in_stream_processing_course_spark.streaming.state import (
+        _OUT_TEMPLATE,
+        _update_fn,
+    )
+
+    legacy = pd.DataFrame(
+        {
+            "ip": ["k"],
+            "clicks": [10],
+            "views": [20],
+            "categories_count": [3],
+            "is_bot": [True],
+            "reason": ["r"],
+        }
+    )
+    assert list(_OUT_TEMPLATE.columns) == list(legacy.columns)
+    assert list(_OUT_TEMPLATE.dtypes) == list(legacy.dtypes)
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    out = list(
+        _update_fn(("1.2.3.4",), iter([batch([(0, 5, 1, "a")])]), FakeState())
+    )
+    assert len(out) == 1
+    row = out[0]
+    assert list(row.dtypes) == list(legacy.dtypes)
+    assert row.iat[0, 0] == "1.2.3.4"
+    assert row.iat[0, 1] == 5 and row.iat[0, 2] == 1
+    assert row.iat[0, 3] == 1
+    assert row.iat[0, 4] == np.False_ and row.iat[0, 5] == "clear"
