@@ -29,7 +29,7 @@ from ..operators.merge import merge_into, snapshot_diff
 from ..operators.quality_checks import Check, audit_table
 from ..operators.scd import cdc_changes_from_events, scd2_apply
 from ..operators.projections import ensure_timestamp
-from ..sources.batch import load_table
+from ..sources.batch import fan_out_by, load_table
 from ..streaming.interval_join import (
     JOIN_WINDOW_SEC,
     interval_join_view_click,
@@ -37,8 +37,19 @@ from ..streaming.interval_join import (
 )
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+def _events(
+    spark: SparkSession, sf_dir: str, key: str | None = None
+) -> DataFrame:
+    """events scan; ``key`` switches the narrow-scan fan-out from
+    round-robin to a hash on the query's first group/window/join key
+    so the downstream exchange is elided (r13, guide §2.4 — see
+    sources.batch.fan_out_by; no-op at real scale)."""
+    if key is None:
+        return ensure_timestamp(load_table(spark, sf_dir, "events"), "ts")
+    ev = ensure_timestamp(
+        load_table(spark, sf_dir, "events", fan_out=False), "ts"
+    )
+    return fan_out_by(ev, key)
 
 
 # epoch micros for 2024-01-16T00:00:00Z — mid-range of the generated
@@ -66,7 +77,7 @@ def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-batch SCD2 build WITHOUT the presentation sort — the
     form downstream joins consume (a global orderBy before a join is
     a wasted range-exchange; only the registry query sorts)."""
-    changes = cdc_changes_from_events(_events(spark, sf_dir))
+    changes = cdc_changes_from_events(_events(spark, sf_dir, key="user_id"))
     b1 = changes.where(F.col("ts") < _SCD_CUTOFF_US)
     b2 = changes.where(F.col("ts") >= _SCD_CUTOFF_US)
     dim1 = scd2_apply(None, b1, ["user_id"], ["event_type"])
@@ -189,7 +200,7 @@ def view_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the range predicate as residual condition: ONE shuffle per
     side, no nested-loop blowup, per-user match counts bounded by the
     6-hour window."""
-    views, clicks = split_view_click(_events(spark, sf_dir))
+    views, clicks = split_view_click(_events(spark, sf_dir, key="user_id"))
     return interval_join_view_click(views, clicks).orderBy(
         "click_id", "view_id"
     )
@@ -240,7 +251,7 @@ def merge_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one full-outer join on user_id (operators/merge.py) where the
     changeset side is the small one — AQE broadcasts it, the 100 TB
     snapshot never reshuffles."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     us = F.unix_micros("ts")
     target = _user_profile(ev.where(us < _SCD_CUTOFF_US))
     source = _user_profile(ev.where(us >= _SCD_CUTOFF_US))
@@ -300,7 +311,7 @@ def temporal_join_events_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from event-type transitions, so the version valid at a
     purchase IS a 'purchase' run — but the join is the generic
     temporal join, and the oracle replays it generically."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     dim = _scd2_dim(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
@@ -518,7 +529,7 @@ def profile_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives the same feed with a full-outer SQL join over two
     aggregate CTEs. (No deletes arise here — profiles only grow — so
     the delete path is covered by the pytest round-trip instead.)"""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     us = F.unix_micros("ts")
     old = _user_profile(ev.where(us < _SCD_CUTOFF_US))
     new = _user_profile(ev)

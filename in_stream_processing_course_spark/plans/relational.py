@@ -37,7 +37,20 @@ from ..operators.ranks import (
     two_phase_rank,
     two_phase_rank_discrete,
 )
-from ..sources.batch import load_table
+from ..sources.batch import fan_out_by, load_table
+
+
+def _li_by(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    """lineitem scan with the narrow-scan fan-out keyed on the query's
+    first group/window/join key instead of round-robin, so the
+    downstream exchange is elided (r13, guide §2.4 — see
+    sources.batch.fan_out_by; no-op at real scale). Only for queries
+    whose first wide operator keys on a HIGH-cardinality lineitem
+    column; low-cardinality groupings (q1's flag/status, q6's global
+    agg) keep round-robin + partial aggregation."""
+    return fan_out_by(
+        load_table(spark, sf_dir, "lineitem", fan_out=False), key
+    )
 
 # --- shared decimal casts ---------------------------------------------------
 
@@ -143,7 +156,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
     )
-    li = _li_money(load_table(spark, sf_dir, "lineitem")).where(
+    li = _li_money(_li_by(spark, sf_dir, "l_orderkey")).where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
     )
     joined = li.join(
@@ -196,7 +209,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
-    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    li = _li_money(_li_by(spark, sf_dir, "l_orderkey"))
     # dims reduce to a broadcastable (custkey -> nation) map; the only
     # big shuffle is orders<->lineitem on orderkey.
     nat = nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -388,7 +401,7 @@ FROM agg
 
 
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _li_by(spark, sf_dir, "l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big = (
@@ -498,7 +511,7 @@ FROM (
 def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """running (cumulative) revenue per supplier in ship order —
     exact decimal so the prefix sums are order-stable and portable."""
-    li = _li_money(load_table(spark, sf_dir, "lineitem"))
+    li = _li_money(_li_by(spark, sf_dir, "l_suppkey"))
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
