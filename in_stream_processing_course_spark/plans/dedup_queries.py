@@ -11,7 +11,20 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators.clustering import policy_cell_assignment, sql_policy_cells
-from ..sources.batch import load_table
+from ..sources.batch import fan_out_by, load_table
+
+
+def _docs_by_id(spark, sf_dir: str):
+    """documents scan with the narrow-scan fan-out keyed by doc_id
+    (r13, guide §2.4 — sources.batch.fan_out_by; no-op at real scale):
+    the signature/fingerprint pipelines explode tokens/shingles and
+    immediately re-aggregate per doc_id, so hash(doc_id) placement
+    makes that whole stage exchange-free — the per-doc aggregate's
+    shuffle disappears because each document's rows never leave their
+    partition."""
+    return fan_out_by(
+        load_table(spark, sf_dir, "documents", fan_out=False), "doc_id"
+    )
 
 # --- exact dedup (X1) --------------------------------------------------------
 
@@ -352,7 +365,7 @@ _BAND_BITS = 12
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (md5-nibble bit votes)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_by_id(spark, sf_dir)
     return dd.simhash_table(docs, "doc_id", "text", _SIM_BITS)
 
 

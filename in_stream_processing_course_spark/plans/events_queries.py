@@ -973,7 +973,11 @@ def events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification yardstick, not part of the sketch's cost."""
     from ..operators.sketches import cm_estimate, cm_sketch
 
-    ev = load_table(spark, sf_dir, "events").select("user_id")
+    # keyed fan-out (r13, §2.4): hash(user_id) feeds both the exact
+    # groupBy (exchange elided) and the sketch's partial aggregation
+    ev = fan_out_by(
+        load_table(spark, sf_dir, "events", fan_out=False), "user_id"
+    ).select("user_id")
     sk = cm_sketch(ev, "user_id", w=CM_W)
     exact = (
         ev.where(F.col("user_id").isNotNull())

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as tx
 from ..operators.similarity import brute_force_topk
-from ..sources.batch import load_table
+from ..sources.batch import fan_out_by, load_table
 
 # BM25 parameters (Robertson defaults) and the fixed benchmark query
 _K1 = 1.2
@@ -47,8 +47,16 @@ def _sql_terms() -> str:
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_matched, score): rational-idf BM25 of the fixed query
-    against every document matching >= 1 term."""
-    docs = load_table(spark, sf_dir, "documents")
+    against every document matching >= 1 term.
+
+    The narrow-scan fan-out is keyed by doc_id (r13, guide §2.4 —
+    sources.batch.fan_out_by; no-op at real scale): hash(doc_id)
+    satisfies the tf groupBy (doc_id, term), the lens/tf join, and the
+    final per-doc fold, so the whole score pipeline runs on the single
+    fan-out exchange."""
+    docs = fan_out_by(
+        load_table(spark, sf_dir, "documents", fan_out=False), "doc_id"
+    )
     staged = docs.select(
         "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")
     )

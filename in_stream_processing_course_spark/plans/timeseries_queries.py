@@ -1310,7 +1310,7 @@ def events_twap_per_user_windowed(
     exact-vs-bounded pairing as the percentile family. Same ordered
     fold, same integer-microsecond weights, same shuffle count (one,
     on the composite key)."""
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, key="user_id")
     day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias(
         "day_start"
     )
