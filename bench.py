@@ -380,15 +380,37 @@ def main() -> None:
     # the same code, and whole-run inflation when sibling containers
     # compete for the host); the min is the engine's capability, the
     # thing being benchmarked.
+    #
+    # r14 (VERDICT r13 next-round #1): each rep is additionally split
+    # into plan CONSTRUCTION (driver-side py4j/Catalyst work up to the
+    # DataFrame handle) and EXECUTION (the noop-sink action). The
+    # headline `queries` values are UNCHANGED in methodology — still
+    # min over reps of the full build+exec window, same work inside the
+    # timer as every prior round — the split is reported alongside
+    # (queries_build / queries_exec, min over reps of each part) so the
+    # driver's 8-vs-32-core scaling check can compare exec-only walls:
+    # at sf0.1 the build part is fixed driver cost that never scales
+    # with cores, which is what made every total-wall ratio read ~1.
     timings: dict[str, float] = {}
+    build_timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
     for _ in range(3):
         for name in HEADLINE:
             fn = QUERIES[name]
             start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - start, 3)
+            df = fn(spark, sf_dir)
+            built = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            done = time.perf_counter()
+            elapsed = round(done - start, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+            build_sec = round(built - start, 3)
+            exec_sec = round(done - built, 3)
+            if name not in build_timings or build_sec < build_timings[name]:
+                build_timings[name] = build_sec
+            if name not in exec_timings or exec_sec < exec_timings[name]:
+                exec_timings[name] = exec_sec
 
     total = round(sum(timings.values()), 3)
     # incremental-maintenance family: timed separately so the headline
@@ -443,6 +465,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # r14 scaling contract (VERDICT r13 #1): effective core
+                # count + parallelism the session actually ran with, and
+                # the per-query build/exec split — exec_sec is the
+                # engine wall the 8-vs-32-core ratio should be read
+                # from; build_sec is driver-side plan construction that
+                # is core-count-invariant by nature.
+                "cpus": int(cpus),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "queries_build": build_timings,
+                "queries_exec": exec_timings,
                 "sf": float(sf),
                 "stateful_pipeline_rows": state_rows,
                 "stateful_pipeline_wall_sec": round(state_sec, 3),

@@ -28,7 +28,7 @@ from ..operators.aggregations import (
     two_level_window_stats,
 )
 from ..operators.projections import filter_bots, normalize_events
-from ..sources.batch import fan_out_by, load_table
+from ..sources.batch import fan_out_by, load_table, scan_partitions
 
 WINDOW_SEC = 600  # ImplStructured.scala:12 (10 minutes)
 SLIDE_SEC = 40  # ImplStructured.scala:13
@@ -61,10 +61,12 @@ def log_records(
     twin passes ``fan_out_key=None`` because pre-clustering by ip
     would defeat its salt.
     """
-    lr = normalize_events(load_table(spark, sf_dir, "events", fan_out=False))
     if fan_out_key is None:
         return normalize_events(load_table(spark, sf_dir, "events"))
-    return fan_out_by(lr, fan_out_key)
+    lr = normalize_events(load_table(spark, sf_dir, "events", fan_out=False))
+    return fan_out_by(
+        lr, fan_out_key, n_partitions=scan_partitions(spark, sf_dir, "events")
+    )
 
 
 def normalized_log_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +103,29 @@ def _stats_projection(stats: DataFrame) -> DataFrame:
 
 
 def windowed_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 — the core aggregation: 10-min window / 40-s slide per ip."""
+    """A1 — the core aggregation: 10-min window / 40-s slide per ip.
+
+    r14 (VERDICT r13 #2, guide §2.2 window fan-out): REBOUND to the
+    two-level rollup. The naive ``window(ts, 10 min, 40 s)`` form fans
+    every EVENT into window/slide = 15 rows before the (ip, window)
+    aggregate — 15x the shuffle/aggregate input; the two-level
+    decomposition aggregates tumbling 40-s partials first (one row per
+    event) and fans out only the PARTIALS (one row per (ip, bucket)).
+    Identical output by construction when slide divides window — both
+    forms have hash-matched ORACLE_STATS_SLIDING since r1/r2
+    (bot_stats_two_level is this exact plan). The naive single-level
+    form stays registered as ``bot_stats_sliding_naive`` so the shape
+    comparison remains demonstrable, the knn_ivf_auto twin pattern.
+    Measured at sf0.1: 2.77 s -> ~1.9 s (the two_level bench line).
+    """
+    return windowed_stats_two_level(spark, sf_dir)
+
+
+def windowed_stats_sliding_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1, naive single-level form (the pre-r14 registered plan): one
+    ``window()`` fan-out of every event into 15 sliding windows, then
+    the (ip, window) aggregate. Kept as the demonstration twin of the
+    two-level rollup now bound to ``bot_stats_sliding``."""
     return _stats_projection(
         ip_window_stats(log_records(spark, sf_dir), "10 minutes", "40 seconds")
     )

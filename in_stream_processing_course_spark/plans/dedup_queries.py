@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators.clustering import policy_cell_assignment, sql_policy_cells
-from ..sources.batch import fan_out_by, load_table
+from ..sources.batch import fan_out_by, load_table, scan_partitions
 
 
 def _docs_by_id(spark, sf_dir: str):
@@ -23,7 +23,9 @@ def _docs_by_id(spark, sf_dir: str):
     shuffle disappears because each document's rows never leave their
     partition."""
     return fan_out_by(
-        load_table(spark, sf_dir, "documents", fan_out=False), "doc_id"
+        load_table(spark, sf_dir, "documents", fan_out=False),
+        "doc_id",
+        n_partitions=scan_partitions(spark, sf_dir, "documents"),
     )
 
 # --- exact dedup (X1) --------------------------------------------------------

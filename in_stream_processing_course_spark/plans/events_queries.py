@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.projections import ensure_timestamp
-from ..sources.batch import fan_out_by, load_table
+from ..sources.batch import fan_out_by, load_table, scan_partitions
 
 SESSION_GAP = "30 minutes"
 SESSION_GAP_SEC = 1800
@@ -33,7 +33,9 @@ def _events(
     ev = ensure_timestamp(
         load_table(spark, sf_dir, "events", fan_out=False), "ts"
     )
-    return fan_out_by(ev, key)
+    return fan_out_by(
+        ev, key, n_partitions=scan_partitions(spark, sf_dir, "events")
+    )
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -976,7 +978,9 @@ def events_cm_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed fan-out (r13, §2.4): hash(user_id) feeds both the exact
     # groupBy (exchange elided) and the sketch's partial aggregation
     ev = fan_out_by(
-        load_table(spark, sf_dir, "events", fan_out=False), "user_id"
+        load_table(spark, sf_dir, "events", fan_out=False),
+        "user_id",
+        n_partitions=scan_partitions(spark, sf_dir, "events"),
     ).select("user_id")
     sk = cm_sketch(ev, "user_id", w=CM_W)
     exact = (

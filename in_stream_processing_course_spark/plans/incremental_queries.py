@@ -29,7 +29,7 @@ from ..operators.merge import merge_into, snapshot_diff
 from ..operators.quality_checks import Check, audit_table
 from ..operators.scd import cdc_changes_from_events, scd2_apply
 from ..operators.projections import ensure_timestamp
-from ..sources.batch import fan_out_by, load_table
+from ..sources.batch import fan_out_by, load_table, scan_partitions
 from ..streaming.interval_join import (
     JOIN_WINDOW_SEC,
     interval_join_view_click,
@@ -49,7 +49,9 @@ def _events(
     ev = ensure_timestamp(
         load_table(spark, sf_dir, "events", fan_out=False), "ts"
     )
-    return fan_out_by(ev, key)
+    return fan_out_by(
+        ev, key, n_partitions=scan_partitions(spark, sf_dir, "events")
+    )
 
 
 # epoch micros for 2024-01-16T00:00:00Z — mid-range of the generated

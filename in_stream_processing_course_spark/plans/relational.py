@@ -37,7 +37,7 @@ from ..operators.ranks import (
     two_phase_rank,
     two_phase_rank_discrete,
 )
-from ..sources.batch import fan_out_by, load_table
+from ..sources.batch import fan_out_by, load_table, scan_partitions
 
 
 def _li_by(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
@@ -49,7 +49,9 @@ def _li_by(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
     column; low-cardinality groupings (q1's flag/status, q6's global
     agg) keep round-robin + partial aggregation."""
     return fan_out_by(
-        load_table(spark, sf_dir, "lineitem", fan_out=False), key
+        load_table(spark, sf_dir, "lineitem", fan_out=False),
+        key,
+        n_partitions=scan_partitions(spark, sf_dir, "lineitem"),
     )
 
 # --- shared decimal casts ---------------------------------------------------

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as tx
 from ..operators.similarity import brute_force_topk
-from ..sources.batch import fan_out_by, load_table
+from ..sources.batch import fan_out_by, load_table, scan_partitions
 
 # BM25 parameters (Robertson defaults) and the fixed benchmark query
 _K1 = 1.2
@@ -55,7 +55,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-doc fold, so the whole score pipeline runs on the single
     fan-out exchange."""
     docs = fan_out_by(
-        load_table(spark, sf_dir, "documents", fan_out=False), "doc_id"
+        load_table(spark, sf_dir, "documents", fan_out=False),
+        "doc_id",
+        n_partitions=scan_partitions(spark, sf_dir, "documents"),
     )
     staged = docs.select(
         "doc_id", tx.tokens_col(F.lower(F.col("text"))).alias("_toks")

@@ -108,7 +108,10 @@ def merge_history(
         # ~170 us of pandas block-manager overhead PER CALL even on a
         # 5-row drip batch — this runs once per (key, trigger), so at
         # 150 keys x 28 triggers the fixed cost dwarfs the data).
-        epoch = batch["time"].to_numpy().view("int64") // 10**9
+        # dtype pinned to datetime64[ns] (ADVICE r13 #4): a tz-aware
+        # Series would otherwise surface as an object array (view
+        # raises) and a pandas-2 [us] block would silently be 1000x off.
+        epoch = batch["time"].to_numpy(dtype="datetime64[ns]").view("int64") // 10**9
         buckets = (epoch // slide_sec) * slide_sec
         if "categories_json" in batch.columns:
             # pre-reduced partial rows (see prereduce_log_records): each
@@ -284,7 +287,7 @@ def prereduce_log_records(
             if len(pdf) == 0:
                 continue
             # same zero-copy ns->s view as merge_history (r13, §4.4)
-            epoch = pdf["time"].to_numpy().view("int64") // 10**9
+            epoch = pdf["time"].to_numpy(dtype="datetime64[ns]").view("int64") // 10**9
             bucket = (epoch // slide_sec) * slide_sec
             grouped = pd.DataFrame(
                 {

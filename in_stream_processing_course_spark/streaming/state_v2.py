@@ -119,7 +119,7 @@ class KeyedHistoryProcessor(StatefulProcessor):
                 # zero-copy ns->ms view, same rationale as v1 (r13 §4.4)
                 batch_max_ms = max(
                     batch_max_ms,
-                    int(pdf["time"].to_numpy().view("int64").max()) // 10**6,
+                    int(pdf["time"].to_numpy(dtype="datetime64[ns]").view("int64").max()) // 10**6,
                 )
             merged = merge_history(merged, pdf)
         if merged is None:

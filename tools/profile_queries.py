@@ -4,7 +4,7 @@
 For each named query: time the DataFrame CONSTRUCTION (driver-side py4j
 plan building — invisible to stage metrics but real wall time) separately
 from the noop-sink EXECUTION (min over --reps), and optionally dump
-`.explain('formatted')` to plans/r13/<query>_<tag>.txt so plan claims are
+`.explain('formatted')` to plans/r14/<query>_<tag>.txt so plan claims are
 checkable without running Spark.
 
 Usage:
@@ -64,7 +64,7 @@ def main() -> None:
             except Exception:
                 pass
     dump_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", "r14")
     if args.dump:
         os.makedirs(dump_dir, exist_ok=True)
     print(f"{'query':42s} {'build_s':>8s} {'exec_min':>9s} {'execs'}")

@@ -39,7 +39,9 @@ def main() -> None:
         try:
             sdf = QUERIES[name](spark, args.sf)
             srows = [tuple(r) for r in sdf.collect()]
-            decs = sorted({c for r in srows[:100]
+            # all rows, not a 100-row sample (ADVICE r13 #5): a Decimal
+            # surfacing only in late sort positions must still flag
+            decs = sorted({c for r in srows
                            for c, v in zip(sdf.columns, r)
                            if isinstance(v, decimal.Decimal)})
             if decs:
